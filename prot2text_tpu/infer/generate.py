@@ -1,0 +1,162 @@
+"""Batched autoregressive generation with a preallocated KV cache.
+
+Mirrors the reference decode path — encoder+adapter fusion happens once, then
+the LLM decodes from `inputs_embeds` (modeling_esm2llama_instruct.py:217-251),
+so generated ids contain ONLY new tokens.  HF-parity details:
+  * left-padded prompts; rope positions from cumsum(attention_mask)-1
+    (HF GenerationMixin prepare_inputs_for_generation)
+  * appended tokens get attention_mask=1 even after EOS; finished rows emit
+    pad_token_id
+  * greedy = argmax over fp32 logits; sampling supports temperature/top-k/top-p
+    (flags at reference generate_instruct.py:43-48)
+
+Whole loop is device-side: one jitted prefill + `lax.while_loop` decode with
+static shapes — no host sync per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.decoder import DecoderConfig, decoder_forward, decoder_logits
+from .kvcache import init_kv_cache
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    eos_token_id: int = 128009
+    pad_token_id: int = 128002
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    num_beams: int = 1
+
+
+def _sample_token(logits, gen_cfg: GenerationConfig, key):
+    """logits: (B, V) fp32 → (B,) int32."""
+    if not gen_cfg.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(gen_cfg.temperature, 1e-6)
+    if gen_cfg.top_k is not None and gen_cfg.top_k > 0:
+        kth = jax.lax.top_k(logits, gen_cfg.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen_cfg.top_p is not None and gen_cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        cutoff_mask = cum - probs > gen_cfg.top_p
+        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
+        threshold = jnp.min(
+            jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf),
+            axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def _bias_from_kv_mask(kv_mask, q_len: int, dtype=jnp.float32):
+    """(B, T) 0/1 kv validity → (B, 1, q_len, T) additive bias (no causal —
+    caller guarantees kv_mask only covers already-written slots)."""
+    neg = jnp.finfo(dtype).min
+    ok = kv_mask[:, None, None, :].astype(bool)
+    ok = jnp.broadcast_to(ok, (kv_mask.shape[0], 1, q_len, kv_mask.shape[1]))
+    return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
+
+
+def _prefill_bias(attention_mask, max_len: int, dtype=jnp.float32):
+    """Prompt prefill bias over the full cache width: sequence-index causal
+    within the prompt + key padding; slots >= P invalid."""
+    B, P = attention_mask.shape
+    neg = jnp.finfo(dtype).min
+    idx = jnp.arange(P)
+    causal = idx[None, :] <= idx[:, None]               # (P, P)
+    key_ok = attention_mask[:, None, None, :].astype(bool)  # (B,1,1,P)
+    ok = jnp.logical_and(causal[None, None], key_ok)    # (B,1,P,P)
+    pad_cols = jnp.zeros((B, 1, P, max_len - P), bool)
+    ok = jnp.concatenate([ok, pad_cols], axis=3)
+    return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_cfg", "attn_impl", "cache_dtype"),
+)
+def generate(
+    cfg: DecoderConfig,
+    params,
+    *,
+    inputs_embeds,        # (B, P, H) left-padded prompt embeddings
+    attention_mask,       # (B, P)
+    gen_cfg: GenerationConfig,
+    rng: Optional[jax.Array] = None,
+    attn_impl: str = "xla",
+    cache_dtype=None,
+):
+    """Returns (B, max_new_tokens) int32, pad-filled after EOS."""
+    B, P, H = inputs_embeds.shape
+    T = P + gen_cfg.max_new_tokens
+    dtype = cache_dtype or inputs_embeds.dtype
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    positions = jnp.clip(
+        jnp.cumsum(attention_mask, axis=1) - 1, 0, None
+    ).astype(jnp.int32)                                   # (B, P)
+    last_pos = positions[:, -1]                           # (B,)
+
+    cache = init_kv_cache(cfg, B, T, dtype)
+    bias = _prefill_bias(attention_mask, T)
+    h, cache = decoder_forward(
+        cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
+        positions=positions, kv_cache=cache, cache_index=0,
+        attn_impl=attn_impl,
+    )
+    logits0 = decoder_logits(cfg, params, h[:, -1:])[:, 0]  # (B, V)
+
+    rng, key0 = jax.random.split(rng)
+    tok0 = _sample_token(logits0, gen_cfg, key0)
+    finished0 = tok0 == gen_cfg.eos_token_id
+
+    tokens = jnp.full((B, gen_cfg.max_new_tokens), gen_cfg.pad_token_id,
+                      jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+
+    kv_mask = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.zeros((B, gen_cfg.max_new_tokens), jnp.int32)], axis=1)
+
+    def cond(state):
+        t, _, _, _, finished, _ = state
+        return jnp.logical_and(t < gen_cfg.max_new_tokens,
+                               ~jnp.all(finished))
+
+    def body(state):
+        t, tokens, cache, kv_mask, finished, rng = state
+        prev = tokens[:, t - 1]
+        emb = params["embed_tokens"][prev][:, None, :].astype(dtype)  # (B,1,H)
+        kv_mask = jax.lax.dynamic_update_slice(
+            kv_mask, jnp.ones((B, 1), jnp.int32), (0, P + t - 1))
+        pos = (last_pos + t)[:, None]                     # (B, 1)
+        bias = _bias_from_kv_mask(kv_mask, 1)
+        h, cache = decoder_forward(
+            cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
+            kv_cache=cache, cache_index=P + t - 1, attn_impl=attn_impl,
+        )
+        logits = decoder_logits(cfg, params, h)[:, 0]
+        rng, key = jax.random.split(rng)
+        tok = _sample_token(logits, gen_cfg, key)
+        tok = jnp.where(finished, gen_cfg.pad_token_id, tok)
+        tokens = tokens.at[:, t].set(tok)
+        finished = jnp.logical_or(finished, tok == gen_cfg.eos_token_id)
+        return (t + 1, tokens, cache, kv_mask, finished, rng)
+
+    state = (jnp.asarray(1), tokens, cache, kv_mask, finished0, rng)
+    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens

@@ -1,0 +1,239 @@
+"""Shared causal-decoder core for Llama-3.x and Qwen3 (pure JAX, layer-scan).
+
+Mirrors HF `LlamaForCausalLM` / `Qwen3ForCausalLM` numerics, as consumed by the
+reference (models/modeling_esm2llama_instruct.py:204-215, esmc_qwen_arc.py:208)
+  * RMSNorm in fp32 (pre-attn, pre-mlp, final)
+  * GQA with num_kv_heads, rotary (half-split), fp32 softmax
+  * SwiGLU MLP: down(silu(gate(x)) * up(x))
+  * optional per-head q/k RMSNorm (Qwen3), optional llama3 rope scaling
+  * logits computed in fp32; optional tied embeddings
+
+KV-cached decoding: the cache is a (L, B, Hkv, T, D) pytree threaded through
+the layer scan; writes are `dynamic_update_slice` at `cache_index`, so the
+whole decode step jits with static shapes (replacing HF GenerationMixin's
+dynamic cache, reference generate_instruct.py:72-87).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .transformer import (
+    apply_rope, attention, linear, repeat_kv, rms_norm, rope_cos_sin,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    intermediate_size: int
+    head_dim: int
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_word_embeddings: bool = False
+    qk_norm: bool = False           # Qwen3
+    rope_scaling: Optional[str] = None  # None | "llama3"
+    rope_scaling_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+
+def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
+    k = iter(jax.random.split(key, 8))
+    h, m, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+
+    def dense(kk, din, dout):
+        return {"kernel": jax.random.normal(kk, (din, dout), dtype) * 0.02}
+
+    def stack(make):
+        leaves = [make(jax.random.fold_in(next(k), i)) for i in range(L)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *leaves)
+
+    def layer(kk):
+        p = {
+            "input_ln": {"scale": jnp.ones((h,), dtype)},
+            "q_proj": dense(jax.random.fold_in(kk, 0), h, qd),
+            "k_proj": dense(jax.random.fold_in(kk, 1), h, kvd),
+            "v_proj": dense(jax.random.fold_in(kk, 2), h, kvd),
+            "o_proj": dense(jax.random.fold_in(kk, 3), qd, h),
+            "post_attn_ln": {"scale": jnp.ones((h,), dtype)},
+            "gate_proj": dense(jax.random.fold_in(kk, 4), h, m),
+            "up_proj": dense(jax.random.fold_in(kk, 5), h, m),
+            "down_proj": dense(jax.random.fold_in(kk, 6), m, h),
+        }
+        if cfg.qk_norm:
+            p["q_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
+            p["k_norm"] = {"scale": jnp.ones((cfg.head_dim,), dtype)}
+        return p
+
+    params = {
+        "embed_tokens": jax.random.normal(next(k), (cfg.vocab_size, h), dtype) * 0.02,
+        "layers": stack(layer),
+        "final_ln": {"scale": jnp.ones((h,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(next(k), h, cfg.vocab_size)
+    return params
+
+
+def _rope_inv_freq_scale(cfg: DecoderConfig, inv_freq):
+    """HF `_compute_llama3_parameters` smooth-interpolated frequency scaling."""
+    if cfg.rope_scaling != "llama3":
+        return inv_freq
+    factor = cfg.rope_scaling_factor
+    low = cfg.rope_low_freq_factor
+    high = cfg.rope_high_freq_factor
+    old_len = cfg.rope_original_max_position
+    low_wavelen = old_len / low
+    high_wavelen = old_len / high
+    wavelen = 2 * jnp.pi / inv_freq
+    scaled = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+    smooth = (old_len / wavelen - low) / (high - low)
+    smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+    is_medium = jnp.logical_and(wavelen >= high_wavelen, wavelen <= low_wavelen)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
+def decoder_rope_cos_sin(cfg: DecoderConfig, positions):
+    """positions: (B, S) or (S,) int → cos/sin fp32 with optional scaling."""
+    D = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    )
+    inv_freq = _rope_inv_freq_scale(cfg, inv_freq)
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def embed_tokens(params, input_ids):
+    return params["embed_tokens"][input_ids]
+
+
+def decoder_forward(
+    cfg: DecoderConfig,
+    params,
+    *,
+    inputs_embeds,          # (B, S, H)
+    bias,                   # fp32 additive (B, 1, S, T)
+    positions,              # (B, S) int32 rope positions
+    kv_cache=None,          # {"k","v"}: (L, B, Hkv, T, D) or None
+    cache_index=None,       # scalar int32 write offset into T
+    attn_impl: str = "xla",
+    remat: bool = False,
+):
+    """Returns (hidden_states, new_kv_cache)."""
+    B, S, _ = inputs_embeds.shape
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    n_rep = H // Hkv
+
+    cos, sin = decoder_rope_cos_sin(cfg, positions)
+    h = inputs_embeds
+    scaling = D ** -0.5
+
+    def block(lp, x, layer_cache):
+        xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
+        q = linear(lp["q_proj"], xn).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = linear(lp["k_proj"], xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        v = linear(lp["v_proj"], xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:
+            q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
+            k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if layer_cache is not None:
+            ck, cv = layer_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, 0, cache_index, 0))
+            k_full, v_full = ck, cv
+            new_cache = (ck, cv)
+        else:
+            k_full, v_full = k, v
+            new_cache = None
+        q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
+        a = attention(
+            q, repeat_kv(k_full, n_rep), repeat_kv(v_full, n_rep), bias,
+            impl=attn_impl,
+        )
+        a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+        x = x + linear(lp["o_proj"], a)
+        xn = rms_norm(lp["post_attn_ln"], x, cfg.rms_norm_eps)
+        gate = jax.nn.silu(linear(lp["gate_proj"], xn).astype(jnp.float32))
+        up = linear(lp["up_proj"], xn).astype(jnp.float32)
+        y = linear(lp["down_proj"], (gate * up).astype(xn.dtype))
+        return x + y, new_cache
+
+    body = block
+    if remat:
+        body = jax.checkpoint(block, prevent_cse=False)
+
+    if kv_cache is not None:
+        def step(c, xs):
+            lp, ck, cv = xs
+            c, new_cache = body(lp, c, (ck, cv))
+            return c, new_cache
+
+        h, caches = jax.lax.scan(
+            step, h, (params["layers"], kv_cache["k"], kv_cache["v"])
+        )
+        new_kv = {"k": caches[0], "v": caches[1]}
+    else:
+        def step(c, lp):
+            c, _ = body(lp, c, None)
+            return c, None
+
+        h, _ = jax.lax.scan(step, h, params["layers"])
+        new_kv = None
+
+    h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+    return h, new_kv
+
+
+def decoder_logits(cfg: DecoderConfig, params, hidden_states):
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"].T
+    else:
+        w = params["lm_head"]["kernel"]
+    return jnp.matmul(
+        hidden_states, w.astype(hidden_states.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+
+
+def causal_bias_from_mask(attention_mask, dtype=jnp.float32):
+    """HF-parity full-sequence causal bias: sequence-index causal AND key
+    padding mask. attention_mask: (B, S) 0/1 → (B, 1, S, S) fp32."""
+    B, S = attention_mask.shape
+    neg = jnp.finfo(dtype).min
+    idx = jnp.arange(S)
+    causal = idx[None, :] <= idx[:, None]  # (S, S)
+    key_ok = attention_mask[:, None, None, :].astype(bool)
+    ok = jnp.logical_and(causal[None, None], key_ok)
+    return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Shifted causal LM loss, mean over valid label positions (HF parity:
+    logits[:, :-1] vs labels[:, 1:], ignore -100)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    ll = jnp.where(valid, ll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return -(ll.sum() / count)

@@ -1,0 +1,145 @@
+"""Shared transformer primitives (pure functions over param pytrees).
+
+All norms/softmax accumulate in fp32 regardless of the compute dtype; matmuls
+set `preferred_element_type` so the MXU accumulates in fp32. Params are nested
+dicts with 'kernel' stored (in_dim, out_dim) — i.e. `y = x @ kernel + bias`.
+Layer stacks keep a leading (n_layers, ...) dim and run under `lax.scan` so
+XLA compiles ONE layer body (fast compiles, fixed schedule), with optional
+`jax.checkpoint` rematerialisation for memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.attention import dot_product_attention
+
+# ---------------------------------------------------------------------------
+# basic layers
+
+
+def linear(p, x, precision=None):
+    y = jnp.matmul(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "bias" in p:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-6):
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)).astype(dtype)
+
+
+def gelu_erf(x):
+    """Exact-erf GELU (the reference ESM stack requires erf, not tanh —
+    see gelu() in HF modeling_esm)."""
+    x32 = x.astype(jnp.float32)
+    y = x32 * 0.5 * (1.0 + jax.lax.erf(x32 / jnp.sqrt(2.0).astype(jnp.float32)))
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# rotary position embeddings (GPT-NeoX half-split layout, used by ESM2, Llama,
+# Qwen3 and ESMC alike)
+
+
+def rope_cos_sin(positions, head_dim: int, theta: float):
+    """positions: (..., seq) int32 → cos/sin (..., seq, head_dim) fp32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, H, S, D); cos/sin: (B, S, D) or (S, D)."""
+    if cos.ndim == 2:
+        cos = cos[None, None, :, :]
+        sin = sin[None, None, :, :]
+    else:
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+    x32 = x.astype(jnp.float32)
+    out = x32 * cos + rotate_half(x32) * sin
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# attention
+
+
+def repeat_kv(x, n_rep: int):
+    """(B, Hkv, S, D) → (B, Hkv*n_rep, S, D) for GQA."""
+    if n_rep == 1:
+        return x
+    b, h, s, d = x.shape
+    x = jnp.broadcast_to(x[:, :, None], (b, h, n_rep, s, d))
+    return x.reshape(b, h * n_rep, s, d)
+
+
+def make_attention_bias(attention_mask, dtype=jnp.float32, causal: bool = False,
+                        q_positions: Optional[jax.Array] = None,
+                        kv_positions: Optional[jax.Array] = None):
+    """Additive bias (B, 1, Sq, Skv) from a (B, Skv) 0/1 key mask.
+
+    If causal, also needs q/kv absolute positions (B, Sq)/(B, Skv) — entries
+    with kv_pos > q_pos are masked. Left-padded prompts work because positions
+    are computed from the cumulative attention mask by callers.
+    """
+    neg = jnp.finfo(dtype).min
+    key_ok = attention_mask[:, None, None, :].astype(bool)  # (B,1,1,Skv)
+    ok = key_ok
+    if causal:
+        q = q_positions[:, None, :, None]  # (B,1,Sq,1)
+        kv = kv_positions[:, None, None, :]  # (B,1,1,Skv)
+        ok = jnp.logical_and(ok, kv <= q)
+    return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
+
+
+def attention(q, k, v, bias, impl: str = "xla"):
+    """q,k,v: (B, H, S, D) with equal H (repeat_kv already applied).
+    bias: fp32 additive (B, 1, Sq, Skv) or (B, H, Sq, Skv)."""
+    return dot_product_attention(q, k, v, bias, impl=impl)
+
+
+# ---------------------------------------------------------------------------
+# layer scan helper
+
+
+def scan_layers(body, params_stacked, carry, n_layers: int, remat: bool):
+    """Run `body(layer_params, carry) -> carry` over stacked layer params."""
+    f = body
+    if remat:
+        f = jax.checkpoint(f, prevent_cse=False)
+
+    def step(c, lp):
+        return f(lp, c), None
+
+    carry, _ = jax.lax.scan(step, carry, params_stacked)
+    return carry

@@ -1,0 +1,22 @@
+"""Force a deterministic 8-virtual-device CPU platform for all tests.
+
+This is the JAX fake-multichip recipe standing in for the mock distributed
+backend the reference lacks (SURVEY.md §4): sharding/collective tests run on
+8 virtual CPU devices without a TPU pod.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# fp32 parity tests need true-fp32 matmuls (XLA CPU defaults to fast low-prec)
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
