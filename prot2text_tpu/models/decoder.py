@@ -57,7 +57,8 @@ def init_decoder_params(cfg: DecoderConfig, key, dtype=jnp.float32):
         return {"kernel": jax.random.normal(kk, (din, dout), dtype) * 0.02}
 
     def stack(make):
-        leaves = [make(jax.random.fold_in(next(k), i)) for i in range(L)]
+        base = next(k)
+        leaves = [make(jax.random.fold_in(base, i)) for i in range(L)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *leaves)
 
     def layer(kk):

@@ -97,7 +97,8 @@ def init_esm2_params(cfg: ESM2Config, key, dtype=jnp.float32):
     h, m, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
 
     def stack(make):
-        leaves = [make(jax.random.fold_in(next(k), i)) for i in range(L)]
+        base = next(k)
+        leaves = [make(jax.random.fold_in(base, i)) for i in range(L)]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *leaves)
 
     layer = stack(lambda kk: {

@@ -20,3 +20,7 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon sitecustomize force-registers the tunneled TPU platform and
+# overrides JAX_PLATFORMS; pin CPU explicitly so tests run on the 8-device
+# virtual CPU mesh (TPU dispatch goes through a relay at ~0.4 s/op).
+jax.config.update("jax_platforms", "cpu")
