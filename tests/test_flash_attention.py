@@ -1,0 +1,72 @@
+"""Flash-attention kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from prot2text_tpu.kernels.attention import _xla_attention
+from prot2text_tpu.kernels.flash_attention import flash_attention_tpu
+from prot2text_tpu.models.transformer import make_attention_bias
+
+
+def _qkv(B=2, H=3, Sq=40, Skv=40, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, H, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, Skv, D)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_matches_xla_bidirectional_padded():
+    q, k, v = _qkv()
+    mask = np.ones((2, 40), np.int32)
+    mask[1, 25:] = 0
+    bias = make_attention_bias(jnp.asarray(mask))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention_tpu(q, k, v, bias, block_q=16, block_k=16,
+                              interpret=True)
+    # padded-key columns: compare only valid query rows (all rows valid here)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_matches_xla_causal():
+    q, k, v = _qkv(Sq=24, Skv=24, seed=1)
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :5] = 0  # left padding
+    pos = jnp.broadcast_to(jnp.arange(24), (2, 24))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention_tpu(q, k, v, bias, block_q=8, block_k=8,
+                              interpret=True)
+    valid = np.asarray(mask).astype(bool)
+    o = np.asarray(out).transpose(0, 2, 1, 3)[valid]
+    r = np.asarray(ref).transpose(0, 2, 1, 3)[valid]
+    np.testing.assert_allclose(o, r, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_non_divisible_lengths():
+    q, k, v = _qkv(Sq=37, Skv=53, seed=2)
+    mask = np.ones((2, 53), np.int32)
+    mask[1, 40:] = 0
+    bias = make_attention_bias(jnp.asarray(mask))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention_tpu(q, k, v, bias, block_q=16, block_k=16,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    q, k, v = _qkv(Sq=32, Skv=32, seed=3)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    mask = np.ones((2, 32), np.int32)
+    bias = make_attention_bias(jnp.asarray(mask))
+    ref = _xla_attention(q, k, v, bias)
+    out = flash_attention_tpu(q, k, v, bias, block_q=16, block_k=16,
+                              interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
