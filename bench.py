@@ -1,11 +1,14 @@
-"""Benchmark: batched KV-cached decode throughput on the flagship decoder.
+"""Benchmark: batched KV-cached decode throughput (flagship decode path).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md) — vs_baseline is null until
 an A6000 reference measurement exists.
 
-Config: Llama-3.2-1B-shaped decoder (the smallest reference legacy config,
-BASELINE.json configs[0]) in bf16, batch 8, prompt 128, 64 new tokens.
+Decoder: 8L × h1024 (GQA 16/8, SwiGLU 4096) in bf16 — sized so that
+compile-through-the-axon-tunnel + 3 timed runs fit the driver's budget;
+the persistent compilation cache (.jax_cache) amortizes recompiles across
+rounds.  Timing forces a host transfer per run because block_until_ready
+does not synchronize through the remote-execution tunnel.
 """
 
 from __future__ import annotations
@@ -18,17 +21,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from prot2text_tpu.infer.generate import GenerationConfig, generate
-    from prot2text_tpu.models.decoder import init_decoder_params
-    from prot2text_tpu.models.llama import LlamaConfig
+    from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
 
-    cfg = LlamaConfig.llama_3_2_1b().core()
+    cfg = DecoderConfig(
+        vocab_size=32000, hidden_size=1024, num_layers=8, num_heads=16,
+        num_kv_heads=8, intermediate_size=4096, head_dim=64,
+        rope_theta=500000.0)
     dtype = jnp.bfloat16
     params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
 
-    B, P, NEW = 8, 128, 64
+    B, P, NEW = 8, 128, 32
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -40,8 +48,6 @@ def main():
     def run():
         toks = generate(cfg, params, inputs_embeds=emb, attention_mask=mask,
                         gen_cfg=gen_cfg, attn_impl="xla", cache_dtype=dtype)
-        # host transfer — block_until_ready alone may not synchronize through
-        # the remote-execution tunnel
         return np.asarray(toks)
 
     run()  # compile + warmup
@@ -53,7 +59,7 @@ def main():
 
     toks_per_sec = B * NEW / dt
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_1b_bf16",
+        "metric": "decode_tokens_per_sec_bf16_8Lx1024",
         "value": round(toks_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": None,

@@ -1,0 +1,84 @@
+"""Metric computation CLI over generation JSONs — reference
+scripts/benchmark.py:144-178 (file discovery by substring identifier,
+exact match / BLEU-2/4 / ROUGE / optional BERTScore)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+from ..core.dtypes import str2bool
+from ..eval_metrics.metrics import compute_metrics
+
+
+def build_parser():
+    p = argparse.ArgumentParser("benchmark")
+    p.add_argument("--results_dir", type=str, default="./generation_results")
+    p.add_argument("--identifier", type=str, required=True)
+    p.add_argument("--evaluate_exact_match", type=str2bool, default=True)
+    p.add_argument("--evaluate_bleu", type=str2bool, default=True)
+    p.add_argument("--evaluate_rouge", type=str2bool, default=True)
+    p.add_argument("--evaluate_bert_score", type=str2bool, default=False)
+    p.add_argument("--bert_model_dir", type=str, default=None,
+                   help="local HF checkpoint for BERTScore embeddings")
+    p.add_argument("--verbose", type=str2bool, default=True)
+    return p
+
+
+def load_results(results_dir: str, identifier: str):
+    preds, refs = [], []
+    paths = sorted(
+        p for p in glob.glob(os.path.join(results_dir, "*.json"))
+        if identifier in os.path.basename(p))
+    if not paths:
+        raise FileNotFoundError(
+            f"no result JSONs matching '{identifier}' in {results_dir}")
+    for p in paths:
+        with open(p) as f:
+            for name, item in json.load(f).items():
+                preds.append(item["pred"])
+                refs.append(item["true"])
+    return preds, refs, paths
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    preds, refs, paths = load_results(args.results_dir, args.identifier)
+    if args.verbose:
+        print(f"{len(preds)} pairs from {len(paths)} files")
+
+    bert_fns = None
+    if args.evaluate_bert_score and args.bert_model_dir:
+        import numpy as np
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.bert_model_dir)
+        model = AutoModel.from_pretrained(args.bert_model_dir).eval()
+
+        def embed(texts):
+            out = []
+            with torch.no_grad():
+                for t in texts:
+                    enc = tok(t, truncation=True, max_length=495,
+                              return_tensors="pt")
+                    h = model(**enc).last_hidden_state[0]
+                    out.append(h.numpy())
+            return out
+
+        bert_fns = {os.path.basename(args.bert_model_dir): embed}
+
+    metrics = compute_metrics(
+        preds, refs,
+        evaluate_exact_match=args.evaluate_exact_match,
+        evaluate_bleu=args.evaluate_bleu,
+        evaluate_rouge=args.evaluate_rouge,
+        bert_embed_fns=bert_fns)
+    print(json.dumps(metrics, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

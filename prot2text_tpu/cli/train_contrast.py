@@ -1,0 +1,188 @@
+"""Stage-1 contrastive training CLI — reference scripts/train_contrast.py.
+
+Flag surface mirrors the reference (train_contrast.py:48-69); the
+spawn/NCCL/DDP scaffolding is gone: one jitted SPMD step over the mesh, with
+cross-chip InfoNCE negatives the reference never had (SURVEY.md §2.4).
+
+Offline demo (no downloaded assets):
+  python -m prot2text_tpu.cli.train_contrast --train_csv data/train.csv \
+      --debug_tiny_model true --num_epochs 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import save_checkpoint, timestamped_dir
+from ..core.dtypes import str2bool, str2dtype
+from ..data.collate import Buckets, LightCollator
+from ..data.dataset import Prot2TextLightDataset
+from ..data.sampler import DataLoader, ShardedSampler
+from ..models.adapters import ModalityAdapterConfig, init_modality_adapter_params
+from ..models.esmc import ESMCConfig, init_esmc_params
+from ..models.qwen3 import Qwen3Config, init_qwen3_params
+from ..train.contrastive import ContrastiveConfig, make_contrastive_train_step
+from ..train.optim import TrainState, adamw_cosine_warmup
+from .common import add_common_args, setup_platform, text_tokenizer
+
+
+def build_parser():
+    p = argparse.ArgumentParser("train_contrast")
+    add_common_args(p)
+    p.add_argument("--train_csv", type=str, required=True)
+    p.add_argument("--eval_csv", type=str, default=None)
+    p.add_argument("--esm_model", type=str, default="esmc_600m")
+    p.add_argument("--llm_model", type=str, default="Qwen/Qwen3-14B")
+    p.add_argument("--llm_checkpoint_dir", type=str, default=None,
+                   help="local HF checkpoint dir for weights")
+    p.add_argument("--esm_checkpoint_path", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=8)
+    p.add_argument("--num_epochs", type=int, default=12)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--gradient_clipping", type=float, default=None)
+    p.add_argument("--contrastive_num_segments", type=int, default=2)
+    p.add_argument("--output_llm_layer", type=int, default=16)
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--name_dropout", type=float, default=0.8)
+    p.add_argument("--taxonomy_dropout", type=float, default=0.8)
+    p.add_argument("--debug_trim_train_split", type=int, default=None)
+    p.add_argument("--debug_trim_eval_split", type=int, default=None)
+    p.add_argument("--debug_tiny_model", type=str2bool, default=False)
+    return p
+
+
+def build_models(args, tok):
+    if args.debug_tiny_model:
+        esm_cfg = ESMCConfig.tiny()
+        llm_cfg = Qwen3Config(
+            vocab_size=tok.vocab_size if hasattr(tok, "vocab_size") else 512,
+            hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+            head_dim=16, intermediate_size=128)
+        adapter_cfg = ModalityAdapterConfig(
+            esm_cfg.d_model, 64, llm_cfg.hidden_size)
+    else:
+        esm_cfg = (ESMCConfig.esmc_600m() if "600" in args.esm_model
+                   else ESMCConfig.esmc_300m())
+        llm_cfg = Qwen3Config.qwen3_14b()
+        adapter_cfg = ModalityAdapterConfig(
+            esm_cfg.d_model, 2048, llm_cfg.hidden_size)
+
+    dtype = args.model_dtype
+    key = jax.random.PRNGKey(args.random_seed)
+    ke, kl, ka = jax.random.split(key, 3)
+    if args.esm_checkpoint_path:
+        import torch
+
+        from ..models.esmc import esmc_params_from_torch
+
+        sd = torch.load(args.esm_checkpoint_path, map_location="cpu",
+                        weights_only=True)
+        esm_params = esmc_params_from_torch(sd, esm_cfg.n_layers, dtype)
+    else:
+        esm_params = init_esmc_params(esm_cfg, ke, dtype)
+    if args.llm_checkpoint_dir:
+        from ..models.hf_import import load_state_dict_dir, qwen3_params_from_hf
+
+        sd = load_state_dict_dir(args.llm_checkpoint_dir)
+        llm_params = qwen3_params_from_hf(sd, llm_cfg.num_layers, dtype)
+    else:
+        llm_params = init_qwen3_params(llm_cfg, kl, dtype)
+    adapter = init_modality_adapter_params(adapter_cfg, ka)  # fp32 trainable
+    return (esm_cfg, llm_cfg, adapter_cfg,
+            {"esm_encoder": esm_params, "llm_decoder": llm_params}, adapter)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    mesh = setup_platform(args)
+    tok = text_tokenizer(args)
+
+    dataset = Prot2TextLightDataset(args.train_csv)
+    if args.debug_trim_train_split:
+        dataset.df = dataset.df.iloc[:args.debug_trim_train_split]
+    collater = LightCollator(
+        tokenizer=tok, mode="train",
+        placeholder_token=getattr(tok, "placeholder_token",
+                                  "<|reserved_special_token_1|>"),
+        name_dropout=args.name_dropout,
+        taxonomy_dropout=args.taxonomy_dropout,
+        buckets=Buckets(protein=[128, 256, 512, 1024],
+                        prompt=[256, 512, 1024, 2048],
+                        description=[128, 256, 512]))
+    loader = DataLoader(
+        dataset=dataset, collate_fn=collater,
+        batch_size=args.batch_size * args.gradient_accumulation_steps,
+        sampler=ShardedSampler(
+            len(dataset), num_shards=jax.process_count(),
+            shard_index=jax.process_index(), seed=args.random_seed))
+
+    esm_cfg, llm_cfg, adapter_cfg, frozen, adapter = build_models(args, tok)
+    ccfg = ContrastiveConfig(
+        temperature=args.temperature,
+        num_segments=args.contrastive_num_segments,
+        output_llm_layer=min(args.output_llm_layer, llm_cfg.num_layers))
+    steps_per_epoch = max(len(loader), 1)
+    tx = adamw_cosine_warmup(
+        args.learning_rate, total_steps=args.num_epochs * steps_per_epoch,
+        warmup_frac=0.06, grad_clip=args.gradient_clipping)
+    state = TrainState.create(adapter, tx)
+
+    step_fn = jax.jit(make_contrastive_train_step(
+        esm_config=esm_cfg, adapter_config=adapter_cfg,
+        decoder_core=llm_cfg.core(), cfg=ccfg, tx=tx,
+        attn_impl=args.attn_impl,
+        grad_accum=args.gradient_accumulation_steps))
+
+    ckpt_dir = timestamped_dir(args.checkpoint_dir)
+    rng = jax.random.PRNGKey(args.random_seed)
+    with jax.set_mesh(mesh):
+        for epoch in range(1, args.num_epochs + 1):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for batch in loader:
+                micro = {
+                    k: np.stack(np.split(
+                        v, args.gradient_accumulation_steps))
+                    for k, v in batch.items()
+                    if isinstance(v, np.ndarray)
+                    and k in ("protein_input_ids", "protein_attention_mask",
+                              "description_input_ids",
+                              "description_attention_mask")
+                }
+                if args.gradient_accumulation_steps == 1:
+                    micro = {k: v[0] for k, v in micro.items()}
+                rng, sub = jax.random.split(rng)
+                state, loss = step_fn(state, frozen, micro, sub)
+                loss = float(loss)
+                if not np.isfinite(loss) or loss <= 0:
+                    print(f"WARNING: impossible loss {loss}", file=sys.stderr)
+                losses.append(loss)
+            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
+                  f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+            if np.isnan(mean_loss):
+                print("NaN loss — aborting (reference train_contrast.py:477)",
+                      file=sys.stderr)
+                break
+            if (epoch == 1 or epoch == args.num_epochs
+                    or epoch % args.save_every_epochs == 0):
+                save_checkpoint(ckpt_dir, int(state.step), {
+                    "adapter": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                })
+    print(f"checkpoints → {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

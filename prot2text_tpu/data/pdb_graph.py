@@ -1,0 +1,473 @@
+"""Native PDB → residue-graph featurization (no graphein / external dssp).
+
+Produces the reference's data-format contracts exactly (nx2pyg.py:10-20,
+:68-78):
+  * x = [aa_idx ‖ phi ‖ psi ‖ rsa ‖ asa ‖ ss_8class ‖ expasy...] per residue
+  * edge_index (2, E) single-direction edges, edge_type ∈ 7-relation map
+    {peptide_bond:0, sequence_distance_2:1, sequence_distance_3:2,
+     distance_threshold:3, delaunay:4, hbond:5, k_nn:6}
+  * default edge set = peptide bonds + hydrogen bonds + 10 Å distance
+    threshold with sequence separation > 3 (utils_dataset.py:19-36)
+
+The reference delegates the geometry features to graphein + the external
+`dssp` C++ binary (README.md:31-35).  Here they are computed natively:
+  * phi/psi backbone dihedrals (DSSP degree convention, 360.0 undefined)
+  * ASA via Shrake-Rupley sphere sampling; RSA = ASA / Sander-Rost max-acc
+  * 8-class secondary structure via the Kabsch-Sander hydrogen-bond energy
+    model (H/B/E/G/I/T/S assignment)
+A C++ acceleration of the O(N·atoms) inner loops lives in native/featurize.cc
+(loaded via ctypes when built); this module is the reference implementation
+and fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# graphein's amino_acid_one_hot vocabulary order (alphabetical 3-letter std.)
+STANDARD_AA = ["ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS",
+               "ILE", "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP",
+               "TYR", "VAL"]
+AA_INDEX = {a: i for i, a in enumerate(STANDARD_AA)}
+THREE_TO_ONE = dict(zip(STANDARD_AA, "ARNDCQEGHILKMFPSTWYV"))
+
+SS_MAP = {"-": 0, "H": 1, "B": 2, "E": 3, "G": 4, "I": 5, "T": 6, "S": 7}
+EDGE_TYPE_MAP = {
+    "peptide_bond": 0, "sequence_distance_2": 1, "sequence_distance_3": 2,
+    "distance_threshold": 3, "delaunay": 4, "hbond": 5, "k_nn": 6,
+}
+
+# Sander & Rost (1994) maximum accessible surface areas (Å²)
+MAX_ACC = {
+    "ALA": 106.0, "ARG": 248.0, "ASN": 157.0, "ASP": 163.0, "CYS": 135.0,
+    "GLN": 198.0, "GLU": 194.0, "GLY": 84.0, "HIS": 184.0, "ILE": 169.0,
+    "LEU": 164.0, "LYS": 205.0, "MET": 188.0, "PHE": 197.0, "PRO": 136.0,
+    "SER": 130.0, "THR": 142.0, "TRP": 227.0, "TYR": 222.0, "VAL": 142.0,
+}
+
+VDW_RADII = {"C": 1.70, "N": 1.55, "O": 1.52, "S": 1.80, "H": 1.20,
+             "P": 1.80}
+
+# ExPASy protein scales (per 1-letter residue).  The reference's graphein
+# `expasy_protein_scale` ships ~60 scales from the ExPASy data file; the
+# subset here covers the canonical, widely published ones and keeps the
+# feature-block contract (a fixed-width float block after ss).  Extend by
+# registering more rows.
+EXPASY_SCALES: Dict[str, Dict[str, float]] = {
+    # Kyte & Doolittle hydropathicity
+    "kd_hydrophobicity": {
+        "A": 1.8, "R": -4.5, "N": -3.5, "D": -3.5, "C": 2.5, "Q": -3.5,
+        "E": -3.5, "G": -0.4, "H": -3.2, "I": 4.5, "L": 3.8, "K": -3.9,
+        "M": 1.9, "F": 2.8, "P": -1.6, "S": -0.8, "T": -0.7, "W": -0.9,
+        "Y": -1.3, "V": 4.2},
+    # Hopp & Woods hydrophilicity
+    "hw_hydrophilicity": {
+        "A": -0.5, "R": 3.0, "N": 0.2, "D": 3.0, "C": -1.0, "Q": 0.2,
+        "E": 3.0, "G": 0.0, "H": -0.5, "I": -1.8, "L": -1.8, "K": 3.0,
+        "M": -1.3, "F": -2.5, "P": 0.0, "S": 0.3, "T": -0.4, "W": -3.4,
+        "Y": -2.3, "V": -1.5},
+    # Zimmerman bulkiness
+    "bulkiness": {
+        "A": 11.50, "R": 14.28, "N": 12.82, "D": 11.68, "C": 13.46,
+        "Q": 14.45, "E": 13.57, "G": 3.40, "H": 13.69, "I": 21.40,
+        "L": 21.40, "K": 15.71, "M": 16.25, "F": 19.80, "P": 17.43,
+        "S": 9.47, "T": 15.77, "W": 21.67, "Y": 18.03, "V": 21.57},
+    # Grantham polarity
+    "polarity": {
+        "A": 8.1, "R": 10.5, "N": 11.6, "D": 13.0, "C": 5.5, "Q": 10.5,
+        "E": 12.3, "G": 9.0, "H": 10.4, "I": 5.2, "L": 4.9, "K": 11.3,
+        "M": 5.7, "F": 5.2, "P": 8.0, "S": 9.2, "T": 8.6, "W": 5.4,
+        "Y": 6.2, "V": 5.9},
+    # average flexibility (Bhaskaran & Ponnuswamy)
+    "flexibility": {
+        "A": 0.360, "R": 0.530, "N": 0.460, "D": 0.510, "C": 0.350,
+        "Q": 0.490, "E": 0.500, "G": 0.540, "H": 0.320, "I": 0.460,
+        "L": 0.370, "K": 0.470, "M": 0.300, "F": 0.310, "P": 0.510,
+        "S": 0.510, "T": 0.440, "W": 0.310, "Y": 0.420, "V": 0.390},
+}
+
+# residue-level hydrogen-bond donor/acceptor side-chain heavy atoms
+# (backbone N/O always participate) — graphein HYDROGEN_BOND_* equivalents
+HBOND_DONOR_ATOMS = {
+    "ARG": ["NE", "NH1", "NH2"], "ASN": ["ND2"], "GLN": ["NE2"],
+    "HIS": ["ND1", "NE2"], "LYS": ["NZ"], "SER": ["OG"], "THR": ["OG1"],
+    "TRP": ["NE1"], "TYR": ["OH"], "CYS": ["SG"],
+}
+HBOND_ACCEPTOR_ATOMS = {
+    "ASN": ["OD1"], "ASP": ["OD1", "OD2"], "GLN": ["OE1"],
+    "GLU": ["OE1", "OE2"], "HIS": ["ND1", "NE2"], "SER": ["OG"],
+    "THR": ["OG1"], "TYR": ["OH"], "MET": ["SD"], "CYS": ["SG"],
+}
+
+
+@dataclasses.dataclass
+class Residue:
+    resname: str
+    chain: str
+    resseq: int
+    atoms: Dict[str, np.ndarray]          # atom name → xyz
+    elements: Dict[str, str]
+
+
+def parse_pdb(path: str, chain: Optional[str] = None) -> List[Residue]:
+    """Minimal PDB parser: ATOM records, first altloc, first model,
+    deprotonated (hydrogens dropped — reference pdb2nx.py:117-130)."""
+    residues: Dict[tuple, Residue] = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("ENDMDL"):
+                break
+            if not line.startswith("ATOM"):
+                continue
+            altloc = line[16]
+            if altloc not in (" ", "A"):
+                continue
+            name = line[12:16].strip()
+            resname = line[17:20].strip()
+            ch = line[21]
+            if chain is not None and ch != chain:
+                continue
+            if line[26] != " ":       # insertion codes removed (pdb2nx:170)
+                continue
+            resseq = int(line[22:26])
+            element = (line[76:78].strip() or name[:1]).upper()
+            if element == "H" or element == "D":
+                continue
+            xyz = np.array([float(line[30:38]), float(line[38:46]),
+                            float(line[46:54])])
+            key = (ch, resseq)
+            if key not in residues:
+                residues[key] = Residue(resname, ch, resseq, {}, {})
+            if name not in residues[key].atoms:
+                residues[key].atoms[name] = xyz
+                residues[key].elements[name] = element
+    out = [r for r in residues.values()
+           if r.resname in AA_INDEX and "CA" in r.atoms]
+    out.sort(key=lambda r: (r.chain, r.resseq))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# geometry
+
+
+def _dihedral(p0, p1, p2, p3) -> float:
+    """Signed dihedral in degrees."""
+    b0 = p0 - p1
+    b1 = p2 - p1
+    b2 = p3 - p2
+    b1n = b1 / np.linalg.norm(b1)
+    v = b0 - np.dot(b0, b1n) * b1n
+    w = b2 - np.dot(b2, b1n) * b1n
+    x = np.dot(v, w)
+    y = np.dot(np.cross(b1n, v), w)
+    return math.degrees(math.atan2(y, x))
+
+
+def phi_psi(residues: List[Residue]):
+    """DSSP convention: 360.0 where undefined (chain termini/missing)."""
+    n = len(residues)
+    phi = np.full(n, 360.0)
+    psi = np.full(n, 360.0)
+
+    def chained(i, j):
+        return (residues[i].chain == residues[j].chain
+                and residues[j].resseq - residues[i].resseq == 1)
+
+    for i, r in enumerate(residues):
+        a = r.atoms
+        if i > 0 and chained(i - 1, i):
+            p = residues[i - 1].atoms
+            if all(k in p for k in ("C",)) and all(
+                    k in a for k in ("N", "CA", "C")):
+                phi[i] = _dihedral(p["C"], a["N"], a["CA"], a["C"])
+        if i + 1 < n and chained(i, i + 1):
+            q = residues[i + 1].atoms
+            if all(k in a for k in ("N", "CA", "C")) and "N" in q:
+                psi[i] = _dihedral(a["N"], a["CA"], a["C"], q["N"])
+    return phi, psi
+
+
+# ---------------------------------------------------------------------------
+# Shrake-Rupley ASA
+
+
+def _sphere_points(n: int) -> np.ndarray:
+    """Golden-spiral unit sphere points."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = math.pi * (1 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi),
+                     np.cos(phi)], axis=1)
+
+
+def shrake_rupley_asa(residues: List[Residue], n_points: int = 100,
+                      probe: float = 1.4) -> np.ndarray:
+    """Per-residue solvent-accessible surface area (Å²)."""
+    coords, radii, owner = [], [], []
+    for ri, r in enumerate(residues):
+        for name, xyz in r.atoms.items():
+            coords.append(xyz)
+            radii.append(VDW_RADII.get(r.elements[name], 1.70) + probe)
+            owner.append(ri)
+    coords = np.asarray(coords)
+    radii = np.asarray(radii)
+    owner = np.asarray(owner)
+    try:
+        from .native import sasa as native_sasa
+
+        atom_areas = native_sasa(coords, radii, n_points)
+    except Exception:
+        atom_areas = _sasa_numpy(coords, radii, n_points)
+    asa = np.zeros(len(residues))
+    np.add.at(asa, owner, atom_areas)
+    return asa
+
+
+def _sasa_numpy(coords, radii, n_points):
+    sphere = _sphere_points(n_points)
+    n_atoms = len(coords)
+    areas = np.zeros(n_atoms)
+    # neighbor prefilter
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(coords)
+    max_r = radii.max()
+    for i in range(n_atoms):
+        nbrs = tree.query_ball_point(coords[i], radii[i] + max_r)
+        nbrs = [j for j in nbrs if j != i]
+        pts = coords[i] + sphere * radii[i]
+        if nbrs:
+            d = np.linalg.norm(
+                pts[:, None, :] - coords[np.asarray(nbrs)][None], axis=2)
+            buried = (d < radii[np.asarray(nbrs)][None]).any(axis=1)
+        else:
+            buried = np.zeros(len(pts), bool)
+        frac = 1.0 - buried.mean()
+        areas[i] = 4.0 * math.pi * radii[i] ** 2 * frac
+    return areas
+
+
+# ---------------------------------------------------------------------------
+# Kabsch-Sander secondary structure
+
+
+def _backbone_hbonds(residues: List[Residue]) -> np.ndarray:
+    """(N, N) bool: hbond[i, j] = True if N-H(i) … O=C(j) with
+    Kabsch-Sander energy < -0.5 kcal/mol."""
+    n = len(residues)
+    E = np.full((n, n), 0.0)
+    # H position: N_i + unit(C_{i-1} - O_{i-1})
+    H = {}
+    for i in range(1, n):
+        r, p = residues[i], residues[i - 1]
+        if (r.chain == p.chain and r.resname != "PRO"
+                and "N" in r.atoms and "C" in p.atoms and "O" in p.atoms):
+            co = p.atoms["C"] - p.atoms["O"]
+            H[i] = r.atoms["N"] + co / np.linalg.norm(co)
+    q1q2f = 0.084 * 332.0
+    hb = np.zeros((n, n), bool)
+    for i in range(n):
+        if i not in H or "N" not in residues[i].atoms:
+            continue
+        Ni = residues[i].atoms["N"]
+        Hi = H[i]
+        for j in range(n):
+            if abs(i - j) < 2:
+                continue
+            aj = residues[j].atoms
+            if "C" not in aj or "O" not in aj:
+                continue
+            rON = np.linalg.norm(Ni - aj["O"])
+            rCH = np.linalg.norm(Hi - aj["C"])
+            rOH = np.linalg.norm(Hi - aj["O"])
+            rCN = np.linalg.norm(Ni - aj["C"])
+            if rON > 5.2:            # distance cutoff for speed
+                continue
+            if min(rON, rCH, rOH, rCN) < 0.5:
+                e = -9.9
+            else:
+                e = q1q2f * (1 / rON + 1 / rCH - 1 / rOH - 1 / rCN)
+            E[i, j] = e
+            if e < -0.5:
+                hb[i, j] = True
+    return hb
+
+
+def secondary_structure(residues: List[Residue]) -> List[str]:
+    """DSSP 8-class assignment (H,B,E,G,I,T,S,-) from backbone H-bonds."""
+    n = len(residues)
+    hb = _backbone_hbonds(residues)          # hb[donor_i, acceptor_j]
+
+    def turn(i, k):  # k-turn at i: CO(i) … HN(i+k)
+        return i + k < n and hb[i + k, i]
+
+    ss = ["-"] * n
+
+    # bends (S): kappa > 70 deg
+    ca = [r.atoms["CA"] for r in residues]
+    for i in range(2, n - 2):
+        u = ca[i] - ca[i - 2]
+        v = ca[i + 2] - ca[i]
+        cosang = np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+        kappa = math.degrees(math.acos(np.clip(cosang, -1, 1)))
+        if kappa > 70.0:
+            ss[i] = "S"
+
+    # turns (T)
+    for k in (3, 4, 5):
+        for i in range(n):
+            if turn(i, k):
+                for j in range(i + 1, min(i + k, n)):
+                    if ss[j] == "-" or ss[j] == "S":
+                        ss[j] = "T"
+
+    # bridges / strands
+    def bridge(i, j):
+        para = ((i > 0 and hb[j, i - 1] and i + 1 < n and hb[i + 1, j])
+                or (j > 0 and hb[i, j - 1] and j + 1 < n and hb[j + 1, i]))
+        anti = ((hb[i, j] and hb[j, i])
+                or (i > 0 and j + 1 < n and hb[j + 1, i - 1]
+                    and i + 1 < n and j > 0 and hb[i + 1, j - 1]))
+        return para or anti
+
+    bridges = np.zeros((n,), bool)
+    partner = [[] for _ in range(n)]
+    for i in range(1, n - 1):
+        for j in range(i + 3, n - 1):
+            if bridge(i, j):
+                bridges[i] = bridges[j] = True
+                partner[i].append(j)
+                partner[j].append(i)
+    for i in range(n):
+        if bridges[i]:
+            extended = any(
+                bridges[k] and any(abs(pj - pk) <= 1 for pj in partner[i]
+                                   for pk in partner[k])
+                for k in (i - 1, i + 1) if 0 <= k < n)
+            ss[i] = "E" if extended else "B"
+
+    # helices (G=3-turn, H=4-turn, I=5-turn); H has priority
+    for k, code in ((4, "H"), (3, "G"), (5, "I")):
+        for i in range(1, n):
+            if turn(i, k) and turn(i - 1, k):
+                for j in range(i, min(i + k, n)):
+                    if code == "H" or ss[j] in ("-", "T", "S"):
+                        ss[j] = code
+    return ss
+
+
+# ---------------------------------------------------------------------------
+# edges
+
+
+def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
+                long_interaction_threshold: int = 3,
+                hbond_distance: float = 3.5):
+    """Default reference edge set (utils_dataset.py:27-31): peptide bonds,
+    residue-level hydrogen bonds, CA distance threshold with |i-j| >
+    long_interaction_threshold.  Each undirected edge appears ONCE
+    (nx → PyG single-direction convention, nx2pyg.py:32)."""
+    n = len(residues)
+    edges: Dict[tuple, int] = {}
+
+    def add(i, j, t):
+        key = (min(i, j), max(i, j))
+        # first kind wins, matching nx kind[0] selection (nx2pyg.py:78)
+        if key not in edges:
+            edges[key] = t
+
+    # peptide bonds
+    for i in range(n - 1):
+        if (residues[i].chain == residues[i + 1].chain
+                and residues[i + 1].resseq - residues[i].resseq == 1):
+            add(i, i + 1, EDGE_TYPE_MAP["peptide_bond"])
+
+    # hydrogen bonds: backbone N/O + sidechain donor/acceptor atoms
+    donor_sets, acceptor_sets = [], []
+    for r in residues:
+        d = [r.atoms["N"]] if "N" in r.atoms else []
+        d += [r.atoms[a] for a in HBOND_DONOR_ATOMS.get(r.resname, [])
+              if a in r.atoms]
+        a_ = [r.atoms["O"]] if "O" in r.atoms else []
+        a_ += [r.atoms[a] for a in HBOND_ACCEPTOR_ATOMS.get(r.resname, [])
+               if a in r.atoms]
+        donor_sets.append(np.asarray(d) if d else np.zeros((0, 3)))
+        acceptor_sets.append(np.asarray(a_) if a_ else np.zeros((0, 3)))
+    ca = np.asarray([r.atoms["CA"] for r in residues])
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(ca)
+    pairs = tree.query_pairs(2 * 10.0)
+    for i, j in pairs:
+        if abs(i - j) < 2:
+            continue
+        close = False
+        for d, a_ in ((donor_sets[i], acceptor_sets[j]),
+                      (donor_sets[j], acceptor_sets[i])):
+            if len(d) and len(a_):
+                dist = np.linalg.norm(d[:, None] - a_[None], axis=2)
+                if (dist < hbond_distance).any():
+                    close = True
+                    break
+        if close:
+            add(i, j, EDGE_TYPE_MAP["hbond"])
+
+    # distance threshold on CA with sequence separation
+    for i, j in pairs:
+        if (abs(i - j) > long_interaction_threshold
+                and np.linalg.norm(ca[i] - ca[j]) < distance_threshold):
+            add(i, j, EDGE_TYPE_MAP["distance_threshold"])
+
+    if not edges:
+        return np.zeros((2, 0), np.int64), np.zeros((0,), np.int64)
+    keys = sorted(edges)
+    ei = np.asarray(keys).T
+    et = np.asarray([edges[k] for k in keys])
+    return ei, et
+
+
+# ---------------------------------------------------------------------------
+
+
+def expasy_features(residues: List[Residue]) -> np.ndarray:
+    one = [THREE_TO_ONE[r.resname] for r in residues]
+    cols = []
+    for scale in EXPASY_SCALES.values():
+        cols.append([scale[a] for a in one])
+    return np.asarray(cols).T  # (N, n_scales)
+
+
+def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
+                        n_sasa_points: int = 100) -> Dict[str, np.ndarray]:
+    """Full featurization: returns {x, edge_index, edge_type, coords,
+    sequence} with the nx2pyg x-layout."""
+    residues = parse_pdb(pdb_path, chain)
+    if not residues:
+        raise ValueError(f"no standard residues parsed from {pdb_path}")
+    aa_idx = np.asarray([AA_INDEX[r.resname] for r in residues], np.float64)
+    phi, psi = phi_psi(residues)
+    asa = shrake_rupley_asa(residues, n_sasa_points)
+    rsa = asa / np.asarray([MAX_ACC[r.resname] for r in residues])
+    ss = secondary_structure(residues)
+    ss_idx = np.asarray([SS_MAP.get(s, 0) for s in ss], np.float64)
+    expasy = expasy_features(residues)
+
+    x = np.concatenate([
+        aa_idx[:, None], phi[:, None], psi[:, None], rsa[:, None],
+        asa[:, None], ss_idx[:, None], expasy], axis=1)
+    edge_index, edge_type = build_edges(residues)
+    coords = np.asarray([r.atoms["CA"] for r in residues])
+    seq = "".join(THREE_TO_ONE[r.resname] for r in residues)
+    return {
+        "x": x.astype(np.float32),
+        "edge_index": edge_index.astype(np.int64),
+        "edge_type": edge_type.astype(np.int64),
+        "coords": coords.astype(np.float32),
+        "sequence": seq,
+    }

@@ -1,0 +1,78 @@
+"""Per-host sharded epoch sampling + a simple collating loader.
+
+TPU-native replacement for torch's DistributedSampler + DataLoader
+(reference train_contrast.py:551-609): a global permutation keyed by
+(seed, epoch) — the reference's `sampler.set_epoch(epoch)` — is sharded
+contiguously per host; each host feeds its local batch slice, and the jitted
+step shards the batch over the mesh's data axes.  `drop_last` keeps shapes
+static (the reference relies on the same).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ShardedSampler:
+    dataset_size: int
+    num_shards: int = 1
+    shard_index: int = 0
+    shuffle: bool = True
+    seed: int = 42
+    drop_last: bool = True
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.dataset_size)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            rng.shuffle(idx)
+        if self.drop_last:
+            usable = (self.dataset_size // self.num_shards) * self.num_shards
+            idx = idx[:usable]
+        else:
+            pad = (-len(idx)) % self.num_shards
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.shard_index::self.num_shards]
+
+
+@dataclasses.dataclass
+class DataLoader:
+    """Minimal map-style loader: dataset + collate_fn + batching.
+
+    Single-threaded by design — collation is cheap numpy work and the TPU
+    step overlaps with the next batch's host prep via async dispatch; a
+    prefetch thread can be layered on later if profiling shows host-bound
+    steps (the reference needed 4 worker processes because torch collation
+    is heavier, train_contrast.py:584-609)."""
+
+    dataset: Any
+    collate_fn: Callable[[list], Any]
+    batch_size: int
+    sampler: Optional[ShardedSampler] = None
+    drop_last: bool = True
+
+    def __post_init__(self):
+        if self.sampler is None:
+            self.sampler = ShardedSampler(len(self.dataset))
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.sampler.epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        idx = self.sampler.epoch_indices(self.epoch)
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            yield self.collate_fn([self.dataset[int(i)] for i in chunk])

@@ -1,0 +1,137 @@
+"""End-to-end CLI tests on the 8-device CPU mesh with tiny models and the
+offline byte tokenizer — the smoke-test role of the reference's
+--debug_trim_* flags (SURVEY.md §4), but automated."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+CSV_ROWS = """AlphaFoldDB,Full Name,taxon,sequence,function
+P00001,Cytochrome c,Homo sapiens,MGDVEKGKKIFIMKCSQCHTVEK,Electron carrier protein.
+P00002,Lysozyme C,Gallus gallus,KVFGRCELAAAMKRHGLDNYRGY,Hydrolyzes peptidoglycan.
+P00003,Myoglobin,Physeter catodon,MVLSEGEWQLVLHVWAKVEADVA,Oxygen storage protein.
+P00004,Ubiquitin,Homo sapiens,MQIFVKTLTGKTITLEVEPSDTI,Protein degradation signal.
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "train.csv"
+    p.write_text(CSV_ROWS)
+    return str(p)
+
+
+def test_train_contrast_cli(csv_path, tmp_path):
+    from prot2text_tpu.cli.train_contrast import main
+
+    main(["--train_csv", csv_path, "--debug_tiny_model", "true",
+          "--num_epochs", "1", "--batch_size", "2",
+          "--gradient_accumulation_steps", "2", "--model_dtype", "fp32",
+          "--attn_impl", "xla", "--checkpoint_dir", str(tmp_path)])
+    assert glob.glob(str(tmp_path / "checkpoints_*" / "step_*"))
+
+
+def test_sft_generate_benchmark_cli(csv_path, tmp_path):
+    from prot2text_tpu.cli.benchmark import main as bench_main
+    from prot2text_tpu.cli.generate_instruct_light import main as gen_main
+    from prot2text_tpu.cli.train_instruct import main as sft_main
+
+    sft_main(["--train_csv", csv_path, "--debug_tiny_model", "true",
+              "--num_epochs", "1", "--batch_size", "2",
+              "--gradient_accumulation_steps", "1", "--model_dtype", "fp32",
+              "--attn_impl", "xla", "--lora_rank", "2",
+              "--checkpoint_dir", str(tmp_path / "ckpt")])
+    ckpt = sorted(glob.glob(str(tmp_path / "ckpt" / "checkpoints_*")))[-1]
+
+    gen_main(["--test_csv", csv_path, "--debug_tiny_model", "true",
+              "--model_dtype", "fp32", "--attn_impl", "xla",
+              "--lora_rank", "2", "--load_sft_checkpoint_dir", ckpt,
+              "--batch_size", "2", "--max_new_tokens", "4",
+              "--output_dir", str(tmp_path / "results")])
+    out = glob.glob(str(tmp_path / "results" / "*.json"))
+    assert out
+    data = json.load(open(out[0]))
+    assert len(data) == 4
+    assert all("true" in v and "pred" in v for v in data.values())
+
+    metrics = bench_main(["--results_dir", str(tmp_path / "results"),
+                          "--identifier", "light"])
+    assert "exact_match" in metrics and "bleu4" in metrics
+
+
+@pytest.fixture(scope="module")
+def instruct_root(tmp_path_factory, csv_path):
+    """Preprocessed instruct-dataset root built through the REAL pipeline
+    (featurizer + chat composition) on synthetic helix PDBs."""
+    from prot2text_tpu.data.chat import ByteTextTokenizer
+    from prot2text_tpu.data.dataset import Prot2TextInstructDataset
+    from tests.test_pdb_graph import make_helix_pdb
+
+    root = str(tmp_path_factory.mktemp("instruct_root"))
+    ds = Prot2TextInstructDataset(
+        root_dir=root, csv_path=csv_path,
+        description_tokenizer=ByteTextTokenizer(),
+        skip_download=True, skip_reload=True)
+    import pandas as pd
+
+    for uid in pd.read_csv(csv_path)["AlphaFoldDB"]:
+        make_helix_pdb(ds.raw_path(uid), n_res=12)
+        ds.process_one(uid)
+    ds.update_usable_file_names()
+    assert len(ds) == 4
+    return root
+
+
+def test_instruct_dataset_records(instruct_root, csv_path):
+    from prot2text_tpu.data.chat import ByteTextTokenizer
+    from prot2text_tpu.data.dataset import Prot2TextInstructDataset
+
+    tok = ByteTextTokenizer()
+    ds = Prot2TextInstructDataset(
+        root_dir=instruct_root, csv_path=csv_path,
+        description_tokenizer=tok, skip_download=True, skip_reload=True)
+    rec = ds[0]
+    assert rec["x"].shape[0] == 12
+    assert rec["edge_index"].shape[0] == 2
+    # placeholder count in prompt == len(helix seq) + 2 ... the chat uses the
+    # CSV sequence length (not the PDB), trimmed: len(seq)+2
+    n_ph = (rec["prompt_input_ids"] == tok.placeholder_id).sum()
+    assert n_ph == 23 + 2
+    # description ends with eos
+    assert rec["description_input_ids"][-1] == tok.eos_token_id
+
+
+def test_train_legacy_and_generate_cli(instruct_root, csv_path, tmp_path):
+    from prot2text_tpu.cli.generate_legacy import main as gen_main
+    from prot2text_tpu.cli.train_legacy import main as train_main
+
+    train_main(["--data_root", instruct_root, "--train_csv", csv_path,
+                "--debug_tiny_model", "true", "--num_epochs", "1",
+                "--batch_size", "2", "--model_dtype", "fp32",
+                "--attn_impl", "xla",
+                "--checkpoint_dir", str(tmp_path / "ck")])
+    ckpt_root = sorted(glob.glob(str(tmp_path / "ck" / "checkpoints_*")))[-1]
+
+    gen_main(["--data_root", instruct_root, "--test_csv", csv_path,
+              "--debug_tiny_model", "true", "--model_dtype", "fp32",
+              "--attn_impl", "xla", "--batch_size", "2",
+              "--max_new_tokens", "4", "--load_checkpoint_dir", ckpt_root,
+              "--output_dir", str(tmp_path / "res")])
+    out = glob.glob(str(tmp_path / "res" / "*legacy*.json"))
+    assert out and len(json.load(open(out[0]))) == 4
+
+
+def test_generate_instruct_cli_with_graph(instruct_root, csv_path, tmp_path):
+    from prot2text_tpu.cli.generate_instruct import main as gen_main
+
+    gen_main(["--data_root", instruct_root, "--test_csv", csv_path,
+              "--debug_tiny_model", "true", "--model_dtype", "fp32",
+              "--attn_impl", "xla", "--batch_size", "2",
+              "--max_new_tokens", "4", "--use_graph", "true",
+              "--edge_budget", "512",
+              "--output_dir", str(tmp_path / "res2")])
+    out = glob.glob(str(tmp_path / "res2" / "*instruct*.json"))
+    assert out and len(json.load(open(out[0]))) == 4
