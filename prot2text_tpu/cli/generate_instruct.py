@@ -123,7 +123,8 @@ def main(argv=None):
 
     gen_kwargs = dict(
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
-        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p)
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        num_beams=args.num_beams)
     pad_id = llama_cfg.pad_token_id
 
     results = {}

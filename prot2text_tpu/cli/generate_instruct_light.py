@@ -24,7 +24,7 @@ from ..core.dtypes import str2bool
 from ..data.collate import Buckets, LightCollator
 from ..data.dataset import Prot2TextLightDataset
 from ..data.sampler import DataLoader, ShardedSampler
-from ..infer.generate import GenerationConfig, generate
+from ..infer.generate import GenerationConfig, run_generation
 from ..models.composed import ESMCQwen, ESMCQwenConfig
 from ..models.lora import LoraConfig, merge_lora
 from .common import add_common_args, setup_platform, text_tokenizer
@@ -101,7 +101,8 @@ def main(argv=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, eos_token_id=eos_id,
         pad_token_id=pad_id, do_sample=args.do_sample,
-        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p)
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        num_beams=args.num_beams)
 
     results = {}
     t0 = time.time()
@@ -115,7 +116,7 @@ def main(argv=None):
                 input_ids=jnp.asarray(batch["input_ids"]),
                 attention_mask=jnp.asarray(batch["attention_mask"]),
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
-            toks = generate(
+            toks = run_generation(
                 llm_cfg.core(), params["llm_decoder"],
                 inputs_embeds=embeds, attention_mask=attn, gen_cfg=gen_cfg,
                 attn_impl=args.attn_impl)

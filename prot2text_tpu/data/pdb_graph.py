@@ -151,6 +151,73 @@ def parse_pdb(path: str, chain: Optional[str] = None) -> List[Residue]:
     return out
 
 
+def parse_mmcif(path: str, chain: Optional[str] = None) -> List[Residue]:
+    """Minimal mmCIF `_atom_site` loop parser — the reference remaps mmCIF
+    columns into the PDB dataframe layout (utils_pdb2nx.py:59-84); here we
+    build Residues directly.  First model, first altloc, hydrogens dropped."""
+    residues: Dict[tuple, Residue] = {}
+    cols: List[str] = []
+    in_loop = False
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("_atom_site."):
+                cols.append(s.split(".", 1)[1].strip())
+                in_loop = True
+                continue
+            if in_loop:
+                if s.startswith(("_", "loop_", "#")) or not s:
+                    if cols and not s.startswith("_atom_site."):
+                        in_loop = False
+                    continue
+                parts = s.split()
+                if len(parts) < len(cols):
+                    continue
+                row = dict(zip(cols, parts))
+                if row.get("group_PDB", "ATOM") != "ATOM":
+                    continue
+                if row.get("pdbx_PDB_model_num", "1") not in ("1", "."):
+                    continue
+                alt = row.get("label_alt_id", ".")
+                if alt not in (".", "A", "?"):
+                    continue
+                elem = row.get("type_symbol", "").upper()
+                if elem in ("H", "D"):
+                    continue
+                ch = row.get("auth_asym_id", row.get("label_asym_id", "A"))
+                if chain is not None and ch != chain:
+                    continue
+                try:
+                    resseq = int(row.get("auth_seq_id",
+                                         row.get("label_seq_id", "0")))
+                except ValueError:
+                    continue
+                name = row.get("auth_atom_id",
+                               row.get("label_atom_id", "")).strip('"')
+                resname = row.get("auth_comp_id",
+                                  row.get("label_comp_id", ""))
+                xyz = np.array([float(row["Cartn_x"]), float(row["Cartn_y"]),
+                                float(row["Cartn_z"])])
+                key = (ch, resseq)
+                if key not in residues:
+                    residues[key] = Residue(resname, ch, resseq, {}, {})
+                if name not in residues[key].atoms:
+                    residues[key].atoms[name] = xyz
+                    residues[key].elements[name] = elem
+    out = [r for r in residues.values()
+           if r.resname in AA_INDEX and "CA" in r.atoms]
+    out.sort(key=lambda r: (r.chain, r.resseq))
+    return out
+
+
+def parse_structure(path: str, chain: Optional[str] = None) -> List[Residue]:
+    """Dispatch on extension: .pdb → parse_pdb, .cif/.mmcif → parse_mmcif
+    (reference pdb2nx.py:76-77 mmCIF path)."""
+    if path.endswith((".cif", ".mmcif")):
+        return parse_mmcif(path, chain)
+    return parse_pdb(path, chain)
+
+
 # ---------------------------------------------------------------------------
 # geometry
 
@@ -368,10 +435,16 @@ def secondary_structure(residues: List[Residue]) -> List[str]:
 
 def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
                 long_interaction_threshold: int = 3,
-                hbond_distance: float = 3.5):
+                hbond_distance: float = 3.5,
+                sequence_distances: tuple = (),
+                k_nn: int = 0,
+                delaunay: bool = False):
     """Default reference edge set (utils_dataset.py:27-31): peptide bonds,
     residue-level hydrogen bonds, CA distance threshold with |i-j| >
-    long_interaction_threshold.  Each undirected edge appears ONCE
+    long_interaction_threshold.  The remaining kinds of the 7-relation map
+    (nx2pyg.py:12-20) are available via flags: sequence_distances=(2, 3)
+    adds sequence_distance_2/3 edges, k_nn adds k-nearest-CA edges, delaunay
+    adds Delaunay-tessellation edges.  Each undirected edge appears ONCE
     (nx → PyG single-direction convention, nx2pyg.py:32)."""
     n = len(residues)
     edges: Dict[tuple, int] = {}
@@ -424,6 +497,29 @@ def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
                 and np.linalg.norm(ca[i] - ca[j]) < distance_threshold):
             add(i, j, EDGE_TYPE_MAP["distance_threshold"])
 
+    # optional kinds completing the 7-relation map
+    for d in sequence_distances:
+        kind = EDGE_TYPE_MAP[f"sequence_distance_{d}"]
+        for i in range(n - d):
+            if (residues[i].chain == residues[i + d].chain
+                    and residues[i + d].resseq - residues[i].resseq == d):
+                add(i, i + d, kind)
+    if k_nn > 0:
+        k = min(k_nn + 1, n)
+        _, nbr = tree.query(ca, k=k)
+        for i in range(n):
+            for j in np.atleast_1d(nbr[i])[1:]:
+                add(i, int(j), EDGE_TYPE_MAP["k_nn"])
+    if delaunay and n >= 5:
+        from scipy.spatial import Delaunay as _Delaunay
+
+        tri = _Delaunay(ca)
+        for simplex in tri.simplices:
+            for a_i in range(4):
+                for b_i in range(a_i + 1, 4):
+                    add(int(simplex[a_i]), int(simplex[b_i]),
+                        EDGE_TYPE_MAP["delaunay"])
+
     if not edges:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.int64)
     keys = sorted(edges)
@@ -446,8 +542,8 @@ def expasy_features(residues: List[Residue]) -> np.ndarray:
 def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
                         n_sasa_points: int = 100) -> Dict[str, np.ndarray]:
     """Full featurization: returns {x, edge_index, edge_type, coords,
-    sequence} with the nx2pyg x-layout."""
-    residues = parse_pdb(pdb_path, chain)
+    sequence} with the nx2pyg x-layout.  Accepts .pdb or .cif/.mmcif."""
+    residues = parse_structure(pdb_path, chain)
     if not residues:
         raise ValueError(f"no standard residues parsed from {pdb_path}")
     aa_idx = np.asarray([AA_INDEX[r.resname] for r in residues], np.float64)

@@ -1,2 +1,3 @@
 from .kvcache import init_kv_cache
-from .generate import GenerationConfig, generate
+from .generate import GenerationConfig, generate, run_generation
+from .beam_search import beam_search

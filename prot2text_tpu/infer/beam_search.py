@@ -1,0 +1,168 @@
+"""Beam search over a preallocated KV cache.
+
+The reference gets beams for free from HF GenerationMixin (`--num_beams`,
+generate_instruct.py:43); here it is a device-side jitted loop (SURVEY.md §7
+hard part #6):
+
+  * beams live as an expanded batch (B*K) over the same cache layout as
+    greedy decode — beam reordering is ONE gather of the (L, B*K, Hkv, T, D)
+    cache per step
+  * alive/finished split: each step takes top-2K candidates, keeps the best
+    K non-EOS as alive and folds EOS candidates into the finished set
+  * HF scoring parity: finished hypothesis score = sum(logp) /
+    len**length_penalty (BeamHypotheses.add), early_stopping=False semantics
+    — decoding runs to max_new_tokens, then the best finished beam (or best
+    alive if none finished) is returned
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.decoder import DecoderConfig, decoder_forward, decoder_logits
+from .generate import GenerationConfig, _bias_from_kv_mask, _prefill_bias
+from .kvcache import init_kv_cache
+
+NEG_INF = -1.0e7
+
+
+def _expand_beams(x, K):
+    """(B, ...) → (B*K, ...) by repeat."""
+    return jnp.repeat(x, K, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gen_cfg", "num_beams", "attn_impl",
+                              "cache_dtype", "length_penalty"))
+def beam_search(
+    cfg: DecoderConfig,
+    params,
+    *,
+    inputs_embeds,       # (B, P, H) left-padded prompt embeddings
+    attention_mask,      # (B, P)
+    gen_cfg: GenerationConfig,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+    attn_impl: str = "xla",
+    cache_dtype=None,
+):
+    """Returns (B, max_new_tokens) int32 best-beam tokens (new tokens only,
+    pad-filled after EOS)."""
+    B, P, H = inputs_embeds.shape
+    K = num_beams
+    NEW = gen_cfg.max_new_tokens
+    T = P + NEW
+    V = cfg.vocab_size
+    dtype = cache_dtype or inputs_embeds.dtype
+    eos = gen_cfg.eos_token_id
+    pad = gen_cfg.pad_token_id
+
+    positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0,
+                         None).astype(jnp.int32)
+    last_pos = positions[:, -1]                      # (B,)
+
+    # prefill ONCE at batch B, then expand the cache to B*K
+    cache_b = init_kv_cache(cfg, B, T, dtype)
+    bias = _prefill_bias(attention_mask, T)
+    h, cache_b = decoder_forward(
+        cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
+        positions=positions, kv_cache=cache_b, cache_index=0,
+        attn_impl=attn_impl)
+    logp0 = jax.nn.log_softmax(
+        decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1)  # (B, V)
+
+    cache = {k: jnp.repeat(v, K, axis=1) for k, v in cache_b.items()}
+    kv_mask = _expand_beams(attention_mask.astype(jnp.int32), K)  # (B*K, P)
+    kv_mask = jnp.concatenate(
+        [kv_mask, jnp.zeros((B * K, NEW), jnp.int32)], axis=1)
+    last_pos_k = _expand_beams(last_pos, K)          # (B*K,)
+
+    # step 0: top-K tokens of the prompt distribution seed the beams
+    top0_scores, top0_tokens = jax.lax.top_k(logp0, K)     # (B, K)
+    alive_tokens = jnp.full((B, K, NEW), pad, jnp.int32)
+    alive_tokens = alive_tokens.at[:, :, 0].set(top0_tokens)
+    alive_scores = top0_scores                              # (B, K)
+    # a beam whose FIRST token is eos finishes immediately
+    fin0 = top0_tokens == eos
+    finished_tokens = jnp.where(
+        fin0[..., None], alive_tokens, jnp.full_like(alive_tokens, pad))
+    finished_scores = jnp.where(
+        fin0, alive_scores / (1.0 ** length_penalty),
+        jnp.full_like(alive_scores, NEG_INF))
+    alive_scores = jnp.where(fin0, NEG_INF, alive_scores)
+
+    def body(t, state):
+        (alive_tokens, alive_scores, finished_tokens, finished_scores,
+         cache, kv_mask) = state
+        prev = alive_tokens[:, :, t - 1].reshape(B * K)        # (B*K,)
+        emb = params["embed_tokens"][prev][:, None, :].astype(dtype)
+        kv_mask = jax.lax.dynamic_update_slice(
+            kv_mask, jnp.ones((B * K, 1), jnp.int32), (0, P + t - 1))
+        pos = (last_pos_k + t)[:, None]
+        bias_t = _bias_from_kv_mask(kv_mask, 1)
+        h, cache = decoder_forward(
+            cfg, params, inputs_embeds=emb, bias=bias_t, positions=pos,
+            kv_cache=cache, cache_index=P + t - 1, attn_impl=attn_impl)
+        logp = jax.nn.log_softmax(
+            decoder_logits(cfg, params, h)[:, 0], axis=-1)     # (B*K, V)
+        logp = logp.reshape(B, K, V)
+
+        cand = alive_scores[:, :, None] + logp                 # (B, K, V)
+        cand_flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # (B, 2K)
+        top_beam = top_idx // V
+        top_token = top_idx % V
+        is_eos = top_token == eos
+
+        # gather candidate sequences (B, 2K, NEW); eos stays in the output
+        # (HF finalize appends eos after the hypothesis)
+        cand_tokens = jnp.take_along_axis(
+            alive_tokens, top_beam[..., None], axis=1)
+        cand_tokens = cand_tokens.at[:, :, t].set(top_token)
+
+        # alive: best K non-eos
+        alive_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        new_alive_scores, alive_sel = jax.lax.top_k(alive_cand_scores, K)
+        new_alive_tokens = jnp.take_along_axis(
+            cand_tokens, alive_sel[..., None], axis=1)
+        new_alive_beam = jnp.take_along_axis(top_beam, alive_sel, axis=1)
+
+        # finished: eos candidates merged with the pool.  HF BeamHypotheses
+        # normalizes by the hypothesis length EXCLUDING the final eos (= t
+        # generated tokens) while the score sum includes the eos logp.
+        hyp_len = jnp.maximum(t, 1).astype(jnp.float32)
+        fin_cand_scores = jnp.where(
+            is_eos, top_scores / (hyp_len ** length_penalty), NEG_INF)
+        pool_scores = jnp.concatenate(
+            [finished_scores, fin_cand_scores], axis=1)        # (B, K+2K)
+        pool_tokens = jnp.concatenate(
+            [finished_tokens, cand_tokens], axis=1)
+        new_fin_scores, fin_sel = jax.lax.top_k(pool_scores, K)
+        new_fin_tokens = jnp.take_along_axis(
+            pool_tokens, fin_sel[..., None], axis=1)
+
+        # reorder cache to follow the alive beams
+        flat_sel = (jnp.arange(B)[:, None] * K + new_alive_beam).reshape(-1)
+        cache = {k: v[:, flat_sel] for k, v in cache.items()}
+
+        return (new_alive_tokens, new_alive_scores, new_fin_tokens,
+                new_fin_scores, cache, kv_mask)
+
+    state = (alive_tokens, alive_scores, finished_tokens, finished_scores,
+             cache, kv_mask)
+    state = jax.lax.fori_loop(1, NEW, body, state)
+    (alive_tokens, alive_scores, finished_tokens, finished_scores,
+     _, _) = state
+
+    # fall back to alive beams (normalized at full length) if none finished
+    alive_norm = alive_scores / (float(NEW) ** length_penalty)
+    has_fin = finished_scores[:, 0] > NEG_INF / 2
+    best_fin = finished_tokens[:, 0]
+    best_alive = alive_tokens[:, 0]
+    best_alive_better = alive_norm[:, 0] > finished_scores[:, 0]
+    use_alive = jnp.logical_or(~has_fin, best_alive_better)
+    return jnp.where(use_alive[:, None], best_alive, best_fin)

@@ -84,6 +84,23 @@ def _prefill_bias(attention_mask, max_len: int, dtype=jnp.float32):
     return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
 
 
+def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
+                   rng=None, attn_impl="xla", cache_dtype=None):
+    """Dispatch greedy/sampling vs beam search on gen_cfg.num_beams
+    (reference --num_beams flag, generate_instruct.py:43)."""
+    if gen_cfg.num_beams > 1:
+        from .beam_search import beam_search
+
+        return beam_search(
+            cfg, params, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, gen_cfg=gen_cfg,
+            num_beams=gen_cfg.num_beams, attn_impl=attn_impl,
+            cache_dtype=cache_dtype)
+    return generate(cfg, params, inputs_embeds=inputs_embeds,
+                    attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,
+                    attn_impl=attn_impl, cache_dtype=cache_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_cfg", "attn_impl", "cache_dtype"),

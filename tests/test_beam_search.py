@@ -1,0 +1,66 @@
+"""Beam search vs HF `generate(num_beams=K)` on a tiny Llama."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from prot2text_tpu.infer.beam_search import beam_search
+from prot2text_tpu.infer.generate import GenerationConfig
+from prot2text_tpu.models.hf_import import decoder_params_from_hf
+from prot2text_tpu.models.llama import LlamaConfig
+
+
+@pytest.fixture(scope="module")
+def hf_llama():
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(21)
+    cfg = HFLlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_dropout=0.0, rms_norm_eps=1e-5,
+    )
+    return LlamaForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("num_beams,eos", [(3, 9999), (3, 64)])
+def test_beam_search_matches_hf(hf_llama, num_beams, eos):
+    """eos=9999 → never finishes (pure score race); eos=64 → finishing
+    hypotheses exercised."""
+    import torch
+
+    model = hf_llama
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = decoder_params_from_hf(model.state_dict(), cfg.num_layers)
+
+    rng = np.random.default_rng(31)
+    B, P = 2, 6
+    ids = rng.integers(0, 128, (B, P))
+    mask = np.ones((B, P), dtype=np.int64)
+    mask[1, :2] = 0
+    max_new = 8
+    pad = 127
+
+    with torch.no_grad():
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        ref = model.generate(
+            inputs_embeds=embeds, attention_mask=torch.tensor(mask),
+            max_new_tokens=max_new, num_beams=num_beams, do_sample=False,
+            eos_token_id=eos, pad_token_id=pad,
+            length_penalty=1.0, early_stopping=False).numpy()
+
+    out = np.asarray(beam_search(
+        cfg.core(), params,
+        inputs_embeds=jnp.asarray(embeds.numpy()),
+        attention_mask=jnp.asarray(mask),
+        gen_cfg=GenerationConfig(max_new_tokens=max_new, eos_token_id=eos,
+                                 pad_token_id=pad),
+        num_beams=num_beams))
+
+    L = ref.shape[1]
+    np.testing.assert_array_equal(out[:, :L], ref)
+    if L < max_new:
+        assert (out[:, L:] == pad).all()

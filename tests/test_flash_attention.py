@@ -70,3 +70,51 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+def test_flash_backward_matches_xla():
+    q, k, v = _qkv(Sq=24, Skv=24, seed=7)
+    mask = np.ones((2, 24), np.int32)
+    mask[1, 18:] = 0
+    pos = jnp.broadcast_to(jnp.arange(24), (2, 24))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_tpu(q, k, v, bias, block_q=8, block_k=8,
+                                interpret=True)
+        # mask padded rows out of the loss like a real LM loss would
+        m = jnp.asarray(mask)[:, None, :, None]
+        return jnp.sum(jnp.square(o * m))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, bias)
+        m = jnp.asarray(mask)[:, None, :, None]
+        return jnp.sum(jnp.square(o * m))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_flash_backward_bidirectional_ragged():
+    q, k, v = _qkv(Sq=20, Skv=33, seed=9)
+    mask = np.ones((2, 33), np.int32)
+    mask[0, 30:] = 0
+    bias = make_attention_bias(jnp.asarray(mask))
+
+    def loss_flash(q, k, v):
+        o = flash_attention_tpu(q, k, v, bias, block_q=8, block_k=16,
+                                interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, bias)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
