@@ -140,7 +140,31 @@ def main(argv=None):
         esm_config=esm_cfg, adapter_config=adapter_cfg,
         decoder_core=llm_cfg.core(), cfg=ccfg, tx=tx,
         attn_impl=args.attn_impl,
-        grad_accum=args.gradient_accumulation_steps))
+        grad_accum=args.gradient_accumulation_steps),
+        donate_argnums=(0,))
+
+    eval_loader = None
+    if args.eval_csv:
+        from ..train.contrastive import make_contrastive_eval_step
+
+        eval_ds = Prot2TextLightDataset(args.eval_csv)
+        if args.debug_trim_eval_split:
+            eval_ds.df = eval_ds.df.iloc[:args.debug_trim_eval_split]
+        eval_collater = LightCollator(
+            tokenizer=tok, mode="train",
+            placeholder_token=collater.placeholder_token,
+            name_dropout=0.0, taxonomy_dropout=0.0,
+            buckets=collater.buckets)
+        eval_loader = DataLoader(
+            dataset=eval_ds, collate_fn=eval_collater,
+            batch_size=args.batch_size,
+            sampler=ShardedSampler(
+                len(eval_ds), num_shards=jax.process_count(),
+                shard_index=jax.process_index(), shuffle=False))
+        eval_fn = jax.jit(make_contrastive_eval_step(
+            esm_config=esm_cfg, adapter_config=adapter_cfg,
+            decoder_core=llm_cfg.core(), cfg=ccfg,
+            attn_impl=args.attn_impl))
 
     ckpt_dir = timestamped_dir(args.checkpoint_dir)
     rng = jax.random.PRNGKey(args.random_seed)
@@ -174,6 +198,17 @@ def main(argv=None):
                 print("NaN loss — aborting (reference train_contrast.py:477)",
                       file=sys.stderr)
                 break
+            if eval_loader is not None:
+                ekeys = ("protein_input_ids", "protein_attention_mask",
+                         "description_input_ids",
+                         "description_attention_mask")
+                elosses = [
+                    float(eval_fn(state.params, frozen,
+                                  {k: b[k] for k in ekeys}))
+                    for b in eval_loader
+                ]
+                print(f"epoch {epoch}: eval_loss="
+                      f"{float(np.mean(elosses)):.4f}")
             if (epoch == 1 or epoch == args.num_epochs
                     or epoch % args.save_every_epochs == 0):
                 save_checkpoint(ckpt_dir, int(state.step), {

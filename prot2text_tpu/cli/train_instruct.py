@@ -114,7 +114,29 @@ def main(argv=None):
         esm_config=esm_cfg, adapter_config=adapter_cfg,
         decoder_core=llm_cfg.core(), cfg=sft_cfg, tx=tx,
         attn_impl=args.attn_impl,
-        grad_accum=args.gradient_accumulation_steps))
+        grad_accum=args.gradient_accumulation_steps),
+        donate_argnums=(0,))
+
+    eval_loader = None
+    if args.eval_csv:
+        from ..train.sft import make_sft_eval_step
+
+        eval_ds = Prot2TextLightDataset(args.eval_csv)
+        eval_collater = LightCollator(
+            tokenizer=tok, mode="train",
+            placeholder_token=placeholder_token,
+            name_dropout=0.0, taxonomy_dropout=0.0,
+            buckets=collater.buckets)
+        eval_loader = DataLoader(
+            dataset=eval_ds, collate_fn=eval_collater,
+            batch_size=args.batch_size,
+            sampler=ShardedSampler(
+                len(eval_ds), num_shards=jax.process_count(),
+                shard_index=jax.process_index(), shuffle=False))
+        eval_fn = jax.jit(make_sft_eval_step(
+            esm_config=esm_cfg, adapter_config=adapter_cfg,
+            decoder_core=llm_cfg.core(), cfg=sft_cfg,
+            attn_impl=args.attn_impl))
 
     ckpt_dir = timestamped_dir(args.checkpoint_dir)
     rng = jax.random.PRNGKey(args.random_seed)
@@ -142,6 +164,14 @@ def main(argv=None):
             if np.isnan(mean_loss):
                 print("NaN loss — aborting", file=sys.stderr)
                 break
+            if eval_loader is not None:
+                elosses = [
+                    float(eval_fn(state.params, frozen,
+                                  {k: b[k] for k in keys}))
+                    for b in eval_loader
+                ]
+                print(f"epoch {epoch}: eval_loss="
+                      f"{float(np.mean(elosses)):.4f}")
             if (epoch == 1 or epoch == args.num_epochs
                     or epoch % args.save_every_epochs == 0):
                 save_checkpoint(ckpt_dir, int(state.step), {

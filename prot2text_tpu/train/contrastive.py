@@ -195,6 +195,7 @@ def make_contrastive_train_step(
     tx,
     attn_impl: str = "xla",
     grad_accum: int = 1,
+    deterministic: bool = False,
 ):
     """Returns jittable `step(state, frozen, batch, rng) -> (state, loss)`.
     With grad_accum > 1, batch leading dims are (n_micro, micro_bsz, ...)."""
@@ -204,7 +205,8 @@ def make_contrastive_train_step(
             adapter_params, frozen, batch,
             esm_config=esm_config, adapter_config=adapter_config,
             decoder_core=decoder_core, cfg=cfg,
-            deterministic=False, dropout_rng=rng, attn_impl=attn_impl)
+            deterministic=deterministic, dropout_rng=rng,
+            attn_impl=attn_impl)
 
     def step(state: TrainState, frozen, batch, rng):
         if grad_accum == 1:
@@ -226,5 +228,19 @@ def make_contrastive_train_step(
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
         new_state = apply_updates(state, grads, tx)
         return new_state, loss
+
+    return step
+
+
+def make_contrastive_eval_step(*, esm_config, adapter_config, decoder_core,
+                               cfg: ContrastiveConfig, attn_impl="xla"):
+    """Deterministic loss-only step (reference eval_epoch,
+    train_contrast.py:483-519)."""
+
+    def step(adapter_params, frozen, batch):
+        return contrastive_loss(
+            adapter_params, frozen, batch, esm_config=esm_config,
+            adapter_config=adapter_config, decoder_core=decoder_core,
+            cfg=cfg, deterministic=True, attn_impl=attn_impl)
 
     return step

@@ -118,3 +118,17 @@ def make_sft_train_step(
         return new_state, loss
 
     return step
+
+
+def make_sft_eval_step(*, esm_config, adapter_config, decoder_core,
+                       cfg: SFTConfig, attn_impl="xla"):
+    """Deterministic loss-only step (reference eval_epoch,
+    train_instruct.py:313-348)."""
+
+    def step(trainable, frozen, batch):
+        return sft_loss(
+            trainable, frozen, batch, esm_config=esm_config,
+            adapter_config=adapter_config, decoder_core=decoder_core,
+            cfg=cfg, deterministic=True, attn_impl=attn_impl)
+
+    return step

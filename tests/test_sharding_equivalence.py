@@ -1,0 +1,80 @@
+"""SPMD correctness: the jitted train step computes the SAME loss and update
+on 1 device and on an 8-device (dp×fsdp×tp) mesh — the property that replaces
+DDP's gradient all-reduce correctness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from prot2text_tpu.core import MeshConfig, make_mesh
+from prot2text_tpu.core.partition import DEFAULT_RULES, shard_params
+from prot2text_tpu.models.adapters import (
+    ModalityAdapterConfig, init_modality_adapter_params,
+)
+from prot2text_tpu.models.esmc import ESMCConfig, init_esmc_params
+from prot2text_tpu.models.qwen3 import Qwen3Config, init_qwen3_params
+from prot2text_tpu.train.contrastive import (
+    ContrastiveConfig, make_contrastive_train_step,
+)
+from prot2text_tpu.train.optim import TrainState, adamw_constant
+
+
+def _setup():
+    esm_cfg = ESMCConfig.tiny()
+    ad_cfg = ModalityAdapterConfig(64, 48, 64)
+    qwen_cfg = Qwen3Config.tiny(vocab_size=128)
+    frozen = {
+        "esm_encoder": init_esmc_params(esm_cfg, jax.random.PRNGKey(0)),
+        "llm_decoder": init_qwen3_params(qwen_cfg, jax.random.PRNGKey(1)),
+    }
+    adapter = init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(0)
+    B, Pn, S = 8, 8, 12
+    batch = {
+        "protein_input_ids": jnp.asarray(
+            np.concatenate([np.zeros((B, 1)), rng.integers(4, 24, (B, Pn - 2)),
+                            2 * np.ones((B, 1))], axis=1).astype(np.int32)),
+        "protein_attention_mask": jnp.ones((B, Pn), jnp.int32),
+        "description_input_ids": jnp.asarray(
+            rng.integers(0, 128, (B, S)).astype(np.int32)),
+        "description_attention_mask": jnp.ones((B, S), jnp.int32),
+    }
+    ccfg = ContrastiveConfig(num_segments=2, output_llm_layer=1)
+    tx = adamw_constant(1e-3)
+    step = make_contrastive_train_step(
+        esm_config=esm_cfg, adapter_config=ad_cfg,
+        decoder_core=qwen_cfg.core(), cfg=ccfg, tx=tx,
+        deterministic=True)
+    return frozen, adapter, batch, tx, step
+
+
+def test_loss_identical_across_mesh_layouts():
+    frozen, adapter, batch, tx, step = _setup()
+    rng = jax.random.PRNGKey(0)
+
+    # single device
+    state1 = TrainState.create(adapter, tx)
+    s1, loss1 = jax.jit(step)(state1, frozen, batch, rng)
+
+    # 8-device mesh: dp2 × fsdp2 × tp2, params rule-sharded, batch dp-sharded
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    frozen_s = {k: shard_params(v, mesh, DEFAULT_RULES)
+                for k, v in frozen.items()}
+    repl = NamedSharding(mesh, P())
+    adapter_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), adapter)
+    bspec = NamedSharding(mesh, P(("dp", "fsdp")))
+    batch_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, bspec), batch)
+    state8 = TrainState.create(adapter_s, tx)
+    with jax.set_mesh(mesh):
+        s8, loss8 = jax.jit(step)(state8, frozen_s, batch_s, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), atol=1e-5)
+    # updated adapter params agree
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
