@@ -36,7 +36,7 @@ def main():
     dtype = jnp.bfloat16
     params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
 
-    B, P, NEW = 8, 128, 32
+    B, P, NEW = 16, 128, 128
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -59,7 +59,7 @@ def main():
 
     toks_per_sec = B * NEW / dt
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_bf16_8Lx1024",
+        "metric": "decode_tokens_per_sec_bf16_8Lx1024_b16",
         "value": round(toks_per_sec, 2),
         "unit": "tokens/s",
         "vs_baseline": None,

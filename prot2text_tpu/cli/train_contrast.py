@@ -57,6 +57,8 @@ def build_parser():
     p.add_argument("--debug_trim_train_split", type=int, default=None)
     p.add_argument("--debug_trim_eval_split", type=int, default=None)
     p.add_argument("--debug_tiny_model", type=str2bool, default=False)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of epoch 1 here")
     return p
 
 
@@ -168,7 +170,9 @@ def main(argv=None):
 
     ckpt_dir = timestamped_dir(args.checkpoint_dir)
     rng = jax.random.PRNGKey(args.random_seed)
-    with jax.set_mesh(mesh):
+    from ..core.observe import trace as profile_trace
+
+    with jax.set_mesh(mesh), profile_trace(args.profile_dir):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()

@@ -48,6 +48,8 @@ def build_parser():
     p.add_argument("--original_eos_token_id", type=int, default=128009)
     p.add_argument("--debug_trim_train_split", type=int, default=None)
     p.add_argument("--debug_tiny_model", type=str2bool, default=False)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of epoch 1 here")
     return p
 
 
@@ -118,7 +120,9 @@ def main(argv=None):
     ckpt_dir = timestamped_dir(args.checkpoint_dir)
     keys = ("protein_input_ids", "protein_attention_mask", "input_ids",
             "attention_mask", "labels")
-    with jax.set_mesh(mesh):
+    from ..core.observe import trace as profile_trace
+
+    with jax.set_mesh(mesh), profile_trace(args.profile_dir):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()

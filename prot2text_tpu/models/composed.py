@@ -174,6 +174,46 @@ class Esm2LlamaForCausalLM:
     """ESM2 encoder (+Linear+LayerNorm adapter) concatenated in front of the
     text embeds (reference modeling_esm2llama_legacy.py:294-360)."""
 
+    @classmethod
+    def from_pretrained(cls, config: "Esm2LlamaConfig", *,
+                        combined_checkpoint_dir=None,
+                        esm_checkpoint_dir=None,
+                        llama_checkpoint_dir=None,
+                        dtype=None, rng=None, attn_impl: str = "xla"):
+        """4-way loading mirroring the reference's from_pretrained modes
+        (configuration_esm2llama_legacy.py:29-162): a combined orbax
+        checkpoint, separate HF esm+llama dirs, or either one alone (the
+        missing component stays randomly initialized)."""
+        import jax.numpy as jnp
+
+        from ..core.checkpoint import restore_checkpoint
+        from .hf_import import (
+            decoder_params_from_hf, esm2_params_from_hf, load_state_dict_dir,
+        )
+
+        dtype = dtype or jnp.float32
+        model = cls(config, rng=rng, attn_impl=attn_impl)
+        if combined_checkpoint_dir:
+            restored = restore_checkpoint(combined_checkpoint_dir)
+            model.params = restored.get("model", restored)
+            return model
+        if esm_checkpoint_dir:
+            model.params["esm_encoder"] = esm2_params_from_hf(
+                load_state_dict_dir(esm_checkpoint_dir),
+                config.esm_config.num_layers, dtype)
+        if llama_checkpoint_dir:
+            model.params["llama_decoder"] = decoder_params_from_hf(
+                load_state_dict_dir(llama_checkpoint_dir),
+                config.llama_config.num_layers, dtype,
+                tie_word_embeddings=config.llama_config.tie_word_embeddings)
+        return model
+
+    def predict_contacts(self, *a, **kw):
+        """The legacy encoder wrapper strips the contact head — calling this
+        raises, as in the reference (modeling_esm2llama_legacy.py:115-124)."""
+        raise NotImplementedError(
+            "contact prediction head is removed from the encoder")
+
     def __init__(self, config: Esm2LlamaConfig, params=None, *, rng=None,
                  attn_impl: str = "xla"):
         self.config = config
