@@ -54,8 +54,8 @@ def init_modality_adapter_params(cfg: ModalityAdapterConfig, key,
     }
 
 
-def _gelu_tanh(x):
-    """torch.nn.GELU() default is the exact erf form."""
+def _gelu_erf(x):
+    """torch.nn.GELU() default (approximate='none') — exact erf form."""
     x32 = x.astype(jnp.float32)
     y = x32 * 0.5 * (1.0 + jax.lax.erf(x32 / jnp.sqrt(2.0).astype(jnp.float32)))
     return y.astype(x.dtype)
@@ -66,6 +66,29 @@ def _dropout(x, rate: float, key, deterministic: bool):
         return x
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def modality_adapter_params_from_torch(sd, dtype=jnp.float32,
+                                       prefix: str = ""):
+    """Convert a reference ModalityAdapter state dict (adapter-only
+    checkpoints saved by train_contrast.py:674-690).  The deprecated ln1/ln2
+    LayerNorms that the reference keeps for checkpoint compatibility
+    (modeling_esm2llama_instruct.py:56-57) are present in such state dicts
+    but never applied — they are ignored here."""
+    import numpy as np
+
+    def _np(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().float().numpy()
+        return np.asarray(x)
+
+    def dense(name):
+        return {
+            "kernel": jnp.asarray(_np(sd[prefix + name + ".weight"]).T, dtype),
+            "bias": jnp.asarray(_np(sd[prefix + name + ".bias"]), dtype),
+        }
+
+    return {"fc1": dense("fc1"), "fc2": dense("fc2")}
 
 
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
@@ -81,10 +104,10 @@ def modality_adapter(cfg: ModalityAdapterConfig, params, hidden_states, *,
     """(B, S, input_dim) → (B, S, output_dim), L2-normalized per token."""
     if not deterministic:
         dk1, dk2 = jax.random.split(dropout_key)
-    h = _gelu_tanh(linear(params["fc1"], hidden_states))
+    h = _gelu_erf(linear(params["fc1"], hidden_states))
     if not deterministic:
         h = _dropout(h, cfg.dropout_rate, dk1, deterministic)
-    h = _gelu_tanh(linear(params["fc2"], h))
+    h = _gelu_erf(linear(params["fc2"], h))
     if not deterministic:
         h = _dropout(h, cfg.dropout_rate, dk2, deterministic)
     return l2_normalize(h)
@@ -171,7 +194,7 @@ def rgcn_adapter(
     if not deterministic:
         dkeys = jax.random.split(dropout_key, cfg.n_layers + 2)
 
-    h = _gelu_tanh(linear(params["fc1"], hidden_states))
+    h = _gelu_erf(linear(params["fc1"], hidden_states))
     if not deterministic:
         h = _dropout(h, cfg.dropout_rate, dkeys[0], deterministic)
 
@@ -186,7 +209,7 @@ def rgcn_adapter(
             rel_kernel=lp["rel_kernel"], root_kernel=lp["root_kernel"],
             bias=lp["bias"], node_mask=nmask.reshape(-1),
         )
-        y = _gelu_tanh(y)
+        y = _gelu_erf(y)
         if not deterministic:
             y = _dropout(y, cfg.dropout_rate, dkeys[1 + i], deterministic)
         return y, None
@@ -201,7 +224,7 @@ def rgcn_adapter(
     # write back RGCN outputs at node positions only
     h = jnp.where(nmask.reshape(B, S, 1), x.reshape(B, S, -1), h)
 
-    h = _gelu_tanh(linear(params["fc2"], h))
+    h = _gelu_erf(linear(params["fc2"], h))
     if not deterministic:
         h = _dropout(h, cfg.dropout_rate, dkeys[-1], deterministic)
     return l2_normalize(h)

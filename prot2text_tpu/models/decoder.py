@@ -133,8 +133,16 @@ def decoder_forward(
     cache_index=None,       # scalar int32 write offset into T
     attn_impl: str = "xla",
     remat: bool = False,
+    lora=None,              # optional LoRA tree (models/lora.py layout)
+    lora_scale: float = 1.0,
 ):
-    """Returns (hidden_states, new_kv_cache)."""
+    """Returns (hidden_states, new_kv_cache).
+
+    With `lora`, targeted projections compute the low-rank side path
+    y = xW + scale·(xA)B instead of materializing merged weights — O(r)
+    memory for 14B-scale frozen bases (SURVEY.md §7 hard part #5)."""
+    from .transformer import linear_lora
+
     B, S, _ = inputs_embeds.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     n_rep = H // Hkv
@@ -142,12 +150,21 @@ def decoder_forward(
     cos, sin = decoder_rope_cos_sin(cfg, positions)
     h = inputs_embeds
     scaling = D ** -0.5
+    lora_layers = lora["layers"] if lora is not None else None
 
-    def block(lp, x, layer_cache):
+    def block(lp, ll, x, layer_cache):
+        def proj(name, x_):
+            lo = None
+            if ll is not None:
+                sub = ll.get(name)
+                if isinstance(sub, dict):
+                    lo = sub.get("kernel")   # {"A","B"} at the kernel leaf
+            return linear_lora(lp[name], lo, x_, lora_scale)
+
         xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        q = linear(lp["q_proj"], xn).reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        k = linear(lp["k_proj"], xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-        v = linear(lp["v_proj"], xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        q = proj("q_proj", xn).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = proj("k_proj", xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        v = proj("v_proj", xn).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
         if cfg.qk_norm:
             q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
             k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
@@ -170,11 +187,11 @@ def decoder_forward(
             impl=attn_impl,
         )
         a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-        x = x + linear(lp["o_proj"], a)
+        x = x + proj("o_proj", a)
         xn = rms_norm(lp["post_attn_ln"], x, cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(lp["gate_proj"], xn).astype(jnp.float32))
-        up = linear(lp["up_proj"], xn).astype(jnp.float32)
-        y = linear(lp["down_proj"], (gate * up).astype(xn.dtype))
+        gate = jax.nn.silu(proj("gate_proj", xn).astype(jnp.float32))
+        up = proj("up_proj", xn).astype(jnp.float32)
+        y = proj("down_proj", (gate * up).astype(xn.dtype))
         return x + y, new_cache
 
     body = block
@@ -183,20 +200,22 @@ def decoder_forward(
 
     if kv_cache is not None:
         def step(c, xs):
-            lp, ck, cv = xs
-            c, new_cache = body(lp, c, (ck, cv))
+            lp, ll, ck, cv = xs
+            c, new_cache = body(lp, ll, c, (ck, cv))
             return c, new_cache
 
         h, caches = jax.lax.scan(
-            step, h, (params["layers"], kv_cache["k"], kv_cache["v"])
+            step, h,
+            (params["layers"], lora_layers, kv_cache["k"], kv_cache["v"])
         )
         new_kv = {"k": caches[0], "v": caches[1]}
     else:
-        def step(c, lp):
-            c, _ = body(lp, c, None)
+        def step(c, xs):
+            lp, ll = xs
+            c, _ = body(lp, ll, c, None)
             return c, None
 
-        h, _ = jax.lax.scan(step, h, params["layers"])
+        h, _ = jax.lax.scan(step, h, (params["layers"], lora_layers))
         new_kv = None
 
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)

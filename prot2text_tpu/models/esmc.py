@@ -113,19 +113,35 @@ def esmc_encode(
     *,
     attn_impl: str = "xla",
     remat: bool = False,
+    lora=None,          # optional LoRA tree (models/lora.py layout)
+    lora_scale: float = 1.0,
 ):
-    """Return `.embeddings`-equivalent per-token hidden states (B, S, D)."""
+    """Return `.embeddings`-equivalent per-token hidden states (B, S, D).
+    LoRA targets mirror the reference PEFT config for ESMC
+    (train_instruct.py:162-176): qkv (layernorm_qkv.1), out_proj,
+    ffn_in (ffn.1), ffn_out (ffn.3) — applied as low-rank side paths."""
+    from .transformer import linear_lora
+
     B, S = input_ids.shape
     H, D = cfg.n_heads, cfg.head_dim
     scale = 1.0 / cfg.residue_scaling
+    lora_layers = lora["layers"] if lora is not None else None
 
     h = params["embed"][input_ids]
     bias = make_attention_bias(attention_mask, causal=False)
     cos, sin = rope_cos_sin(jnp.arange(S, dtype=jnp.int32), D, cfg.rope_theta)
 
-    def block(lp, x):
+    def block(lp, ll, x):
+        def proj(name, x_):
+            lo = None
+            if ll is not None:
+                sub = ll.get(name)
+                if isinstance(sub, dict):
+                    lo = sub.get("kernel")
+            return linear_lora(lp[name], lo, x_, lora_scale)
+
         xn = layer_norm(lp["attn_ln"], x, cfg.layer_norm_eps)
-        qkv = linear(lp["qkv"], xn)
+        qkv = proj("qkv", xn)
         q, kk, v = jnp.split(qkv, 3, axis=-1)
         q = layer_norm(lp["q_ln"], q, cfg.layer_norm_eps)
         kk = layer_norm(lp["k_ln"], kk, cfg.layer_norm_eps)
@@ -137,22 +153,23 @@ def esmc_encode(
         q = (q.astype(jnp.float32) * (D ** -0.5)).astype(q.dtype)
         a = attention(q, kk, v, bias, impl=attn_impl)
         a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-        x = x + linear(lp["out_proj"], a) * scale
+        x = x + proj("out_proj", a) * scale
         xn = layer_norm(lp["ffn_ln"], x, cfg.layer_norm_eps)
-        g = linear(lp["ffn_in"], xn)
+        g = proj("ffn_in", xn)
         g1, g2 = jnp.split(g, 2, axis=-1)
         y = jax.nn.silu(g1.astype(jnp.float32)).astype(g2.dtype) * g2
-        x = x + linear(lp["ffn_out"], y) * scale
+        x = x + proj("ffn_out", y) * scale
         return x
 
     body = block
     if remat:
         body = jax.checkpoint(block, prevent_cse=False)
 
-    def step(c, lp):
-        return body(lp, c), None
+    def step(c, xs):
+        lp, ll = xs
+        return body(lp, ll, c), None
 
-    h, _ = jax.lax.scan(step, h, params["layers"])
+    h, _ = jax.lax.scan(step, h, (params["layers"], lora_layers))
     return layer_norm(params["final_ln"], h, cfg.layer_norm_eps)
 
 

@@ -29,6 +29,20 @@ def linear(p, x, precision=None):
     return y
 
 
+def linear_lora(p, lora, x, scale: float = 1.0):
+    """y = x·W (+ bias) + scale·(x·A)·B — the low-rank side path.
+
+    Keeps LoRA training memory at O(r·(din+dout)) instead of materializing
+    W+ΔW (merge_lora is only for inference merge-and-unload).  `lora` is
+    None (no adaptation) or {"A": (din, r), "B": (r, dout)}."""
+    y = linear(p, x)
+    if lora is None:
+        return y
+    xa = jnp.matmul(x, lora["A"].astype(x.dtype))
+    delta = jnp.matmul(xa, lora["B"].astype(x.dtype))
+    return y + scale * delta
+
+
 def layer_norm(p, x, eps: float = 1e-5):
     dtype = x.dtype
     x32 = x.astype(jnp.float32)

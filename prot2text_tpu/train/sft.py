@@ -50,19 +50,22 @@ def sft_loss(
     dropout_rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
 ):
-    esm_params = merge_lora(cfg.lora, frozen["esm_encoder"],
-                            trainable["lora_esm"])
-    llm_params = merge_lora(cfg.lora, frozen["llm_decoder"],
-                            trainable["lora_llm"])
+    # LoRA rides as a low-rank side path inside the stacks — the merged
+    # W+ΔW is NEVER materialized during training (merge_lora is reserved for
+    # inference merge-and-unload); O(r) extra memory at 14B scale.
     adapter_params = (frozen["adapter"] if cfg.fix_modality_adapter
                       else trainable["adapter"])
+    scale = cfg.lora.scale
 
-    enc = esmc_encode(esm_config, esm_params, batch["protein_input_ids"],
+    enc = esmc_encode(esm_config, frozen["esm_encoder"],
+                      batch["protein_input_ids"],
                       batch["protein_attention_mask"], attn_impl=attn_impl,
-                      remat=cfg.remat)
+                      remat=cfg.remat, lora=trainable["lora_esm"],
+                      lora_scale=scale)
     adapted = modality_adapter(adapter_config, adapter_params, enc,
                                deterministic=deterministic,
                                dropout_key=dropout_rng)
+    llm_params = frozen["llm_decoder"]
     text_embeds = llm_params["embed_tokens"][batch["input_ids"]]
     inputs_embeds = placeholder_merge(
         text_embeds, batch["input_ids"], adapted,
@@ -72,7 +75,8 @@ def sft_loss(
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     h, _ = decoder_forward(
         decoder_core, llm_params, inputs_embeds=inputs_embeds, bias=bias,
-        positions=positions, attn_impl=attn_impl, remat=cfg.remat)
+        positions=positions, attn_impl=attn_impl, remat=cfg.remat,
+        lora=trainable["lora_llm"], lora_scale=scale)
     logits = decoder_logits(decoder_core, llm_params, h)
     return cross_entropy_loss(logits, batch["labels"])
 

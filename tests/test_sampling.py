@@ -1,0 +1,80 @@
+"""Sampling-path tests: temperature/top-k/top-p semantics and the adapter
+torch-checkpoint importer (parity with the reference ModalityAdapter,
+including its applied-vs-deprecated sublayer split)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from prot2text_tpu.infer.generate import GenerationConfig, _sample_token
+
+
+def test_topk1_equals_greedy():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((4, 50)).astype(np.float32))
+    greedy = _sample_token(logits, GenerationConfig(do_sample=False),
+                           jax.random.PRNGKey(0))
+    topk1 = _sample_token(
+        logits, GenerationConfig(do_sample=True, top_k=1, temperature=1.0),
+        jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+
+
+def test_low_temperature_concentrates():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((1, 20)).astype(np.float32))
+    cfg = GenerationConfig(do_sample=True, temperature=1e-4)
+    samples = {int(_sample_token(logits, cfg, jax.random.PRNGKey(i))[0])
+               for i in range(10)}
+    assert samples == {int(jnp.argmax(logits[0]))}
+
+
+def test_top_p_masks_tail():
+    # distribution: p = [0.6, 0.3, 0.05, ...]; top_p=0.8 keeps tokens 0,1
+    probs = np.array([[0.6, 0.3, 0.05, 0.03, 0.02]], np.float32)
+    logits = jnp.asarray(np.log(probs))
+    cfg = GenerationConfig(do_sample=True, top_p=0.8, temperature=1.0)
+    seen = {int(_sample_token(logits, cfg, jax.random.PRNGKey(i))[0])
+            for i in range(200)}
+    assert seen <= {0, 1}
+    assert 0 in seen and 1 in seen
+
+
+def test_top_k_masks_tail():
+    probs = np.array([[0.4, 0.3, 0.2, 0.08, 0.02]], np.float32)
+    logits = jnp.asarray(np.log(probs))
+    cfg = GenerationConfig(do_sample=True, top_k=2, temperature=1.0)
+    seen = {int(_sample_token(logits, cfg, jax.random.PRNGKey(i))[0])
+            for i in range(200)}
+    assert seen <= {0, 1}
+
+
+def test_adapter_torch_import_matches_reference_module():
+    import torch
+
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, modality_adapter,
+        modality_adapter_params_from_torch,
+    )
+
+    torch.manual_seed(0)
+    fc1 = torch.nn.Linear(16, 24)
+    fc2 = torch.nn.Linear(24, 8)
+    # reference state dict includes deprecated ln1/ln2 keys
+    sd = {
+        "fc1.weight": fc1.weight, "fc1.bias": fc1.bias,
+        "fc2.weight": fc2.weight, "fc2.bias": fc2.bias,
+        "ln1.weight": torch.ones(24), "ln1.bias": torch.zeros(24),
+        "ln2.weight": torch.ones(8), "ln2.bias": torch.zeros(8),
+    }
+    params = modality_adapter_params_from_torch(sd)
+    cfg = ModalityAdapterConfig(16, 24, 8, dropout_rate=0.0)
+
+    x = torch.randn(2, 5, 16)
+    with torch.no_grad():
+        h = torch.nn.functional.gelu(fc1(x))
+        h = torch.nn.functional.gelu(fc2(h))
+        ref = torch.nn.functional.normalize(h, p=2, dim=-1).numpy()
+    out = np.asarray(modality_adapter(cfg, params, jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

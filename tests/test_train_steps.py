@@ -226,3 +226,56 @@ def test_dryrun_multichip_8():
 
     assert len(jax.devices()) >= 8
     dryrun_multichip(8)
+
+
+def test_lora_side_path_equals_merged_forward():
+    """decoder_forward(lora=...) ≡ decoder_forward(merge_lora(params))."""
+    from prot2text_tpu.models.decoder import (
+        causal_bias_from_mask, decoder_forward, embed_tokens,
+    )
+
+    cfg = Qwen3Config.tiny(vocab_size=64).core()
+    from prot2text_tpu.models.qwen3 import init_qwen3_params
+
+    params = init_qwen3_params(Qwen3Config.tiny(vocab_size=64),
+                               jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=3, alpha=6)
+    lora = init_lora_params(lcfg, params, jax.random.PRNGKey(1))
+    # make B nonzero so the delta is real
+    lora = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+
+    ids = np.random.default_rng(0).integers(0, 64, (2, 7))
+    mask = np.ones((2, 7), np.int64)
+    emb = embed_tokens(params, jnp.asarray(ids))
+    bias = causal_bias_from_mask(jnp.asarray(mask))
+    pos = jnp.broadcast_to(jnp.arange(7), (2, 7))
+
+    h_side, _ = decoder_forward(cfg, params, inputs_embeds=emb, bias=bias,
+                                positions=pos, lora=lora,
+                                lora_scale=lcfg.scale)
+    merged = merge_lora(lcfg, params, lora)
+    h_merged, _ = decoder_forward(cfg, merged, inputs_embeds=emb, bias=bias,
+                                  positions=pos)
+    np.testing.assert_allclose(np.asarray(h_side), np.asarray(h_merged),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_esmc_lora_side_path_equals_merged():
+    from prot2text_tpu.models.esmc import (
+        ESMCConfig, esmc_encode, init_esmc_params,
+    )
+
+    cfg = ESMCConfig.tiny()
+    params = init_esmc_params(cfg, jax.random.PRNGKey(0))
+    lcfg = LoraConfig(r=2, alpha=4)
+    lora = init_lora_params(lcfg, params, jax.random.PRNGKey(1))
+    lora = jax.tree_util.tree_map(lambda x: x + 0.05, lora)
+
+    ids = np.random.default_rng(1).integers(4, 24, (2, 9))
+    mask = np.ones((2, 9), np.int64)
+    h_side = esmc_encode(cfg, params, jnp.asarray(ids), jnp.asarray(mask),
+                         lora=lora, lora_scale=lcfg.scale)
+    merged = merge_lora(lcfg, params, lora)
+    h_merged = esmc_encode(cfg, merged, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(h_side), np.asarray(h_merged),
+                               atol=2e-5, rtol=2e-5)
