@@ -10,13 +10,9 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
-
-import numpy as np
-
 import jax
 
-from ..core.dtypes import str2bool, str2dtype
+from ..core.dtypes import str2dtype  # noqa: F401 (re-export for CLIs)
 from ..core.mesh import MeshConfig, make_mesh
 from ..data.chat import ByteTextTokenizer
 

@@ -22,7 +22,6 @@ from ..data.collate import Buckets, InstructCollator
 from ..data.collate_graph import collate_graphs
 from ..data.dataset import Prot2TextInstructDataset
 from ..data.sampler import DataLoader, ShardedSampler
-from ..infer.generate import GenerationConfig, generate
 from ..models.adapters import ModalityAdapterConfig, RgcnAdapterConfig
 from ..models.composed import (
     Esm2LlamaInstructConfig, Esm2LlamaInstructForCausalLM,

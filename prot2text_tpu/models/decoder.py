@@ -22,9 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .transformer import (
-    apply_rope, attention, linear, repeat_kv, rms_norm, rope_cos_sin,
-)
+from .transformer import apply_rope, attention, repeat_kv, rms_norm
 
 
 @dataclasses.dataclass(frozen=True)

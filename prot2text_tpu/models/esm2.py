@@ -19,7 +19,6 @@ contact head (modeling_esm2llama_legacy.py:51-54).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

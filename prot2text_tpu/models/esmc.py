@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .transformer import (
-    apply_rope, attention, layer_norm, linear, make_attention_bias,
-    rope_cos_sin,
+    apply_rope, attention, layer_norm, make_attention_bias, rope_cos_sin,
 )
 
 # ESMC sequence tokenizer ids == ESM2 alphabet (cls=0, pad=1, eos=2, ...)

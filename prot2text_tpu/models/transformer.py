@@ -10,7 +10,6 @@ XLA compiles ONE layer body (fast compiles, fixed schedule), with optional
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

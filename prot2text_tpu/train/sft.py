@@ -25,7 +25,7 @@ from ..models.decoder import (
 )
 from ..models.esmc import ESMCConfig, esmc_encode
 from ..models.fusion import placeholder_merge
-from ..models.lora import LoraConfig, merge_lora
+from ..models.lora import LoraConfig
 from .optim import TrainState, apply_updates
 
 
