@@ -433,12 +433,26 @@ def secondary_structure(residues: List[Residue]) -> List[str]:
 # edges
 
 
+def residue_coords(residues: List[Residue],
+                   granularity: str = "CA") -> np.ndarray:
+    """Node coordinates: "CA" (default) or "centroids" — the mean of each
+    residue's heavy atoms (reference granularity subsetting,
+    pdb2nx.py:133-167, :478-499)."""
+    if granularity == "CA":
+        return np.asarray([r.atoms["CA"] for r in residues])
+    if granularity == "centroids":
+        return np.asarray([
+            np.mean(list(r.atoms.values()), axis=0) for r in residues])
+    raise ValueError(f"unknown granularity {granularity!r}")
+
+
 def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
                 long_interaction_threshold: int = 3,
                 hbond_distance: float = 3.5,
                 sequence_distances: tuple = (),
                 k_nn: int = 0,
-                delaunay: bool = False):
+                delaunay: bool = False,
+                granularity: str = "CA"):
     """Default reference edge set (utils_dataset.py:27-31): peptide bonds,
     residue-level hydrogen bonds, CA distance threshold with |i-j| >
     long_interaction_threshold.  The remaining kinds of the 7-relation map
@@ -472,7 +486,7 @@ def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
                if a in r.atoms]
         donor_sets.append(np.asarray(d) if d else np.zeros((0, 3)))
         acceptor_sets.append(np.asarray(a_) if a_ else np.zeros((0, 3)))
-    ca = np.asarray([r.atoms["CA"] for r in residues])
+    ca = residue_coords(residues, granularity)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(ca)
@@ -540,7 +554,8 @@ def expasy_features(residues: List[Residue]) -> np.ndarray:
 
 
 def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
-                        n_sasa_points: int = 100) -> Dict[str, np.ndarray]:
+                        n_sasa_points: int = 100,
+                        granularity: str = "CA") -> Dict[str, np.ndarray]:
     """Full featurization: returns {x, edge_index, edge_type, coords,
     sequence} with the nx2pyg x-layout.  Accepts .pdb or .cif/.mmcif."""
     residues = parse_structure(pdb_path, chain)
@@ -557,8 +572,8 @@ def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
     x = np.concatenate([
         aa_idx[:, None], phi[:, None], psi[:, None], rsa[:, None],
         asa[:, None], ss_idx[:, None], expasy], axis=1)
-    edge_index, edge_type = build_edges(residues)
-    coords = np.asarray([r.atoms["CA"] for r in residues])
+    edge_index, edge_type = build_edges(residues, granularity=granularity)
+    coords = residue_coords(residues, granularity)
     seq = "".join(THREE_TO_ONE[r.resname] for r in residues)
     return {
         "x": x.astype(np.float32),

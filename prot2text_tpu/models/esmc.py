@@ -96,7 +96,8 @@ def init_esmc_params(cfg: ESMCConfig, key, dtype=jnp.float32):
             "ffn_out": dense(jax.random.fold_in(kk, 3), f, d),
         }
 
-    leaves = [layer(jax.random.fold_in(next(k), i)) for i in range(L)]
+    base = next(k)
+    leaves = [layer(jax.random.fold_in(base, i)) for i in range(L)]
     return {
         "embed": jax.random.normal(next(k), (cfg.vocab_size, d), dtype) * 0.02,
         "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *leaves),

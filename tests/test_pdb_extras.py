@@ -77,3 +77,16 @@ def test_step_timer_and_guard(capsys):
     assert not guard_loss(float("nan"))
     assert not guard_loss(-1.0)
     assert guard_loss(0.0, allow_zero=True) is False or True
+
+
+def test_centroid_granularity(tmp_path):
+    from prot2text_tpu.data.pdb_graph import build_protein_graph, residue_coords, parse_pdb
+
+    pdb = make_helix_pdb(str(tmp_path / "g.pdb"), n_res=8)
+    res = parse_pdb(pdb)
+    ca = residue_coords(res, "CA")
+    cen = residue_coords(res, "centroids")
+    assert ca.shape == cen.shape == (8, 3)
+    assert not np.allclose(ca, cen)  # backbone centroid != CA
+    g = build_protein_graph(pdb, granularity="centroids")
+    np.testing.assert_allclose(g["coords"], cen.astype(np.float32))
