@@ -108,6 +108,16 @@ def main(argv=None):
     t0 = time.time()
     with jax.set_mesh(mesh):
         for batch in loader:
+            # pad the final partial batch so the jitted decode keeps ONE shape
+            names = batch["name"]
+            n_valid = len(names)
+            if n_valid < args.batch_size:
+                arrays = {k: v for k, v in batch.items()
+                          if isinstance(v, np.ndarray)}
+                from ..core.mesh import pad_batch_to
+
+                arrays, _ = pad_batch_to(arrays, args.batch_size)
+                batch = {**batch, **arrays}
             embeds, attn = ESMCQwen.apply(
                 cfg, params,
                 protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
@@ -121,7 +131,7 @@ def main(argv=None):
                 inputs_embeds=embeds, attention_mask=attn, gen_cfg=gen_cfg,
                 attn_impl=args.attn_impl)
             toks = np.asarray(toks)
-            for i, name in enumerate(batch["name"]):
+            for i, name in enumerate(names):
                 pred = tok.decode(
                     [t for t in toks[i].tolist() if t != pad_id],
                     skip_special_tokens=True)

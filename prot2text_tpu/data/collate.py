@@ -110,9 +110,6 @@ class InstructCollator:
             "description_input_ids": desc_ids,
             "description_attention_mask": desc_mask,
         }
-        for key in ("x", "edge_index", "edge_type", "batch"):
-            if key in batch[0]:
-                out.setdefault("graph", {})
         if self.mode == "train":
             out.update({
                 "input_ids": np.concatenate([prompt_ids, desc_ids], axis=1),

@@ -106,22 +106,3 @@ def apply_updates(state: TrainState, grads, tx) -> TrainState:
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(params=new_params, opt_state=new_opt,
                       step=state.step + 1)
-
-
-def accumulate_grads(loss_fn: Callable, params, microbatches, *args):
-    """Mean loss/grads over a leading microbatch dim via lax.scan.
-    `microbatches`: pytree with leading (n_micro, ...) dims."""
-
-    def body(carry, mb):
-        acc_loss, acc_grads = carry
-        loss, grads = jax.value_and_grad(loss_fn)(params, mb, *args)
-        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-        return (acc_loss + loss, acc_grads), None
-
-    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-    (loss, grads), _ = jax.lax.scan(
-        body, (jnp.zeros(()), zero_grads), microbatches)
-    n = jax.tree_util.tree_leaves(microbatches)[0].shape[0]
-    loss = loss / n
-    grads = jax.tree_util.tree_map(lambda g: g / n, grads)
-    return loss, grads
