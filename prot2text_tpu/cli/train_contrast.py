@@ -133,9 +133,12 @@ def main(argv=None):
         num_segments=args.contrastive_num_segments,
         output_llm_layer=min(args.output_llm_layer, llm_cfg.num_layers))
     steps_per_epoch = max(len(loader), 1)
+    # reference parity: the contrastive scheduler steps PER EPOCH over a
+    # num_epochs-long cosine (train_contrast.py:632, :662)
     tx = adamw_cosine_warmup(
-        args.learning_rate, total_steps=args.num_epochs * steps_per_epoch,
-        warmup_frac=0.06, grad_clip=args.gradient_clipping)
+        args.learning_rate, total_steps=args.num_epochs,
+        warmup_frac=0.06, grad_clip=args.gradient_clipping,
+        steps_per_period=steps_per_epoch)
     state = TrainState.create(adapter, tx)
 
     step_fn = jax.jit(make_contrastive_train_step(

@@ -27,13 +27,22 @@ import optax
 
 
 def cosine_warmup_schedule(base_lr: float, total_steps: int,
-                           warmup_frac: float = 0.06):
+                           warmup_frac: float = 0.06,
+                           steps_per_period: int = 1):
     """lr(t) = linear warmup to base_lr over warmup_frac·total, then cosine
-    decay to 0 — matching the reference closure at train_contrast.py:624-631."""
+    decay to 0 — matching the reference closure at train_contrast.py:624-631.
+
+    `steps_per_period` > 1 evaluates the schedule at `step //
+    steps_per_period`, reproducing the reference's PER-EPOCH stepping in the
+    contrastive trainer (scheduler.step() once per epoch, :662) while the
+    instruct trainer steps per optimizer step (train_instruct.py:293-294,
+    steps_per_period=1)."""
     warmup = max(int(total_steps * warmup_frac), 1)
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
+        if steps_per_period > 1:
+            step = jnp.floor(step / steps_per_period)
         warm = base_lr * step / warmup
         progress = (step - warmup) / jnp.maximum(total_steps - warmup, 1)
         progress = jnp.clip(progress, 0.0, 1.0)
@@ -57,8 +66,10 @@ def adamw_cosine_warmup(base_lr: float, total_steps: int,
                         warmup_frac: float = 0.06,
                         weight_decay: float = 0.0,
                         eps: float = 1e-6,
-                        grad_clip: Optional[float] = None):
-    sched = cosine_warmup_schedule(base_lr, total_steps, warmup_frac)
+                        grad_clip: Optional[float] = None,
+                        steps_per_period: int = 1):
+    sched = cosine_warmup_schedule(base_lr, total_steps, warmup_frac,
+                                   steps_per_period)
     tx = optax.adamw(learning_rate=sched, eps=eps, weight_decay=weight_decay)
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)

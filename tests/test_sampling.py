@@ -78,3 +78,28 @@ def test_adapter_torch_import_matches_reference_module():
         ref = torch.nn.functional.normalize(h, p=2, dim=-1).numpy()
     out = np.asarray(modality_adapter(cfg, params, jnp.asarray(x.numpy())))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_sampler_shards_are_disjoint_and_cover():
+    from prot2text_tpu.data.sampler import ShardedSampler
+
+    shards = [
+        ShardedSampler(103, num_shards=4, shard_index=i, seed=7)
+        for i in range(4)
+    ]
+    all_idx = np.concatenate([s.epoch_indices(3) for s in shards])
+    assert len(all_idx) == 100  # drop_last: 103 -> 100 divisible
+    assert len(set(all_idx.tolist())) == 100
+    # different epoch -> different permutation
+    assert not np.array_equal(shards[0].epoch_indices(3),
+                              shards[0].epoch_indices(4))
+
+
+def test_cosine_per_epoch_schedule_is_stepwise():
+    from prot2text_tpu.train.optim import cosine_warmup_schedule
+
+    sched = cosine_warmup_schedule(1e-3, total_steps=10, warmup_frac=0.1,
+                                   steps_per_period=5)
+    # constant within an epoch (5 steps), changes across epochs
+    assert float(sched(0)) == float(sched(4))
+    assert float(sched(5)) != float(sched(4))
