@@ -78,3 +78,36 @@ def test_loss_identical_across_mesh_layouts():
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_generation_identical_under_mesh():
+    """KV-cached greedy decode produces the same tokens on 1 device and on a
+    dp-sharded 8-device mesh."""
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.decoder import init_decoder_params
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.tiny(vocab_size=64).core()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B, PL = 8, 6
+    emb = jnp.asarray(rng.standard_normal((B, PL, cfg.hidden_size))
+                      .astype(np.float32))
+    mask = jnp.ones((B, PL), jnp.int32)
+    gen_cfg = GenerationConfig(max_new_tokens=5, eos_token_id=63,
+                               pad_token_id=62)
+
+    t1 = np.asarray(generate(cfg, params, inputs_embeds=emb,
+                             attention_mask=mask, gen_cfg=gen_cfg))
+
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=1, tp=1))
+    bspec = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    emb_s = jax.device_put(emb, bspec)
+    mask_s = jax.device_put(mask, bspec)
+    params_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), params)
+    with jax.set_mesh(mesh):
+        t8 = np.asarray(generate(cfg, params_s, inputs_embeds=emb_s,
+                                 attention_mask=mask_s, gen_cfg=gen_cfg))
+    np.testing.assert_array_equal(t1, t8)
