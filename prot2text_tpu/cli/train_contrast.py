@@ -63,6 +63,15 @@ def build_parser():
 
 
 def build_models(args, tok):
+    """Build (configs, frozen towers, adapter).  --model_dtype int8/int4
+    builds bf16 weights and applies int8 weight-only quantization to the
+    frozen towers (models/quant.py) — the TPU equivalent of the reference's
+    bitsandbytes int8 path (utils_argparse.py:27-48)."""
+    import jax.numpy as jnp
+
+    quantize = args.model_dtype in (jnp.int8, jnp.int4)
+    if quantize:
+        args.model_dtype = jnp.bfloat16
     if args.debug_tiny_model:
         esm_cfg = ESMCConfig.tiny()
         llm_cfg = Qwen3Config(
@@ -99,6 +108,11 @@ def build_models(args, tok):
     else:
         llm_params = init_qwen3_params(llm_cfg, kl, dtype)
     adapter = init_modality_adapter_params(adapter_cfg, ka)  # fp32 trainable
+    if quantize:
+        from ..models.quant import quantize_params
+
+        esm_params = quantize_params(esm_params)
+        llm_params = quantize_params(llm_params)
     return (esm_cfg, llm_cfg, adapter_cfg,
             {"esm_encoder": esm_params, "llm_decoder": llm_params}, adapter)
 

@@ -223,6 +223,10 @@ def decoder_forward(
 def decoder_logits(cfg: DecoderConfig, params, hidden_states):
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"].T
+    elif "kernel_q" in params["lm_head"]:
+        from .transformer import linear
+
+        return linear(params["lm_head"], hidden_states).astype(jnp.float32)
     else:
         w = params["lm_head"]["kernel"]
     return jnp.matmul(

@@ -22,7 +22,14 @@ from ..kernels.attention import dot_product_attention
 
 
 def linear(p, x, precision=None):
-    y = jnp.matmul(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "kernel_q" in p:
+        # int8 weight-only path (models/quant.py): dequant fused into the
+        # matmul epilogue — halves weight HBM reads for serving
+        w = p["kernel_q"].astype(x.dtype)
+        y = jnp.matmul(x, w, precision=precision)
+        y = y * p["scale"].astype(y.dtype)[..., 0, :]
+    else:
+        y = jnp.matmul(x, p["kernel"].astype(x.dtype), precision=precision)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)
     return y
