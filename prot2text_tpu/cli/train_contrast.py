@@ -24,7 +24,7 @@ from ..core.checkpoint import save_checkpoint, timestamped_dir
 from ..core.dtypes import str2bool, str2dtype
 from ..data.collate import Buckets, LightCollator
 from ..data.dataset import Prot2TextLightDataset
-from ..data.sampler import DataLoader, ShardedSampler
+from ..data.sampler import DataLoader, ShardedSampler, prefetch
 from ..models.adapters import ModalityAdapterConfig, init_modality_adapter_params
 from ..models.esmc import ESMCConfig, init_esmc_params
 from ..models.qwen3 import Qwen3Config, init_qwen3_params
@@ -194,7 +194,7 @@ def main(argv=None):
             loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
-            for batch in loader:
+            for batch in prefetch(iter(loader)):
                 micro = {
                     k: np.stack(np.split(
                         v, args.gradient_accumulation_steps))

@@ -20,7 +20,7 @@ from ..core.checkpoint import (
 from ..core.dtypes import str2bool
 from ..data.collate import Buckets, LightCollator
 from ..data.dataset import Prot2TextLightDataset
-from ..data.sampler import DataLoader, ShardedSampler
+from ..data.sampler import DataLoader, ShardedSampler, prefetch
 from ..models.lora import LoraConfig, init_lora_params
 from ..train.optim import TrainState, adamw_cosine_warmup
 from ..train.sft import SFTConfig, make_sft_train_step
@@ -151,7 +151,7 @@ def main(argv=None):
             loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
-            for batch in loader:
+            for batch in prefetch(iter(loader)):
                 micro = {
                     k: np.stack(np.split(
                         batch[k], args.gradient_accumulation_steps))

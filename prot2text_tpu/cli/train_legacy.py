@@ -20,7 +20,7 @@ from ..core.checkpoint import save_checkpoint, timestamped_dir
 from ..core.dtypes import str2bool
 from ..data.collate import Buckets, DerivedCollator
 from ..data.dataset import Prot2TextInstructDataset
-from ..data.sampler import DataLoader, ShardedSampler
+from ..data.sampler import DataLoader, ShardedSampler, prefetch
 from ..models.composed import Esm2LlamaConfig, Esm2LlamaForCausalLM
 from ..models.esm2 import ESM2Config
 from ..models.llama import LlamaConfig
@@ -127,7 +127,7 @@ def main(argv=None):
             loader.set_epoch(epoch)
             t0 = time.time()
             losses = []
-            for batch in loader:
+            for batch in prefetch(iter(loader)):
                 b = {k: batch[k] for k in keys}
                 if args.gradient_accumulation_steps > 1:
                     b = {k: np.stack(np.split(

@@ -76,3 +76,29 @@ class DataLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+
+
+def prefetch(iterator, size: int = 2):
+    """Background-thread prefetch: overlaps host collation/IO with device
+    steps (the role of the reference's num_workers=4 loader processes,
+    train_contrast.py:584-609, at a fraction of the machinery)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -103,3 +103,10 @@ def test_cosine_per_epoch_schedule_is_stepwise():
     # constant within an epoch (5 steps), changes across epochs
     assert float(sched(0)) == float(sched(4))
     assert float(sched(5)) != float(sched(4))
+
+
+def test_prefetch_preserves_order_and_exhausts():
+    from prot2text_tpu.data.sampler import prefetch
+
+    items = list(prefetch(iter(range(17)), size=3))
+    assert items == list(range(17))

@@ -111,3 +111,41 @@ def test_generation_identical_under_mesh():
         t8 = np.asarray(generate(cfg, params_s, inputs_embeds=emb_s,
                                  attention_mask=mask_s, gen_cfg=gen_cfg))
     np.testing.assert_array_equal(t1, t8)
+
+
+def test_tp_actually_shards_and_matches():
+    """With divisible dims, DEFAULT_RULES place decoder projections on the
+    tp/fsdp axes (not silently replicated), and the sharded forward matches
+    the replicated one."""
+    from prot2text_tpu.models.decoder import (
+        DecoderConfig, causal_bias_from_mask, decoder_forward, decoder_logits,
+        embed_tokens, init_decoder_params,
+    )
+
+    cfg = DecoderConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                        num_heads=8, num_kv_heads=4, intermediate_size=128,
+                        head_dim=8, rope_theta=10000.0)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.default_rng(0).integers(0, 256, (4, 10))
+    mask = np.ones((4, 10), np.int64)
+
+    emb = embed_tokens(params, jnp.asarray(ids))
+    bias = causal_bias_from_mask(jnp.asarray(mask))
+    pos = jnp.broadcast_to(jnp.arange(10), (4, 10))
+    h_ref, _ = decoder_forward(cfg, params, inputs_embeds=emb, bias=bias,
+                               positions=pos)
+    logits_ref = decoder_logits(cfg, params, h_ref)
+
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    sharded = shard_params(params, mesh, DEFAULT_RULES)
+    # q_proj kernel (L, 64, 64): dims divisible by fsdp=2/tp=2 → sharded
+    spec = sharded["layers"]["q_proj"]["kernel"].sharding.spec
+    assert tuple(spec) == (None, "fsdp", "tp"), spec
+
+    with jax.set_mesh(mesh):
+        h_s, _ = jax.jit(
+            lambda p, e: decoder_forward(cfg, p, inputs_embeds=e, bias=bias,
+                                         positions=pos))(sharded, emb)
+        logits_s = decoder_logits(cfg, sharded, h_s)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_ref),
+                               atol=2e-5, rtol=2e-5)
