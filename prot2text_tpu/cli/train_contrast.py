@@ -70,6 +70,7 @@ def build_models(args, tok):
     import jax.numpy as jnp
 
     quantize = args.model_dtype in (jnp.int8, jnp.int4)
+    quant_bits = 4 if args.model_dtype == jnp.int4 else 8
     if quantize:
         args.model_dtype = jnp.bfloat16
     if args.debug_tiny_model:
@@ -111,8 +112,8 @@ def build_models(args, tok):
     if quantize:
         from ..models.quant import quantize_params
 
-        esm_params = quantize_params(esm_params)
-        llm_params = quantize_params(llm_params)
+        esm_params = quantize_params(esm_params, bits=quant_bits)
+        llm_params = quantize_params(llm_params, bits=quant_bits)
     return (esm_cfg, llm_cfg, adapter_cfg,
             {"esm_encoder": esm_params, "llm_decoder": llm_params}, adapter)
 

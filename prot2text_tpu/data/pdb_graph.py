@@ -88,6 +88,23 @@ EXPASY_SCALES: Dict[str, Dict[str, float]] = {
         "Q": 0.490, "E": 0.500, "G": 0.540, "H": 0.320, "I": 0.460,
         "L": 0.370, "K": 0.470, "M": 0.300, "F": 0.310, "P": 0.510,
         "S": 0.510, "T": 0.440, "W": 0.310, "Y": 0.420, "V": 0.390},
+    # residue molecular weight (Da)
+    "molecular_weight": {
+        "A": 89.09, "R": 174.20, "N": 132.12, "D": 133.10, "C": 121.16,
+        "Q": 146.15, "E": 147.13, "G": 75.07, "H": 155.16, "I": 131.17,
+        "L": 131.17, "K": 146.19, "M": 149.21, "F": 165.19, "P": 115.13,
+        "S": 105.09, "T": 119.12, "W": 204.23, "Y": 181.19, "V": 117.15},
+    # number of codons
+    "number_of_codons": {
+        "A": 4, "R": 6, "N": 2, "D": 2, "C": 2, "Q": 2, "E": 2, "G": 4,
+        "H": 2, "I": 3, "L": 6, "K": 2, "M": 1, "F": 2, "P": 4, "S": 6,
+        "T": 4, "W": 1, "Y": 2, "V": 4},
+    # isoelectric point (pI)
+    "isoelectric_point": {
+        "A": 6.00, "R": 10.76, "N": 5.41, "D": 2.77, "C": 5.07, "Q": 5.65,
+        "E": 3.22, "G": 5.97, "H": 7.59, "I": 6.02, "L": 5.98, "K": 9.74,
+        "M": 5.74, "F": 5.48, "P": 6.30, "S": 5.68, "T": 5.60, "W": 5.89,
+        "Y": 5.66, "V": 5.96},
 }
 
 # residue-level hydrogen-bond donor/acceptor side-chain heavy atoms

@@ -40,26 +40,24 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def quantize_leaf(w):
-    """(..., din, dout) float → int8 values + per-(…, dout) fp32 scales."""
+def quantize_leaf(w, bits: int = 8):
+    """(..., din, dout) float → int8/int4 values + per-(…, dout) fp32
+    scales (symmetric, per-output-channel)."""
     w32 = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)   # (..., 1, dout)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    qmax = float(2 ** (bits - 1) - 1)
+    scale = jnp.maximum(absmax, 1e-8) / qmax
+    store = jnp.int8 if bits == 8 else jnp.int4
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(store)
     return q, scale
 
 
 def quantize_params(params: Any,
-                    target_patterns: Sequence[str] = DEFAULT_TARGETS) -> Any:
-    """Returns a tree where targeted kernels are {kernel_q, scale} dicts."""
+                    target_patterns: Sequence[str] = DEFAULT_TARGETS,
+                    bits: int = 8) -> Any:
+    """Returns a tree where targeted kernels are {kernel_q, scale} dicts.
+    bits=4 stores native jnp.int4 (quarter the bf16 weight bytes)."""
     pats = [re.compile(p) for p in target_patterns]
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = []
-    replace_parent = {}
-    for path, leaf in flat:
-        out.append(leaf)
-    # operate structurally: walk dicts recursively instead
-    del flat, treedef, out, replace_parent
 
     def walk(node, prefix):
         if isinstance(node, dict):
@@ -67,7 +65,7 @@ def quantize_params(params: Any,
                     and hasattr(node["kernel"], "ndim")
                     and node["kernel"].ndim >= 2
                     and any(p.search(prefix + "/kernel") for p in pats)):
-                q, scale = quantize_leaf(node["kernel"])
+                q, scale = quantize_leaf(node["kernel"], bits)
                 new = {"kernel_q": q, "scale": scale}
                 for k, v in node.items():
                     if k != "kernel":

@@ -71,3 +71,26 @@ def test_quantized_generate_runs():
                                              eos_token_id=127,
                                              pad_token_id=126))
     assert np.asarray(toks).shape == (2, 4)
+
+
+def test_int4_quantization():
+    from prot2text_tpu.models.quant import quantize_params
+
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = init_decoder_params(cfg.core(), jax.random.PRNGKey(0))
+    q4 = quantize_params(params, bits=4)
+    assert q4["layers"]["q_proj"]["kernel_q"].dtype == jnp.int4
+
+    ids = np.random.default_rng(1).integers(0, 128, (2, 8))
+    mask = np.ones((2, 8), np.int64)
+    emb = embed_tokens(params, jnp.asarray(ids))
+    bias = causal_bias_from_mask(jnp.asarray(mask))
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    h4, _ = decoder_forward(cfg.core(), q4, inputs_embeds=emb, bias=bias,
+                            positions=pos)
+    hf_, _ = decoder_forward(cfg.core(), params, inputs_embeds=emb,
+                             bias=bias, positions=pos)
+    # int4 is lossier but must stay in the same ballpark
+    rel = np.abs(np.asarray(h4) - np.asarray(hf_)).max() / (
+        np.abs(np.asarray(hf_)).max() + 1e-9)
+    assert rel < 0.3, rel

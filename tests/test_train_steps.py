@@ -279,3 +279,74 @@ def test_esmc_lora_side_path_equals_merged():
     h_merged = esmc_encode(cfg, merged, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(h_side), np.asarray(h_merged),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_graph_sft_step_trains_rgcn_adapter():
+    from prot2text_tpu.models.adapters import (
+        RgcnAdapterConfig, init_rgcn_adapter_params,
+    )
+    from prot2text_tpu.models.esm2 import init_esm2_params
+    from prot2text_tpu.models.llama import init_llama_params
+    from prot2text_tpu.train.graph_instruct import (
+        GraphSFTConfig, make_graph_sft_train_step,
+    )
+
+    esm_cfg = ESM2Config(hidden_size=32, num_layers=2, num_heads=4,
+                         intermediate_size=64)
+    llama_cfg = LlamaConfig.tiny(vocab_size=128)
+    ad_cfg = RgcnAdapterConfig(32, 48, 64, n_relations=3, n_layers=2)
+    PH = 99
+
+    frozen = {
+        "esm_encoder": init_esm2_params(esm_cfg, jax.random.PRNGKey(0)),
+        "llama_decoder": init_llama_params(llama_cfg, jax.random.PRNGKey(1)),
+    }
+    lcfg = LoraConfig(r=2, alpha=4)
+    trainable = {
+        "adapter": init_rgcn_adapter_params(ad_cfg, jax.random.PRNGKey(2)),
+        "lora_llm": init_lora_params(lcfg, frozen["llama_decoder"],
+                                     jax.random.PRNGKey(3)),
+    }
+    tx = adamw_constant(1e-3)
+    state = TrainState.create(trainable, tx)
+    cfg = GraphSFTConfig(lora=lcfg, placeholder_id=PH, remat=False)
+    step = jax.jit(make_graph_sft_train_step(
+        esm_config=esm_cfg, adapter_config=ad_cfg,
+        decoder_core=llama_cfg.core(), cfg=cfg, tx=tx))
+
+    B, P, S = 2, 8, 14
+    prot_ids = np.full((B, P), 1)
+    prot_mask = np.zeros((B, P), np.int32)
+    ids = np.full((B, S), 7)
+    mask = np.ones((B, S), np.int32)
+    labels = np.full((B, S), -100)
+    for b, L in enumerate([8, 5]):
+        prot_ids[b, 0] = 0
+        prot_ids[b, 1:L - 1] = 5
+        prot_ids[b, L - 1] = 2
+        prot_mask[b, :L] = 1
+        pad = S - (L + 4)
+        ids[b, :pad] = 0
+        mask[b, :pad] = 0
+        ids[b, pad:pad + 2] = [1, 2]
+        ids[b, pad + 2:pad + 2 + L] = PH
+        ids[b, pad + 2 + L:] = 3
+        labels[b, pad + 2 + L:] = 3
+    batch = {
+        "protein_input_ids": jnp.asarray(prot_ids),
+        "protein_attention_mask": jnp.asarray(prot_mask),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(labels),
+        "graph_edge_index": jnp.asarray(np.array([[1, 2, 9], [2, 3, 10]])),
+        "graph_edge_type": jnp.asarray(np.array([0, 1, 2])),
+        "graph_edge_mask": jnp.asarray(np.ones(3, np.int32)),
+    }
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(6):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, frozen, batch, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
