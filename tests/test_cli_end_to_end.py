@@ -135,3 +135,15 @@ def test_generate_instruct_cli_with_graph(instruct_root, csv_path, tmp_path):
               "--output_dir", str(tmp_path / "res2")])
     out = glob.glob(str(tmp_path / "res2" / "*instruct*.json"))
     assert out and len(json.load(open(out[0]))) == 4
+
+
+def test_train_rgcn_instruct_cli(instruct_root, csv_path, tmp_path):
+    from prot2text_tpu.cli.train_rgcn_instruct import main
+
+    main(["--data_root", instruct_root, "--train_csv", csv_path,
+          "--debug_tiny_model", "true", "--num_epochs", "1",
+          "--batch_size", "2", "--model_dtype", "fp32",
+          "--attn_impl", "xla", "--lora_rank", "2", "--rgcn_layers", "2",
+          "--edge_budget", "512",
+          "--checkpoint_dir", str(tmp_path / "gck")])
+    assert glob.glob(str(tmp_path / "gck" / "checkpoints_*" / "step_*"))
