@@ -225,6 +225,8 @@ class LightCollator:
     system_message: str = SYSTEM_MESSAGE
     placeholder_token: str = "<|reserved_special_token_1|>"
     chat_family: Literal["llama3", "qwen3"] = "qwen3"
+    enable_thinking: bool = True   # qwen3 template: False injects an empty
+                                   # <think/> block like HF enable_thinking
     buckets: Buckets = dataclasses.field(default_factory=Buckets)
     rng: random.Random = dataclasses.field(
         default_factory=lambda: random.Random(0))
@@ -232,7 +234,7 @@ class LightCollator:
     def _chat(self, system: str, user: str) -> str:
         if self.chat_family == "llama3":
             return llama3_chat_prompt(system, user)
-        return qwen3_chat_prompt(system, user)
+        return qwen3_chat_prompt(system, user, self.enable_thinking)
 
     def __call__(self, batch: List[Dict]) -> Dict:
         accessions = [d.get("AlphaFoldDB") for d in batch]

@@ -147,3 +147,20 @@ def test_train_rgcn_instruct_cli(instruct_root, csv_path, tmp_path):
           "--edge_budget", "512",
           "--checkpoint_dir", str(tmp_path / "gck")])
     assert glob.glob(str(tmp_path / "gck" / "checkpoints_*" / "step_*"))
+
+
+@pytest.mark.parametrize("mod", [
+    "train_contrast", "train_instruct", "train_legacy",
+    "train_rgcn_instruct", "generate_instruct", "generate_instruct_light",
+    "generate_legacy", "benchmark", "convert_checkpoint", "get_data",
+])
+def test_cli_help(mod):
+    import importlib
+
+    m = importlib.import_module(f"prot2text_tpu.cli.{mod}")
+    with pytest.raises(SystemExit) as e:
+        if hasattr(m, "build_parser"):
+            m.build_parser().parse_args(["--help"])
+        else:
+            m.main(["--help"])
+    assert e.value.code == 0

@@ -149,3 +149,16 @@ def test_tp_actually_shards_and_matches():
         logits_s = decoder_logits(cfg, sharded, h_s)
     np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_partition_rules_fallback_to_replication():
+    """Non-divisible dims silently replicate instead of erroring."""
+    from prot2text_tpu.core.partition import DEFAULT_RULES
+
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    # hidden 31 not divisible by 2 → both dims dropped
+    spec = DEFAULT_RULES.spec_for("layers/q_proj/kernel", (4, 31, 31), mesh)
+    assert tuple(spec) == (None, None, None)
+    # mixed: 32 divisible, 31 not
+    spec = DEFAULT_RULES.spec_for("layers/q_proj/kernel", (4, 32, 31), mesh)
+    assert tuple(spec) == (None, "fsdp", None)
