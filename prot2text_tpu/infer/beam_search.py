@@ -23,7 +23,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.decoder import DecoderConfig, decoder_forward, decoder_logits
+from ..models.decoder import (
+    DecoderConfig, decoder_decode_step, decoder_forward, decoder_logits,
+)
 from .generate import GenerationConfig, _bias_from_kv_mask, _prefill_bias
 from .kvcache import init_kv_cache
 
@@ -100,13 +102,13 @@ def beam_search(
          cache, kv_mask) = state
         prev = alive_tokens[:, :, t - 1].reshape(B * K)        # (B*K,)
         emb = params["embed_tokens"][prev][:, None, :].astype(dtype)
+        pos = (last_pos_k + t)[:, None]
+        bias_t = _bias_from_kv_mask(kv_mask, 1)   # already-written slots only
+        h, cache = decoder_decode_step(
+            cfg, params, token_embeds=emb, bias_old=bias_t, positions=pos,
+            kv_cache=cache, cache_index=P + t - 1)
         kv_mask = jax.lax.dynamic_update_slice(
             kv_mask, jnp.ones((B * K, 1), jnp.int32), (0, P + t - 1))
-        pos = (last_pos_k + t)[:, None]
-        bias_t = _bias_from_kv_mask(kv_mask, 1)
-        h, cache = decoder_forward(
-            cfg, params, inputs_embeds=emb, bias=bias_t, positions=pos,
-            kv_cache=cache, cache_index=P + t - 1, attn_impl=attn_impl)
         logp = jax.nn.log_softmax(
             decoder_logits(cfg, params, h)[:, 0], axis=-1)     # (B*K, V)
         logp = logp.reshape(B, K, V)

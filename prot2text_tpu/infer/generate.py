@@ -23,7 +23,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..models.decoder import DecoderConfig, decoder_forward, decoder_logits
+from ..models.decoder import (
+    DecoderConfig, decoder_decode_step, decoder_forward, decoder_logits,
+)
 from .kvcache import init_kv_cache
 
 
@@ -158,14 +160,17 @@ def generate(
         t, tokens, cache, kv_mask, finished, rng = state
         prev = tokens[:, t - 1]
         emb = params["embed_tokens"][prev][:, None, :].astype(dtype)  # (B,1,H)
+        pos = (last_pos + t)[:, None]                     # (B, 1)
+        # bias over ALREADY-written slots; the current token's kv is handled
+        # separately inside decoder_decode_step (profiler-driven: avoids the
+        # per-layer cache copies of the generic scan path)
+        bias = _bias_from_kv_mask(kv_mask, 1)
+        h, cache = decoder_decode_step(
+            cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
+            kv_cache=cache, cache_index=P + t - 1,
+        )
         kv_mask = jax.lax.dynamic_update_slice(
             kv_mask, jnp.ones((B, 1), jnp.int32), (0, P + t - 1))
-        pos = (last_pos + t)[:, None]                     # (B, 1)
-        bias = _bias_from_kv_mask(kv_mask, 1)
-        h, cache = decoder_forward(
-            cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
-            kv_cache=cache, cache_index=P + t - 1, attn_impl=attn_impl,
-        )
         logits = decoder_logits(cfg, params, h)[:, 0]
         rng, key = jax.random.split(rng)
         tok = _sample_token(logits, gen_cfg, key)
