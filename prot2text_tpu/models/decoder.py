@@ -248,9 +248,10 @@ def decoder_decode_step(
     cos, sin = decoder_rope_cos_sin(cfg, positions)   # (B, 1, D)
     scaling = D ** -0.5
     bias_o = bias_old.reshape(B, 1, 1, T).astype(jnp.float32)
+    ck_all = kv_cache["k"]
+    cv_all = kv_cache["v"]
 
-    def block(carry, xs):
-        x, ck_all, cv_all = carry
+    def block(x, xs):
         lp, li = xs
         xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
         q = linear(lp["q_proj"], xn).reshape(B, H, D)
@@ -287,18 +288,18 @@ def decoder_decode_step(
         gate = jax.nn.silu(linear(lp["gate_proj"], xn).astype(jnp.float32))
         up = linear(lp["up_proj"], xn).astype(jnp.float32)
         x = x + linear(lp["down_proj"], (gate * up).astype(xn.dtype))
+        # cache stays READ-ONLY inside the scan; new kv returned as ys and
+        # written with ONE small dynamic_update_slice below — keeping the
+        # cache out of scan carries/ys is what lets XLA update it in place
+        return x, (k.astype(ck_all.dtype), v.astype(cv_all.dtype))
 
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k.astype(ck_all.dtype)[None, :, :, None, :],
-            (li, 0, 0, cache_index, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v.astype(cv_all.dtype)[None, :, :, None, :],
-            (li, 0, 0, cache_index, 0))
-        return (x, ck_all, cv_all), None
-
-    (h, ck_all, cv_all), _ = jax.lax.scan(
-        block, (token_embeds, kv_cache["k"], kv_cache["v"]),
-        (params["layers"], jnp.arange(L)))
+    h, (k_new, v_new) = jax.lax.scan(
+        block, token_embeds, (params["layers"], jnp.arange(L)))
+    # k_new/v_new: (L, B, Hkv, D) → one (L, B, Hkv, 1, D) write at the slot
+    ck_all = jax.lax.dynamic_update_slice(
+        ck_all, k_new[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+    cv_all = jax.lax.dynamic_update_slice(
+        cv_all, v_new[:, :, :, None, :], (0, 0, 0, cache_index, 0))
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, {"k": ck_all, "v": cv_all}
 
