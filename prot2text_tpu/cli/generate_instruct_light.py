@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--esm_checkpoint_path", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--load_sft_checkpoint_dir", type=str, default=None)
+    p.add_argument("--load_peft_adapter_dir", type=str, default=None,
+                   help="reference-style PEFT LoRA dir for the LLM decoder")
     p.add_argument("--lora_rank", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_new_tokens", type=int, default=256)
@@ -80,6 +82,13 @@ def main(argv=None):
             shard_index=jax.process_index(), shuffle=False), drop_last=False)
 
     esm_cfg, llm_cfg, adapter_cfg, frozen, adapter = build_models(args, tok)
+    if args.load_peft_adapter_dir:
+        from ..models.peft_interop import lora_params_from_peft_dir
+
+        lora_tree, lcfg = lora_params_from_peft_dir(
+            args.load_peft_adapter_dir, frozen["llm_decoder"])
+        frozen["llm_decoder"] = merge_lora(
+            lcfg, frozen["llm_decoder"], lora_tree)
     if args.load_sft_checkpoint_dir:
         sft = restore_checkpoint(args.load_sft_checkpoint_dir)
         lora_cfg = LoraConfig(r=args.lora_rank, alpha=2 * args.lora_rank)
