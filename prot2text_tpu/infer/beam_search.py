@@ -5,7 +5,7 @@ generate_instruct.py:43); here it is a device-side jitted loop (SURVEY.md §7
 hard part #6):
 
   * beams live as an expanded batch (B*K) over the same cache layout as
-    greedy decode — beam reordering is ONE gather of the (L, B*K, Hkv, T, D)
+    greedy decode — beam reordering is ONE gather of the (L, T, B*K, Hkv, D)
     cache per step
   * alive/finished split: each step takes top-2K candidates, keeps the best
     K non-EOS as alive and folds EOS candidates into the finished set
@@ -77,7 +77,7 @@ def beam_search(
     logp0 = jax.nn.log_softmax(
         decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1)  # (B, V)
 
-    cache = {k: jnp.repeat(v, K, axis=1) for k, v in cache_b.items()}
+    cache = {k: jnp.repeat(v, K, axis=2) for k, v in cache_b.items()}
     kv_mask = _expand_beams(attention_mask.astype(jnp.int32), K)  # (B*K, P)
     kv_mask = jnp.concatenate(
         [kv_mask, jnp.zeros((B * K, NEW), jnp.int32)], axis=1)
@@ -149,7 +149,7 @@ def beam_search(
 
         # reorder cache to follow the alive beams
         flat_sel = (jnp.arange(B)[:, None] * K + new_alive_beam).reshape(-1)
-        cache = {k: v[:, flat_sel] for k, v in cache.items()}
+        cache = {k: v[:, :, flat_sel] for k, v in cache.items()}
 
         return (new_alive_tokens, new_alive_scores, new_fin_tokens,
                 new_fin_scores, cache, kv_mask)

@@ -15,6 +15,10 @@ from ..models.decoder import DecoderConfig
 
 def init_kv_cache(cfg: DecoderConfig, batch_size: int, max_length: int,
                   dtype=jnp.float32):
-    shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, max_length,
+    """Cache layout (L, T, B, Hkv, D): sequence-leading after the layer dim,
+    so the per-step decode write is a near-contiguous (L, 1, B, Hkv, D) slab
+    (profiler-driven — strided slot writes forced XLA into full-cache
+    copies)."""
+    shape = (cfg.num_layers, max_length, batch_size, cfg.num_kv_heads,
              cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -8,10 +8,12 @@ reference (models/modeling_esm2llama_instruct.py:204-215, esmc_qwen_arc.py:208)
   * optional per-head q/k RMSNorm (Qwen3), optional llama3 rope scaling
   * logits computed in fp32; optional tied embeddings
 
-KV-cached decoding: the cache is a (L, B, Hkv, T, D) pytree threaded through
-the layer scan; writes are `dynamic_update_slice` at `cache_index`, so the
-whole decode step jits with static shapes (replacing HF GenerationMixin's
-dynamic cache, reference generate_instruct.py:72-87).
+KV-cached decoding: the cache is a (L, T, B, Hkv, D) pytree
+(sequence-leading after the layer dim — slab-shaped slot writes); prefill
+writes whole prompt slabs inside the layer scan, and single-token decoding
+goes through `decoder_decode_step` (cache read-only in the scan, one write
+per step).  Static shapes throughout — the whole decode loop jits once
+(replacing HF GenerationMixin's dynamic cache, generate_instruct.py:72-87).
 """
 
 from __future__ import annotations
@@ -127,7 +129,7 @@ def decoder_forward(
     inputs_embeds,          # (B, S, H)
     bias,                   # fp32 additive (B, 1, S, T)
     positions,              # (B, S) int32 rope positions
-    kv_cache=None,          # {"k","v"}: (L, B, Hkv, T, D) or None
+    kv_cache=None,          # {"k","v"}: (L, T, B, Hkv, D) or None
     cache_index=None,       # scalar int32 write offset into T
     attn_impl: str = "xla",
     remat: bool = False,
@@ -169,12 +171,14 @@ def decoder_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if layer_cache is not None:
+            # per-layer cache is (T, B, Hkv, D); k/v here are (B, Hkv, S, D)
             ck, cv = layer_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, 0, cache_index, 0))
-            k_full, v_full = ck, cv
+            k_t = k.transpose(2, 0, 1, 3).astype(ck.dtype)   # (S, B, Hkv, D)
+            v_t = v.transpose(2, 0, 1, 3).astype(cv.dtype)
+            ck = jax.lax.dynamic_update_slice(ck, k_t, (cache_index, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_t, (cache_index, 0, 0, 0))
+            k_full = ck.transpose(1, 2, 0, 3)                # (B, Hkv, T, D)
+            v_full = cv.transpose(1, 2, 0, 3)
             new_cache = (ck, cv)
         else:
             k_full, v_full = k, v
@@ -227,7 +231,7 @@ def decoder_decode_step(
     token_embeds,        # (B, 1, H) — current token embedding
     bias_old,            # fp32 (B, 1, 1, T) over ALREADY-WRITTEN cache slots
     positions,           # (B, 1) rope positions of the current token
-    kv_cache,            # {"k","v"}: (L, B, Hkv, T, D)
+    kv_cache,            # {"k","v"}: (L, T, B, Hkv, D)
     cache_index,         # scalar int32 slot for the current token's kv
 ):
     """Single-token decode step optimized from profiler evidence: the
@@ -242,7 +246,7 @@ def decoder_decode_step(
     B = token_embeds.shape[0]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rep = H // Hkv
-    T = kv_cache["k"].shape[3]
+    T = kv_cache["k"].shape[1]
     L = cfg.num_layers
 
     cos, sin = decoder_rope_cos_sin(cfg, positions)   # (B, 1, D)
@@ -267,9 +271,10 @@ def decoder_decode_step(
 
         ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        # grouped-head attention: stale cache + current token, no temps
+        # grouped-head attention over the (T, B, Hkv, D) stale cache + the
+        # current token — no temps, no layout transposes
         logits_old = jnp.einsum(
-            "bkrd,bktd->bkrt", qg, ck,
+            "bkrd,tbkd->bkrt", qg, ck,
             preferred_element_type=jnp.float32) + bias_o
         logit_new = jnp.einsum(
             "bkrd,bkd->bkr", qg, k.astype(qg.dtype),
@@ -278,7 +283,7 @@ def decoder_decode_step(
         w = jax.nn.softmax(logits, axis=-1)
         w_old = w[..., :T].astype(cv.dtype)
         w_new = w[..., T:].astype(v.dtype)
-        a = jnp.einsum("bkrt,bktd->bkrd", w_old, cv,
+        a = jnp.einsum("bkrt,tbkd->bkrd", w_old, cv,
                        preferred_element_type=jnp.float32).astype(x.dtype)
         a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
                  ).astype(x.dtype)
@@ -295,11 +300,11 @@ def decoder_decode_step(
 
     h, (k_new, v_new) = jax.lax.scan(
         block, token_embeds, (params["layers"], jnp.arange(L)))
-    # k_new/v_new: (L, B, Hkv, D) → one (L, B, Hkv, 1, D) write at the slot
+    # k_new/v_new: (L, B, Hkv, D) → one (L, 1, B, Hkv, D) slab write
     ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k_new[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        ck_all, k_new[:, None], (0, cache_index, 0, 0, 0))
     cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v_new[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, {"k": ck_all, "v": cv_all}
 
