@@ -300,11 +300,20 @@ def decoder_decode_step(
 
     h, (k_new, v_new) = jax.lax.scan(
         block, token_embeds, (params["layers"], jnp.arange(L)))
-    # k_new/v_new: (L, B, Hkv, D) → one (L, 1, B, Hkv, D) slab write
-    ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k_new[:, None], (0, cache_index, 0, 0, 0))
-    cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
+    # k_new/v_new: (L, B, Hkv, D) → one slab write per step.  On TPU the
+    # write is a Pallas kernel with input_output_aliases (guaranteed
+    # in-place; XLA's dynamic_update_slice copies the whole cache through
+    # the while carry — profiler-verified).
+    from ..kernels.cache_update import cache_slot_write, supports_inplace
+
+    if jax.default_backend() == "tpu" and supports_inplace(ck_all.shape):
+        ck_all = cache_slot_write(ck_all, k_new, cache_index)
+        cv_all = cache_slot_write(cv_all, v_new, cache_index)
+    else:
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k_new[:, None], (0, cache_index, 0, 0, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, {"k": ck_all, "v": cv_all}
 

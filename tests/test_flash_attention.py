@@ -118,3 +118,22 @@ def test_flash_backward_bidirectional_ragged():
     for a, b, name in zip(gf, gx, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_cache_slot_write_interpret():
+    from prot2text_tpu.kernels.cache_update import (
+        cache_slot_write, supports_inplace,
+    )
+
+    assert supports_inplace((2, 8, 2, 4, 16))      # 2*4*16 = 128
+    assert not supports_inplace((2, 8, 2, 4, 15))
+    L, T, B, H, D = 2, 8, 2, 4, 16
+    cache = jnp.asarray(
+        np.random.default_rng(0).standard_normal((L, T, B, H, D)),
+        jnp.float32)
+    new = jnp.asarray(
+        np.random.default_rng(1).standard_normal((L, B, H, D)), jnp.float32)
+    ref = np.asarray(cache).copy()   # before the call — the input donates
+    ref[:, 5] = np.asarray(new)
+    out = np.asarray(cache_slot_write(cache, new, 5, interpret=True))
+    np.testing.assert_array_equal(out, ref)
