@@ -306,6 +306,10 @@ def decoder_decode_step(
     # the while carry — profiler-verified).
     from ..kernels.cache_update import cache_slot_write, supports_inplace
 
+    # NOTE: two separate aliased calls measure FASTER than one fused
+    # two-output call (15.2k vs 13.7k tok/s on the 8Lx1024 bench) — XLA
+    # schedules the k/v writes concurrently with surrounding work when they
+    # are independent kernels.
     if jax.default_backend() == "tpu" and supports_inplace(ck_all.shape):
         ck_all = cache_slot_write(ck_all, k_new, cache_index)
         cv_all = cache_slot_write(cv_all, v_new, cache_index)

@@ -137,3 +137,19 @@ def test_cache_slot_write_interpret():
     ref[:, 5] = np.asarray(new)
     out = np.asarray(cache_slot_write(cache, new, 5, interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_cache_slot_write_kv_interpret():
+    from prot2text_tpu.kernels.cache_update import cache_slot_write_kv
+
+    L, T, B, H, D = 2, 8, 2, 4, 16
+    rng = np.random.default_rng(2)
+    ck = jnp.asarray(rng.standard_normal((L, T, B, H, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, T, B, H, D)), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((L, B, H, D)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((L, B, H, D)), jnp.float32)
+    ref_k = np.asarray(ck).copy(); ref_k[:, 3] = np.asarray(nk)
+    ref_v = np.asarray(cv).copy(); ref_v[:, 3] = np.asarray(nv)
+    ok, ov = cache_slot_write_kv(ck, cv, nk, nv, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ok), ref_k)
+    np.testing.assert_array_equal(np.asarray(ov), ref_v)
