@@ -155,6 +155,131 @@ def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
 
 
 # ---------------------------------------------------------------------------
+# bias-free masked forward: masks computed in-kernel from per-row lengths —
+# nothing of size (B, Sq, Skv) ever touches HBM (the bias-tensor variant
+# measured SLOWER than XLA fused attention at S=512 because of exactly that
+# materialization)
+
+
+def _fwd_masked_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                       *, n_kv_blocks: int, block_q: int, block_k: int,
+                       causal: bool, n_heads: int):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    b = bh // n_heads
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (BQ, BK)
+
+    start = kv_start_ref[b]
+    length = kv_len_ref[b]
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    ok = jnp.logical_and(cols >= start, cols < start + length)
+    if causal:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        ok = jnp.logical_and(ok, cols <= rows)
+    logits = jnp.where(ok, logits, NEG_INF)
+
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        l = l_scr[:]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(safe_l)
+
+
+def flash_attention_masked(q, k, v, kv_start, kv_len, *, causal: bool = False,
+                           block_q: int = 256, block_k: int = 256,
+                           interpret: bool = False):
+    """Bias-free flash attention.  Valid keys per row b are the index range
+    [kv_start[b], kv_start[b]+kv_len[b]); `causal` additionally enforces
+    col ≤ row on SEQUENCE indices (both Sq and Skv indexed from 0 — the
+    self-attention layout of the encoder and prefill paths).
+
+    q/k/v: (B, H, S*, D); kv_start/kv_len: (B,) int32.  Not differentiable
+    (inference/encoder-frozen paths); use flash_attention_tpu for training
+    grads or XLA attention."""
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    BQ = min(block_q, _round_up(Sq, 8))
+    BK = min(block_k, _round_up(Skv, 8))
+    Sq_p = _round_up(Sq, BQ)
+    Skv_p = _round_up(Skv, BK)
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0))).reshape(
+        B * H, Skv_p, D)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0))).reshape(
+        B * H, Skv_p, D)
+    n_q, n_kv = Sq_p // BQ, Skv_p // BK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * H, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j, *_: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j, *_: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda bh, i, j, *_: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BQ, D), lambda bh, i, j, *_: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda bh, i, j, *_: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, D), jnp.float32),
+        ],
+    )
+    o, _ = pl.pallas_call(
+        functools.partial(
+            _fwd_masked_kernel, n_kv_blocks=n_kv, block_q=BQ, block_k=BK,
+            causal=causal, n_heads=H),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sq_p, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(kv_start, jnp.int32), jnp.asarray(kv_len, jnp.int32),
+      qf, kf, vf)
+    return o.reshape(B, H, Sq_p, D)[:, :, :Sq]
+
+
+# ---------------------------------------------------------------------------
 # backward
 
 

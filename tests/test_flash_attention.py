@@ -153,3 +153,42 @@ def test_cache_slot_write_kv_interpret():
     ok, ov = cache_slot_write_kv(ck, cv, nk, nv, 3, interpret=True)
     np.testing.assert_array_equal(np.asarray(ok), ref_k)
     np.testing.assert_array_equal(np.asarray(ov), ref_v)
+
+
+def test_flash_masked_matches_xla_bidirectional():
+    q, k, v = _qkv(Sq=40, Skv=40, seed=11)
+    mask = np.ones((2, 40), np.int32)
+    mask[1, 25:] = 0   # right padding: start 0, len 25
+    bias = make_attention_bias(jnp.asarray(mask))
+    ref = _xla_attention(q, k, v, bias)
+    from prot2text_tpu.kernels.flash_attention import flash_attention_masked
+
+    out = flash_attention_masked(
+        q, k, v, kv_start=jnp.zeros(2, jnp.int32),
+        kv_len=jnp.asarray(mask.sum(1)), block_q=16, block_k=16,
+        interpret=True)
+    valid_q = np.ones((2, 40), bool)
+    o = np.asarray(out).transpose(0, 2, 1, 3)[valid_q]
+    r = np.asarray(ref).transpose(0, 2, 1, 3)[valid_q]
+    np.testing.assert_allclose(o, r, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_masked_causal_left_padded():
+    q, k, v = _qkv(Sq=24, Skv=24, seed=12)
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :6] = 0    # left padding: start 6, len 18
+    pos = jnp.broadcast_to(jnp.arange(24), (2, 24))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+    ref = _xla_attention(q, k, v, bias)
+    from prot2text_tpu.kernels.flash_attention import flash_attention_masked
+
+    starts = jnp.asarray([6, 0], jnp.int32)
+    lens = jnp.asarray([18, 24], jnp.int32)
+    out = flash_attention_masked(q, k, v, kv_start=starts, kv_len=lens,
+                                 causal=True, block_q=8, block_k=8,
+                                 interpret=True)
+    valid = np.asarray(mask).astype(bool)
+    o = np.asarray(out).transpose(0, 2, 1, 3)[valid]
+    r = np.asarray(ref).transpose(0, 2, 1, 3)[valid]
+    np.testing.assert_allclose(o, r, atol=2e-5, rtol=2e-5)
