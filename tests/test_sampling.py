@@ -110,3 +110,28 @@ def test_prefetch_preserves_order_and_exhausts():
 
     items = list(prefetch(iter(range(17)), size=3))
     assert items == list(range(17))
+
+
+def test_run_generation_dispatches_beams():
+    import jax
+
+    from prot2text_tpu.infer.generate import GenerationConfig, run_generation
+    from prot2text_tpu.models.decoder import init_decoder_params
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.tiny(vocab_size=64).core()
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.standard_normal((2, 5, cfg.hidden_size))
+                      .astype(np.float32))
+    mask = jnp.ones((2, 5), jnp.int32)
+    greedy = run_generation(
+        cfg, params, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=GenerationConfig(max_new_tokens=4, eos_token_id=63,
+                                 pad_token_id=62))
+    beams = run_generation(
+        cfg, params, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=GenerationConfig(max_new_tokens=4, eos_token_id=63,
+                                 pad_token_id=62, num_beams=3))
+    assert np.asarray(greedy).shape == np.asarray(beams).shape == (2, 4)
+    # beam score(sum logp of beam seq) >= greedy's by construction
