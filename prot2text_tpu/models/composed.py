@@ -88,6 +88,7 @@ class Esm2LlamaInstructForCausalLM:
         labels=None,
         protein_input_ids=None,
         protein_attention_mask=None,
+        protein_inputs_embeds=None,
         return_encoder_outputs: bool = False,
         return_adapter_outputs: bool = False,
         return_decoder_inputs: bool = False,
@@ -98,7 +99,8 @@ class Esm2LlamaInstructForCausalLM:
     ):
         enc = esm2_encode(
             config.esm_config, params["esm_encoder"], protein_input_ids,
-            protein_attention_mask, attn_impl=attn_impl, remat=remat)
+            protein_attention_mask, inputs_embeds=protein_inputs_embeds,
+            attn_impl=attn_impl, remat=remat)
         if return_encoder_outputs:
             return enc
         adapted = modality_adapter(
@@ -134,7 +136,8 @@ class Esm2LlamaInstructForCausalLM:
     __call__ = forward
 
     def generate(self, inputs, attention_mask=None, protein_input_ids=None,
-                 protein_attention_mask=None, **gen_kwargs):
+                 protein_attention_mask=None, protein_inputs_embeds=None,
+                 **gen_kwargs):
         """Prompt-only inputs; output contains ONLY new tokens (reference
         modeling_esm2llama_instruct.py:229)."""
         inputs_embeds, attention_mask = self.apply(
@@ -142,6 +145,7 @@ class Esm2LlamaInstructForCausalLM:
             input_ids=inputs, attention_mask=attention_mask,
             protein_input_ids=protein_input_ids,
             protein_attention_mask=protein_attention_mask,
+            protein_inputs_embeds=protein_inputs_embeds,
             return_decoder_inputs=True, attn_impl=self.attn_impl)
         from ..infer.generate import GenerationConfig, run_generation
 

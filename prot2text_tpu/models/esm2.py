@@ -135,17 +135,26 @@ def _embed(cfg: ESM2Config, params, input_ids, attention_mask):
 def esm2_encode(
     cfg: ESM2Config,
     params,
-    input_ids,           # (B, S) int32, right-padded with pad_token_id
-    attention_mask,      # (B, S) 0/1
+    input_ids=None,      # (B, S) int32, right-padded with pad_token_id
+    attention_mask=None,  # (B, S) 0/1
     *,
+    inputs_embeds=None,  # (B, S, H) — bypasses embedding+token-dropout (the
+                         # reference's protein_inputs_embeds path,
+                         # modeling_esm2llama_instruct.py:154, :180)
     attn_impl: str = "xla",
     remat: bool = False,
 ):
     """Return per-token hidden states (B, S, H)."""
-    B, S = input_ids.shape
+    if inputs_embeds is not None:
+        B, S, _ = inputs_embeds.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, S), jnp.int32)
+        h = inputs_embeds * attention_mask[..., None].astype(
+            inputs_embeds.dtype)
+    else:
+        B, S = input_ids.shape
+        h = _embed(cfg, params, input_ids, attention_mask)
     H, D = cfg.num_heads, cfg.head_dim
-
-    h = _embed(cfg, params, input_ids, attention_mask)
     bias = make_attention_bias(attention_mask, causal=False)
     positions = jnp.arange(S, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, D, cfg.rope_theta)

@@ -75,3 +75,24 @@ def test_esm2_hidden_states_match_hf(hf_esm):
     # padded positions are garbage in both; compare valid positions only
     m = mask.astype(bool)
     np.testing.assert_allclose(out[m], ref[m], atol=2e-5, rtol=2e-5)
+
+
+def test_esm2_inputs_embeds_path(hf_esm):
+    """protein_inputs_embeds bypass (reference forward arg) matches HF."""
+    import torch
+
+    hf_cfg, model = hf_esm
+    cfg = ESM2Config(vocab_size=33, hidden_size=64, num_layers=3, num_heads=4,
+                     intermediate_size=128)
+    params = esm2_params_from_hf(model.state_dict(), cfg.num_layers)
+    rng = np.random.default_rng(4)
+    B, S = 2, 9
+    embeds = rng.standard_normal((B, S, 64)).astype(np.float32)
+    mask = np.ones((B, S), np.int64)
+    with torch.no_grad():
+        ref = model(inputs_embeds=torch.tensor(embeds),
+                    attention_mask=torch.tensor(mask)).last_hidden_state
+    out = esm2_encode(cfg, params, attention_mask=jnp.asarray(mask),
+                      inputs_embeds=jnp.asarray(embeds))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               atol=3e-5, rtol=3e-5)

@@ -90,3 +90,36 @@ def test_centroid_granularity(tmp_path):
     assert not np.allclose(ca, cen)  # backbone centroid != CA
     g = build_protein_graph(pdb, granularity="centroids")
     np.testing.assert_allclose(g["coords"], cen.astype(np.float32))
+
+
+def test_download_failures_are_logged_not_fatal(tmp_path, capsys):
+    """dataset.download(): unreachable URLs are skipped (reference
+    dataset.py:229-237 fault tolerance)."""
+    import pandas as pd
+
+    from prot2text_tpu.data.chat import ByteTextTokenizer
+    from prot2text_tpu.data.dataset import Prot2TextInstructDataset
+
+    csv = tmp_path / "c.csv"
+    pd.DataFrame({
+        "AlphaFoldDB": ["ZZZZ1"], "Full Name": ["x"], "taxon": ["y"],
+        "sequence": ["MKV"], "function": ["f"],
+    }).to_csv(csv, index=False)
+    ds = Prot2TextInstructDataset(
+        root_dir=str(tmp_path / "root"), csv_path=str(csv),
+        description_tokenizer=ByteTextTokenizer(),
+        skip_download=False, skip_reload=True)   # zero-egress → must not raise
+    assert len(ds) == 0
+    assert "failed ZZZZ1" in capsys.readouterr().err
+
+
+def test_collator_invalid_mode_raises():
+    import pytest as _pytest
+
+    from prot2text_tpu.data.collate import InstructCollator
+
+    c = InstructCollator(text_pad_token_id=0, mode="bogus")
+    with _pytest.raises(ValueError):
+        c([{"sequence_input_ids": np.array([0, 5, 2]),
+            "prompt_input_ids": np.array([1]),
+            "description_input_ids": np.array([2])}])
