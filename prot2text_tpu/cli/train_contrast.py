@@ -54,6 +54,11 @@ def build_parser():
     p.add_argument("--temperature", type=float, default=0.05)
     p.add_argument("--name_dropout", type=float, default=0.8)
     p.add_argument("--taxonomy_dropout", type=float, default=0.8)
+    p.add_argument("--resume_checkpoint_dir", type=str, default=None,
+                   help="resume adapter+optimizer+step from a checkpoint dir"
+                        " (reference --load_model_checkpoint_path +"
+                        " --load_optimizer_scheduler_checkpoint_path; unlike"
+                        " the reference, the step counter is restored too)")
     p.add_argument("--debug_trim_train_split", type=int, default=None)
     p.add_argument("--debug_trim_eval_split", type=int, default=None)
     p.add_argument("--debug_tiny_model", type=str2bool, default=False)
@@ -155,6 +160,17 @@ def main(argv=None):
         warmup_frac=0.06, grad_clip=args.gradient_clipping,
         steps_per_period=steps_per_epoch)
     state = TrainState.create(adapter, tx)
+    if args.resume_checkpoint_dir:
+        from ..core.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(args.resume_checkpoint_dir)
+        state = TrainState(params=restored["adapter"],
+                           opt_state=jax.tree_util.tree_unflatten(
+                               jax.tree_util.tree_structure(state.opt_state),
+                               jax.tree_util.tree_leaves(
+                                   restored["opt_state"])),
+                           step=jnp.asarray(restored["step"], jnp.int32))
+        print(f"resumed from step {int(state.step)}")
 
     step_fn = jax.jit(make_contrastive_train_step(
         esm_config=esm_cfg, adapter_config=adapter_cfg,

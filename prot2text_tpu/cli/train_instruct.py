@@ -50,6 +50,8 @@ def build_parser():
     p.add_argument("--fix_modality_adapter", type=str2bool, default=False)
     p.add_argument("--name_dropout", type=float, default=0.8)
     p.add_argument("--taxonomy_dropout", type=float, default=0.8)
+    p.add_argument("--resume_checkpoint_dir", type=str, default=None,
+                   help="resume LoRA+adapter+optimizer+step")
     p.add_argument("--debug_trim_train_split", type=int, default=None)
     p.add_argument("--debug_tiny_model", type=str2bool, default=False)
     p.add_argument("--profile_dir", type=str, default=None,
@@ -112,6 +114,20 @@ def main(argv=None):
         warmup_frac=0.06, weight_decay=args.weight_decay,
         grad_clip=args.gradient_clipping)
     state = TrainState.create(trainable, tx)
+    if args.resume_checkpoint_dir:
+        import jax.numpy as jnp
+
+        restored = restore_checkpoint(args.resume_checkpoint_dir)
+        params = {"lora_esm": restored["lora_esm"],
+                  "lora_llm": restored["lora_llm"],
+                  "adapter": restored["adapter"]}
+        state = TrainState(params=params,
+                           opt_state=jax.tree_util.tree_unflatten(
+                               jax.tree_util.tree_structure(state.opt_state),
+                               jax.tree_util.tree_leaves(
+                                   restored["opt_state"])),
+                           step=jnp.asarray(restored["step"], jnp.int32))
+        print(f"resumed from step {int(state.step)}")
     step_fn = jax.jit(make_sft_train_step(
         esm_config=esm_cfg, adapter_config=adapter_cfg,
         decoder_core=llm_cfg.core(), cfg=sft_cfg, tx=tx,

@@ -164,3 +164,22 @@ def test_cli_help(mod):
         else:
             m.main(["--help"])
     assert e.value.code == 0
+
+
+def test_train_contrast_resume(csv_path, tmp_path):
+    from prot2text_tpu.cli.train_contrast import main
+
+    base = ["--train_csv", csv_path, "--debug_tiny_model", "true",
+            "--batch_size", "2", "--gradient_accumulation_steps", "1",
+            "--model_dtype", "fp32", "--attn_impl", "xla"]
+    main(base + ["--num_epochs", "1", "--checkpoint_dir", str(tmp_path)])
+    ck = sorted(glob.glob(str(tmp_path / "checkpoints_*")))[-1]
+    # resume picks up params + optimizer + STEP COUNTER
+    main(base + ["--num_epochs", "1",
+                 "--resume_checkpoint_dir", ck,
+                 "--checkpoint_dir", str(tmp_path / "resumed")])
+    ck2 = sorted(glob.glob(str(tmp_path / "resumed" / "checkpoints_*")))[-1]
+    from prot2text_tpu.core.checkpoint import restore_checkpoint
+
+    assert int(restore_checkpoint(ck2)["step"]) > int(
+        restore_checkpoint(ck)["step"])
