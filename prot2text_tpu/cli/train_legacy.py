@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--scheduler_gamma", type=float, default=0.1)
     p.add_argument("--gradient_clipping", type=float, default=None)
     p.add_argument("--original_eos_token_id", type=int, default=128009)
+    p.add_argument("--resume_checkpoint_dir", type=str, default=None,
+                   help="resume model+optimizer+step (reference"
+                        " --load_general_checkpoint_path)")
     p.add_argument("--debug_trim_train_split", type=int, default=None)
     p.add_argument("--debug_tiny_model", type=str2bool, default=False)
     p.add_argument("--profile_dir", type=str, default=None,
@@ -113,6 +116,19 @@ def main(argv=None):
     tx = step_lr(args.learning_rate, args.scheduler_gamma, steps_per_epoch,
                  grad_clip=args.gradient_clipping)
     state = TrainState.create(model.params, tx)
+    if args.resume_checkpoint_dir:
+        import jax.numpy as jnp
+
+        from ..core.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(args.resume_checkpoint_dir)
+        state = TrainState(params=restored["model"],
+                           opt_state=jax.tree_util.tree_unflatten(
+                               jax.tree_util.tree_structure(state.opt_state),
+                               jax.tree_util.tree_leaves(
+                                   restored["opt_state"])),
+                           step=jnp.asarray(restored["step"], jnp.int32))
+        print(f"resumed from step {int(state.step)}")
     step_fn = jax.jit(make_legacy_train_step(
         config=cfg, tx=tx, attn_impl=args.attn_impl,
         grad_accum=args.gradient_accumulation_steps))
