@@ -216,17 +216,8 @@ def _fwd_masked_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
         lse_ref[0] = m_scr[:] + jnp.log(safe_l)
 
 
-def flash_attention_masked(q, k, v, kv_start, kv_len, *, causal: bool = False,
-                           block_q: int = 256, block_k: int = 256,
-                           interpret: bool = False):
-    """Bias-free flash attention.  Valid keys per row b are the index range
-    [kv_start[b], kv_start[b]+kv_len[b]); `causal` additionally enforces
-    col ≤ row on SEQUENCE indices (both Sq and Skv indexed from 0 — the
-    self-attention layout of the encoder and prefill paths).
-
-    q/k/v: (B, H, S*, D); kv_start/kv_len: (B,) int32.  Not differentiable
-    (inference/encoder-frozen paths); use flash_attention_tpu for training
-    grads or XLA attention."""
+def _flash_masked_fwd_impl(q, k, v, kv_start, kv_len, causal,
+                           block_q, block_k, interpret):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     BQ = min(block_q, _round_up(Sq, 8))
@@ -264,7 +255,7 @@ def flash_attention_masked(q, k, v, kv_start, kv_len, *, causal: bool = False,
             pltpu.VMEM((BQ, D), jnp.float32),
         ],
     )
-    o, _ = pl.pallas_call(
+    o, lse = pl.pallas_call(
         functools.partial(
             _fwd_masked_kernel, n_kv_blocks=n_kv, block_q=BQ, block_k=BK,
             causal=causal, n_heads=H),
@@ -276,7 +267,7 @@ def flash_attention_masked(q, k, v, kv_start, kv_len, *, causal: bool = False,
         interpret=interpret,
     )(jnp.asarray(kv_start, jnp.int32), jnp.asarray(kv_len, jnp.int32),
       qf, kf, vf)
-    return o.reshape(B, H, Sq_p, D)[:, :, :Sq]
+    return o.reshape(B, H, Sq_p, D)[:, :, :Sq], lse
 
 
 # ---------------------------------------------------------------------------
@@ -469,3 +460,243 @@ def flash_attention_tpu(q, k, v, bias, *, block_q: int = 128,
     (B, 1|H, Sq|1, Skv).  Caller pre-scales q.  Differentiable (custom VJP
     with Pallas backward kernels); bias gradients are not propagated."""
     return _flash_attention(q, k, v, bias, block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# masked backward (mirrors the bias-variant backward with in-kernel masks)
+
+
+def _bwd_masked_dq_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                          do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
+                          *, n_kv_blocks: int, block_q: int, block_k: int,
+                          causal: bool, n_heads: int):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    b = bh // n_heads
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    start = kv_start_ref[b]
+    length = kv_len_ref[b]
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    ok = jnp.logical_and(cols >= start, cols < start + length)
+    if causal:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        ok = jnp.logical_and(ok, cols <= rows)
+    logits = jnp.where(ok, logits, NEG_INF)
+
+    p = jnp.exp(logits - lse)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_masked_dkv_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
+                           do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                           dk_scr, dv_scr,
+                           *, n_q_blocks: int, block_q: int, block_k: int,
+                           causal: bool, n_heads: int):
+    bh = pl.program_id(0)
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+    b = bh // n_heads
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    start = kv_start_ref[b]
+    length = kv_len_ref[b]
+    cols = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    ok = jnp.logical_and(cols >= start, cols < start + length)
+    if causal:
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        ok = jnp.logical_and(ok, cols <= rows)
+    logits = jnp.where(ok, logits, NEG_INF)
+
+    p = jnp.exp(logits - lse)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == n_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_masked_bwd_impl(q, k, v, kv_start, kv_len, o, lse, g,
+                           causal, block_q, block_k, interpret):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    BQ = min(block_q, _round_up(Sq, 8))
+    BK = min(block_k, _round_up(Skv, 8))
+    Sq_p = _round_up(Sq, BQ)
+    Skv_p = _round_up(Skv, BK)
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0))).reshape(
+        B * H, Skv_p, D)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0))).reshape(
+        B * H, Skv_p, D)
+    gof = jnp.pad(g, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    of = jnp.pad(o, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))).reshape(
+        B * H, Sq_p, D)
+    delta = jnp.sum(gof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    n_q, n_kv = Sq_p // BQ, Skv_p // BK
+    starts = jnp.asarray(kv_start, jnp.int32)
+    lens = jnp.asarray(kv_len, jnp.int32)
+
+    row_spec = lambda BQ_: pl.BlockSpec(
+        (1, BQ_, 1), lambda bh, i, j, *_: (bh, i, 0),
+        memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_masked_dq_kernel, n_kv_blocks=n_kv, block_q=BQ, block_k=BK,
+            causal=causal, n_heads=H),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * H, n_q, n_kv),
+            in_specs=[
+                pl.BlockSpec((1, BQ, D), lambda bh, i, j, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, D), lambda bh, i, j, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, D), lambda bh, i, j, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BQ, D), lambda bh, i, j, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                row_spec(BQ), row_spec(BQ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BQ, D), lambda bh, i, j, *_: (bh, i, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq_p, D), q.dtype),
+        interpret=interpret,
+    )(starts, lens, qf, kf, vf, gof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_masked_dkv_kernel, n_q_blocks=n_q, block_q=BQ, block_k=BK,
+            causal=causal, n_heads=H),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B * H, n_kv, n_q),
+            in_specs=[
+                pl.BlockSpec((1, BQ, D), lambda bh, j, i, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, D), lambda bh, j, i, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, D), lambda bh, j, i, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BQ, D), lambda bh, j, i, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BQ, 1), lambda bh, j, i, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BQ, 1), lambda bh, j, i, *_: (bh, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BK, D), lambda bh, j, i, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, D), lambda bh, j, i, *_: (bh, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((BK, D), jnp.float32),
+                            pltpu.VMEM((BK, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B * H, Skv_p, D), k.dtype),
+                   jax.ShapeDtypeStruct((B * H, Skv_p, D), v.dtype)],
+        interpret=interpret,
+    )(starts, lens, qf, kf, vf, gof, lse, delta)
+
+    dq = dq.reshape(B, H, Sq_p, D)[:, :, :Sq]
+    dk = dk.reshape(B, H, Skv_p, D)[:, :, :Skv]
+    dv = dv.reshape(B, H, Skv_p, D)[:, :, :Skv]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_masked(q, k, v, kv_start, kv_len, causal, block_q, block_k,
+                  interpret):
+    out, _ = _flash_masked_fwd_impl(q, k, v, kv_start, kv_len, causal,
+                                    block_q, block_k, interpret)
+    return out
+
+
+def _flash_masked_fwd(q, k, v, kv_start, kv_len, causal, block_q, block_k,
+                      interpret):
+    out, lse = _flash_masked_fwd_impl(q, k, v, kv_start, kv_len, causal,
+                                      block_q, block_k, interpret)
+    return out, (q, k, v, kv_start, kv_len, out, lse)
+
+
+def _flash_masked_bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v, kv_start, kv_len, o, lse = res
+    dq, dk, dv = _flash_masked_bwd_impl(
+        q, k, v, kv_start, kv_len, o, lse, g, causal, block_q, block_k,
+        interpret)
+    return dq, dk, dv, None, None
+
+
+_flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd)
+
+
+def flash_attention_masked(q, k, v, kv_start, kv_len, *, causal: bool = False,
+                           block_q: int = 256, block_k: int = 256,
+                           interpret: bool = False):
+    """Bias-free flash attention (differentiable, custom VJP).  Valid keys
+    per row b are [kv_start[b], kv_start[b]+kv_len[b]); `causal` additionally
+    enforces col ≤ row on SEQUENCE indices — the self-attention layout of the
+    encoder and prefill paths.  q/k/v: (B, H, S*, D); kv_start/kv_len: (B,)
+    int32.  No (B, Sq, Skv)-sized tensor ever reaches HBM."""
+    return _flash_masked(q, k, v, kv_start, kv_len, causal, block_q, block_k,
+                         interpret)

@@ -192,3 +192,31 @@ def test_flash_masked_causal_left_padded():
     o = np.asarray(out).transpose(0, 2, 1, 3)[valid]
     r = np.asarray(ref).transpose(0, 2, 1, 3)[valid]
     np.testing.assert_allclose(o, r, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_masked_backward_matches_xla():
+    from prot2text_tpu.kernels.flash_attention import flash_attention_masked
+
+    q, k, v = _qkv(Sq=24, Skv=24, seed=21)
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :6] = 0
+    pos = jnp.broadcast_to(jnp.arange(24), (2, 24))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+    starts = jnp.asarray([6, 0], jnp.int32)
+    lens = jnp.asarray([18, 24], jnp.int32)
+    mm = jnp.asarray(mask)[:, None, :, None]
+
+    def loss_masked(q, k, v):
+        o = flash_attention_masked(q, k, v, starts, lens, causal=True,
+                                   block_q=8, block_k=8, interpret=True)
+        return jnp.sum(jnp.square(o * mm))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(_xla_attention(q, k, v, bias) * mm))
+
+    gm = jax.grad(loss_masked, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gm, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
