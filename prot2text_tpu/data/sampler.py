@@ -35,7 +35,9 @@ class ShardedSampler:
             idx = idx[:usable]
         else:
             pad = (-len(idx)) % self.num_shards
-            idx = np.concatenate([idx, idx[:pad]])
+            if pad:
+                reps = int(np.ceil(pad / max(len(idx), 1)))
+                idx = np.concatenate([idx, np.tile(idx, reps)[:pad]])
         return idx[self.shard_index::self.num_shards]
 
 

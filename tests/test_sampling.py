@@ -135,3 +135,13 @@ def test_run_generation_dispatches_beams():
                                  pad_token_id=62, num_beams=3))
     assert np.asarray(greedy).shape == np.asarray(beams).shape == (2, 4)
     # beam score(sum logp of beam seq) >= greedy's by construction
+
+
+def test_sampler_tiny_dataset_many_shards():
+    from prot2text_tpu.data.sampler import ShardedSampler
+
+    # dataset smaller than the shard count must still give every shard work
+    shards = [ShardedSampler(3, num_shards=8, shard_index=i, shuffle=False,
+                             drop_last=False) for i in range(8)]
+    sizes = [len(s.epoch_indices(0)) for s in shards]
+    assert sizes == [1] * 8
