@@ -10,11 +10,75 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+import numpy as np
+
 import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.dtypes import str2dtype  # noqa: F401 (re-export for CLIs)
-from ..core.mesh import MeshConfig, make_mesh
+from ..core.mesh import AXIS_DP, AXIS_FSDP, MeshConfig, make_mesh
+from ..core.partition import DEFAULT_RULES, shard_params
 from ..data.chat import ByteTextTokenizer
+
+
+def shard_model_params(mesh, params):
+    """Shard a large parameter tree over the (fsdp, tp) mesh axes per
+    DEFAULT_RULES.  This is what makes `--fsdp/--tp` real in the entry
+    points: the frozen 14B+600M towers live sharded on the mesh instead of
+    replicated per chip (reference FSDP capability, train_legacy.py:314-318).
+    Also correct for optax states whose mu/nu mirror the param tree paths."""
+    return shard_params(params, mesh, DEFAULT_RULES)
+
+
+def replicate_tree(mesh, tree):
+    """Fully replicate a (small, trainable) pytree over the mesh — the
+    LoRA/adapter trees stay replicated while grads psum over the data axes."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+_warned_batch_sizes = set()
+
+
+def place_batch(mesh, batch: dict, batch_size: int, batch_dim: int = 0,
+                replicate_keys=()):
+    """device_put a host batch with the batch dim sharded over (dp, fsdp).
+
+    Only arrays whose dim `batch_dim` equals `batch_size` are sharded —
+    everything else (flat graph edge buffers, scalars) replicates.  With
+    grad accumulation the arrays are stacked (n_micro, micro_bsz, ...), so
+    pass batch_dim=1 and the per-microbatch size.  Without this placement
+    GSPMD receives uncommitted host arrays and silently replicates the
+    batch, making dp a no-op (round-1 gap)."""
+    n_data = mesh.shape[AXIS_DP] * mesh.shape[AXIS_FSDP]
+    if n_data > 1 and batch_size % n_data != 0:
+        if batch_size not in _warned_batch_sizes:
+            _warned_batch_sizes.add(batch_size)
+            print(f"WARNING: batch size {batch_size} not divisible by "
+                  f"dp*fsdp={n_data}; batch will be replicated",
+                  file=sys.stderr)
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v
+            continue
+        arr = np.asarray(v) if isinstance(v, np.ndarray) else v
+        shardable = (
+            k not in replicate_keys
+            and arr.ndim > batch_dim
+            and arr.shape[batch_dim] == batch_size
+            and batch_size % n_data == 0
+        )
+        if shardable:
+            spec = [None] * arr.ndim
+            spec[batch_dim] = (AXIS_DP, AXIS_FSDP)
+            out[k] = jax.device_put(arr, NamedSharding(mesh, P(*spec)))
+        else:
+            out[k] = jax.device_put(arr, repl)
+    return out
 
 
 def setup_platform(args) -> "jax.sharding.Mesh":

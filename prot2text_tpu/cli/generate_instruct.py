@@ -29,7 +29,11 @@ from ..models.composed import (
 )
 from ..models.esm2 import ESM2Config
 from ..models.llama import LlamaConfig
-from .common import add_common_args, setup_platform, text_tokenizer
+from ..core.mesh import pad_batch_to
+from .common import (
+    add_common_args, place_batch, setup_platform, shard_model_params,
+    text_tokenizer,
+)
 
 
 def build_parser():
@@ -119,6 +123,7 @@ def main(argv=None):
     if args.load_checkpoint_dir:
         restored = restore_checkpoint(args.load_checkpoint_dir)
         model.params = restored.get("model", restored)
+    model.params = shard_model_params(mesh, model.params)
 
     gen_kwargs = dict(
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
@@ -128,24 +133,34 @@ def main(argv=None):
 
     results = {}
     t0 = time.time()
+    akeys = ("input_ids", "attention_mask", "protein_input_ids",
+             "protein_attention_mask")
     with jax.set_mesh(mesh):
         for batch, records in loader:
+            names = batch["name"]
+            arrays = {k: batch[k] for k in akeys}
+            if len(names) < args.batch_size:
+                # pad the final partial batch: ONE decode-loop compile shape
+                # across an odd-sized split (light CLI already did this)
+                arrays, _ = pad_batch_to(arrays, args.batch_size)
+                records = list(records) + \
+                    [records[-1]] * (args.batch_size - len(names))
+            arrays = place_batch(mesh, arrays, args.batch_size)
             kw = {}
             if args.use_graph:
-                S = batch["protein_input_ids"].shape[1]
+                S = arrays["protein_input_ids"].shape[1]
                 g = collate_graphs(records, S, args.edge_budget)
                 kw = {"graph_edge_index": jnp.asarray(g["edge_index"]),
                       "graph_edge_type": jnp.asarray(g["edge_type"]),
                       "graph_edge_mask": jnp.asarray(g["edge_mask"])}
             toks = model.generate(
-                jnp.asarray(batch["input_ids"]),
-                attention_mask=jnp.asarray(batch["attention_mask"]),
-                protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
-                protein_attention_mask=jnp.asarray(
-                    batch["protein_attention_mask"]),
+                arrays["input_ids"],
+                attention_mask=arrays["attention_mask"],
+                protein_input_ids=arrays["protein_input_ids"],
+                protein_attention_mask=arrays["protein_attention_mask"],
                 **kw, **gen_kwargs)
             toks = np.asarray(toks)
-            for i, name in enumerate(batch["name"]):
+            for i, name in enumerate(names):
                 pred = tok.decode(
                     [t for t in toks[i].tolist() if t != pad_id],
                     skip_special_tokens=True)

@@ -27,7 +27,10 @@ from ..data.sampler import DataLoader, ShardedSampler
 from ..infer.generate import GenerationConfig, run_generation
 from ..models.composed import ESMCQwen, ESMCQwenConfig
 from ..models.lora import LoraConfig, merge_lora
-from .common import add_common_args, setup_platform, text_tokenizer
+from .common import (
+    add_common_args, place_batch, setup_platform, shard_model_params,
+    text_tokenizer,
+)
 from .train_contrast import build_models
 
 
@@ -104,6 +107,7 @@ def main(argv=None):
                          llm_config=llm_cfg, placeholder_id=placeholder_id)
     params = {"esm_encoder": frozen["esm_encoder"],
               "llm_decoder": frozen["llm_decoder"], "adapter": adapter}
+    params = shard_model_params(mesh, params)
 
     eos_id = getattr(tok, "eos_token_id", llm_cfg.eos_token_id)
     pad_id = getattr(tok, "pad_token_id", llm_cfg.pad_token_id)
@@ -127,13 +131,16 @@ def main(argv=None):
 
                 arrays, _ = pad_batch_to(arrays, args.batch_size)
                 batch = {**batch, **arrays}
+            placed = place_batch(
+                mesh, {k: batch[k] for k in
+                       ("protein_input_ids", "protein_attention_mask",
+                        "input_ids", "attention_mask")}, args.batch_size)
             embeds, attn = ESMCQwen.apply(
                 cfg, params,
-                protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
-                protein_attention_mask=jnp.asarray(
-                    batch["protein_attention_mask"]),
-                input_ids=jnp.asarray(batch["input_ids"]),
-                attention_mask=jnp.asarray(batch["attention_mask"]),
+                protein_input_ids=placed["protein_input_ids"],
+                protein_attention_mask=placed["protein_attention_mask"],
+                input_ids=placed["input_ids"],
+                attention_mask=placed["attention_mask"],
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
             toks = run_generation(
                 llm_cfg.core(), params["llm_decoder"],

@@ -22,7 +22,11 @@ from ..data.sampler import DataLoader, ShardedSampler
 from ..models.composed import Esm2LlamaConfig, Esm2LlamaForCausalLM
 from ..models.esm2 import ESM2Config
 from ..models.llama import LlamaConfig
-from .common import add_common_args, setup_platform, text_tokenizer
+from ..core.mesh import pad_batch_to
+from .common import (
+    add_common_args, place_batch, setup_platform, shard_model_params,
+    text_tokenizer,
+)
 
 
 def build_parser():
@@ -91,23 +95,31 @@ def main(argv=None):
     if args.load_checkpoint_dir:
         restored = restore_checkpoint(args.load_checkpoint_dir)
         model.params = restored.get("model", restored)
+    model.params = shard_model_params(mesh, model.params)
 
     pad_id = llama_cfg.pad_token_id
+    akeys = ("input_ids", "attention_mask", "protein_input_ids",
+             "protein_attention_mask")
     results = {}
     t0 = time.time()
     with jax.set_mesh(mesh):
         for batch in loader:
+            names = batch["name"]
+            arrays = {k: batch[k] for k in akeys}
+            if len(names) < args.batch_size:
+                # pad the final partial batch — one compile shape per bucket
+                arrays, _ = pad_batch_to(arrays, args.batch_size)
+            arrays = place_batch(mesh, arrays, args.batch_size)
             toks = model.generate(
-                inputs=jnp.asarray(batch["input_ids"]),
-                attention_mask=jnp.asarray(batch["attention_mask"]),
-                protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
-                protein_attention_mask=jnp.asarray(
-                    batch["protein_attention_mask"]),
+                inputs=arrays["input_ids"],
+                attention_mask=arrays["attention_mask"],
+                protein_input_ids=arrays["protein_input_ids"],
+                protein_attention_mask=arrays["protein_attention_mask"],
                 max_new_tokens=args.max_new_tokens,
                 do_sample=args.do_sample, temperature=args.temperature,
                 top_k=args.top_k, top_p=args.top_p)
             toks = np.asarray(toks)
-            for i, name in enumerate(batch["name"]):
+            for i, name in enumerate(names):
                 pred = tok.decode(
                     [t for t in toks[i].tolist() if t != pad_id],
                     skip_special_tokens=True)

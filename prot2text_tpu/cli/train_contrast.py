@@ -30,7 +30,10 @@ from ..models.esmc import ESMCConfig, init_esmc_params
 from ..models.qwen3 import Qwen3Config, init_qwen3_params
 from ..train.contrastive import ContrastiveConfig, make_contrastive_train_step
 from ..train.optim import TrainState, adamw_cosine_warmup
-from .common import add_common_args, setup_platform, text_tokenizer
+from .common import (
+    add_common_args, place_batch, replicate_tree, setup_platform,
+    shard_model_params, text_tokenizer,
+)
 
 
 def build_parser():
@@ -148,6 +151,8 @@ def main(argv=None):
             shard_index=jax.process_index(), seed=args.random_seed))
 
     esm_cfg, llm_cfg, adapter_cfg, frozen, adapter = build_models(args, tok)
+    # frozen towers sharded over fsdp/tp; adapter (trainable) replicated
+    frozen = shard_model_params(mesh, frozen)
     ccfg = ContrastiveConfig(
         temperature=args.temperature,
         num_segments=args.contrastive_num_segments,
@@ -171,6 +176,7 @@ def main(argv=None):
                                    restored["opt_state"])),
                            step=jnp.asarray(restored["step"], jnp.int32))
         print(f"resumed from step {int(state.step)}")
+    state = replicate_tree(mesh, state)
 
     step_fn = jax.jit(make_contrastive_train_step(
         esm_config=esm_cfg, adapter_config=adapter_cfg,
@@ -223,6 +229,10 @@ def main(argv=None):
                 }
                 if args.gradient_accumulation_steps == 1:
                     micro = {k: v[0] for k, v in micro.items()}
+                    micro = place_batch(mesh, micro, args.batch_size)
+                else:
+                    micro = place_batch(mesh, micro, args.batch_size,
+                                        batch_dim=1)
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, micro, sub)
                 loss = float(loss)
@@ -241,8 +251,8 @@ def main(argv=None):
                          "description_input_ids",
                          "description_attention_mask")
                 elosses = [
-                    float(eval_fn(state.params, frozen,
-                                  {k: b[k] for k in ekeys}))
+                    float(eval_fn(state.params, frozen, place_batch(
+                        mesh, {k: b[k] for k in ekeys}, args.batch_size)))
                     for b in eval_loader
                 ]
                 print(f"epoch {epoch}: eval_loss="

@@ -24,7 +24,10 @@ from ..data.sampler import DataLoader, ShardedSampler, prefetch
 from ..models.lora import LoraConfig, init_lora_params
 from ..train.optim import TrainState, adamw_cosine_warmup
 from ..train.sft import SFTConfig, make_sft_train_step
-from .common import add_common_args, setup_platform, text_tokenizer
+from .common import (
+    add_common_args, place_batch, replicate_tree, setup_platform,
+    shard_model_params, text_tokenizer,
+)
 from .train_contrast import build_models
 
 
@@ -100,6 +103,9 @@ def main(argv=None):
         "llm_decoder": frozen_models["llm_decoder"],
         "adapter": adapter,
     }
+    # frozen base towers sharded over fsdp/tp (FSDP-equivalent,
+    # train_legacy.py:314-318); small LoRA/adapter trees replicated below
+    frozen = shard_model_params(mesh, frozen)
     trainable = {
         "lora_esm": init_lora_params(
             lora_cfg, frozen["esm_encoder"], jax.random.fold_in(key, 1)),
@@ -128,6 +134,7 @@ def main(argv=None):
                                    restored["opt_state"])),
                            step=jnp.asarray(restored["step"], jnp.int32))
         print(f"resumed from step {int(state.step)}")
+    state = replicate_tree(mesh, state)
     step_fn = jax.jit(make_sft_train_step(
         esm_config=esm_cfg, adapter_config=adapter_cfg,
         decoder_core=llm_cfg.core(), cfg=sft_cfg, tx=tx,
@@ -175,6 +182,10 @@ def main(argv=None):
                 }
                 if args.gradient_accumulation_steps == 1:
                     micro = {k: v[0] for k, v in micro.items()}
+                    micro = place_batch(mesh, micro, args.batch_size)
+                else:
+                    micro = place_batch(mesh, micro, args.batch_size,
+                                        batch_dim=1)
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, micro, sub)
                 losses.append(float(loss))
@@ -186,8 +197,8 @@ def main(argv=None):
                 break
             if eval_loader is not None:
                 elosses = [
-                    float(eval_fn(state.params, frozen,
-                                  {k: b[k] for k in keys}))
+                    float(eval_fn(state.params, frozen, place_batch(
+                        mesh, {k: b[k] for k in keys}, args.batch_size)))
                     for b in eval_loader
                 ]
                 print(f"epoch {epoch}: eval_loss="

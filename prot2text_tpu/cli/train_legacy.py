@@ -26,7 +26,10 @@ from ..models.esm2 import ESM2Config
 from ..models.llama import LlamaConfig
 from ..train.legacy import make_legacy_train_step
 from ..train.optim import TrainState, step_lr
-from .common import add_common_args, setup_platform, text_tokenizer
+from .common import (
+    add_common_args, place_batch, setup_platform, shard_model_params,
+    text_tokenizer,
+)
 
 
 def build_parser():
@@ -115,6 +118,10 @@ def main(argv=None):
     steps_per_epoch = max(len(loader), 1)
     tx = step_lr(args.learning_rate, args.scheduler_gamma, steps_per_epoch,
                  grad_clip=args.gradient_clipping)
+    # full finetune: the model params themselves shard over fsdp/tp (the
+    # reference's FSDP path, train_legacy.py:314-318); tx.init then yields
+    # adam mu/nu with matching shardings
+    model.params = shard_model_params(mesh, model.params)
     state = TrainState.create(model.params, tx)
     if args.resume_checkpoint_dir:
         import jax.numpy as jnp
@@ -122,11 +129,13 @@ def main(argv=None):
         from ..core.checkpoint import restore_checkpoint
 
         restored = restore_checkpoint(args.resume_checkpoint_dir)
-        state = TrainState(params=restored["model"],
-                           opt_state=jax.tree_util.tree_unflatten(
-                               jax.tree_util.tree_structure(state.opt_state),
-                               jax.tree_util.tree_leaves(
-                                   restored["opt_state"])),
+        state = TrainState(params=shard_model_params(mesh, restored["model"]),
+                           opt_state=shard_model_params(
+                               mesh, jax.tree_util.tree_unflatten(
+                                   jax.tree_util.tree_structure(
+                                       state.opt_state),
+                                   jax.tree_util.tree_leaves(
+                                       restored["opt_state"]))),
                            step=jnp.asarray(restored["step"], jnp.int32))
         print(f"resumed from step {int(state.step)}")
     step_fn = jax.jit(make_legacy_train_step(
@@ -149,6 +158,11 @@ def main(argv=None):
                     b = {k: np.stack(np.split(
                         v, args.gradient_accumulation_steps))
                         for k, v in b.items()}
+                    micro_bsz = args.batch_size // \
+                        args.gradient_accumulation_steps
+                    b = place_batch(mesh, b, micro_bsz, batch_dim=1)
+                else:
+                    b = place_batch(mesh, b, args.batch_size)
                 state, loss = step_fn(state, b)
                 losses.append(float(loss))
             mean_loss = float(np.mean(losses)) if losses else float("nan")

@@ -28,7 +28,10 @@ from ..models.llama import LlamaConfig, init_llama_params
 from ..models.lora import LoraConfig, init_lora_params
 from ..train.graph_instruct import GraphSFTConfig, make_graph_sft_train_step
 from ..train.optim import TrainState, adamw_cosine_warmup
-from .common import add_common_args, setup_platform, text_tokenizer
+from .common import (
+    add_common_args, place_batch, replicate_tree, setup_platform,
+    shard_model_params, text_tokenizer,
+)
 
 
 def build_parser():
@@ -115,6 +118,9 @@ def main(argv=None):
             llama_cfg.num_layers, args.model_dtype,
             tie_word_embeddings=llama_cfg.tie_word_embeddings)
 
+    # frozen towers sharded over fsdp/tp; trainable adapter+LoRA replicated
+    frozen = shard_model_params(mesh, frozen)
+
     lora_cfg = LoraConfig(r=args.lora_rank, alpha=2 * args.lora_rank)
     trainable = {
         "adapter": init_rgcn_adapter_params(
@@ -129,7 +135,7 @@ def main(argv=None):
     tx = adamw_cosine_warmup(
         args.learning_rate, total_steps=args.num_epochs * steps_per_epoch,
         warmup_frac=0.06, grad_clip=args.gradient_clipping)
-    state = TrainState.create(trainable, tx)
+    state = replicate_tree(mesh, TrainState.create(trainable, tx))
     step_fn = jax.jit(make_graph_sft_train_step(
         esm_config=esm_cfg, adapter_config=ad_cfg,
         decoder_core=llama_cfg.core(), cfg=cfg, tx=tx,
@@ -155,10 +161,16 @@ def main(argv=None):
                     "input_ids": jnp.asarray(batch["input_ids"]),
                     "attention_mask": jnp.asarray(batch["attention_mask"]),
                     "labels": jnp.asarray(batch["labels"]),
-                    "graph_edge_index": jnp.asarray(g["edge_index"]),
-                    "graph_edge_type": jnp.asarray(g["edge_type"]),
-                    "graph_edge_mask": jnp.asarray(g["edge_mask"]),
+                    "graph_edge_index": np.asarray(g["edge_index"]),
+                    "graph_edge_type": np.asarray(g["edge_type"]),
+                    "graph_edge_mask": np.asarray(g["edge_mask"]),
                 }
+                # flat cross-graph edge buffers index the whole batch's
+                # node set — keep them replicated, shard only batch dims
+                b = place_batch(
+                    mesh, b, args.batch_size,
+                    replicate_keys=("graph_edge_index", "graph_edge_type",
+                                    "graph_edge_mask"))
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, b, sub)
                 losses.append(float(loss))
