@@ -151,6 +151,13 @@ class Prot2TextInstructDataset:
             x=graph["x"].astype(np.float32),
             edge_index=graph["edge_index"].astype(np.int32),
             edge_type=graph["edge_type"].astype(np.int32),
+            # full PyG Data record fields the reference persists
+            # (nx2pyg.py:57-66): coordinates, distance_matrix, per-edge
+            # distance — round-1 computed coords then threw them away
+            coords=graph["coords"].astype(np.float32),
+            distance_matrix=graph["distance_matrix"].astype(np.float32),
+            distance=graph["distance"].astype(np.float32),
+            node_id=graph["node_id"],
             **{k: np.asarray(v) for k, v in text.items()},
         )
 
@@ -222,4 +229,8 @@ class Prot2TextInstructDataset:
                 "edge_index": data["edge_index"],
                 "edge_type": data["edge_type"],
             })
+            # record fields persisted since round 2 (older caches lack them)
+            for k in ("coords", "distance_matrix", "distance", "node_id"):
+                if k in data:
+                    record[k] = data[k]
         return record

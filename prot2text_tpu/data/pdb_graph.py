@@ -52,60 +52,17 @@ MAX_ACC = {
 VDW_RADII = {"C": 1.70, "N": 1.55, "O": 1.52, "S": 1.80, "H": 1.20,
              "P": 1.80}
 
-# ExPASy protein scales (per 1-letter residue).  The reference's graphein
-# `expasy_protein_scale` ships ~60 scales from the ExPASy data file; the
-# subset here covers the canonical, widely published ones and keeps the
-# feature-block contract (a fixed-width float block after ss).  Extend by
-# registering more rows.
-EXPASY_SCALES: Dict[str, Dict[str, float]] = {
-    # Kyte & Doolittle hydropathicity
-    "kd_hydrophobicity": {
-        "A": 1.8, "R": -4.5, "N": -3.5, "D": -3.5, "C": 2.5, "Q": -3.5,
-        "E": -3.5, "G": -0.4, "H": -3.2, "I": 4.5, "L": 3.8, "K": -3.9,
-        "M": 1.9, "F": 2.8, "P": -1.6, "S": -0.8, "T": -0.7, "W": -0.9,
-        "Y": -1.3, "V": 4.2},
-    # Hopp & Woods hydrophilicity
-    "hw_hydrophilicity": {
-        "A": -0.5, "R": 3.0, "N": 0.2, "D": 3.0, "C": -1.0, "Q": 0.2,
-        "E": 3.0, "G": 0.0, "H": -0.5, "I": -1.8, "L": -1.8, "K": 3.0,
-        "M": -1.3, "F": -2.5, "P": 0.0, "S": 0.3, "T": -0.4, "W": -3.4,
-        "Y": -2.3, "V": -1.5},
-    # Zimmerman bulkiness
-    "bulkiness": {
-        "A": 11.50, "R": 14.28, "N": 12.82, "D": 11.68, "C": 13.46,
-        "Q": 14.45, "E": 13.57, "G": 3.40, "H": 13.69, "I": 21.40,
-        "L": 21.40, "K": 15.71, "M": 16.25, "F": 19.80, "P": 17.43,
-        "S": 9.47, "T": 15.77, "W": 21.67, "Y": 18.03, "V": 21.57},
-    # Grantham polarity
-    "polarity": {
-        "A": 8.1, "R": 10.5, "N": 11.6, "D": 13.0, "C": 5.5, "Q": 10.5,
-        "E": 12.3, "G": 9.0, "H": 10.4, "I": 5.2, "L": 4.9, "K": 11.3,
-        "M": 5.7, "F": 5.2, "P": 8.0, "S": 9.2, "T": 8.6, "W": 5.4,
-        "Y": 6.2, "V": 5.9},
-    # average flexibility (Bhaskaran & Ponnuswamy)
-    "flexibility": {
-        "A": 0.360, "R": 0.530, "N": 0.460, "D": 0.510, "C": 0.350,
-        "Q": 0.490, "E": 0.500, "G": 0.540, "H": 0.320, "I": 0.460,
-        "L": 0.370, "K": 0.470, "M": 0.300, "F": 0.310, "P": 0.510,
-        "S": 0.510, "T": 0.440, "W": 0.310, "Y": 0.420, "V": 0.390},
-    # residue molecular weight (Da)
-    "molecular_weight": {
-        "A": 89.09, "R": 174.20, "N": 132.12, "D": 133.10, "C": 121.16,
-        "Q": 146.15, "E": 147.13, "G": 75.07, "H": 155.16, "I": 131.17,
-        "L": 131.17, "K": 146.19, "M": 149.21, "F": 165.19, "P": 115.13,
-        "S": 105.09, "T": 119.12, "W": 204.23, "Y": 181.19, "V": 117.15},
-    # number of codons
-    "number_of_codons": {
-        "A": 4, "R": 6, "N": 2, "D": 2, "C": 2, "Q": 2, "E": 2, "G": 4,
-        "H": 2, "I": 3, "L": 6, "K": 2, "M": 1, "F": 2, "P": 4, "S": 6,
-        "T": 4, "W": 1, "Y": 2, "V": 4},
-    # isoelectric point (pI)
-    "isoelectric_point": {
-        "A": 6.00, "R": 10.76, "N": 5.41, "D": 2.77, "C": 5.07, "Q": 5.65,
-        "E": 3.22, "G": 5.97, "H": 7.59, "I": 6.02, "L": 5.98, "K": 9.74,
-        "M": 5.74, "F": 5.48, "P": 6.30, "S": 5.68, "T": 5.60, "W": 5.89,
-        "Y": 5.66, "V": 5.96},
-}
+# Full 61-scale ExPASy table (graphein `expasy_protein_scale` parity):
+# 4 physicochemical rows + the 57 ProtScale scales, in graphein column
+# order — see data/expasy.py for the documented column map.  x width is
+# therefore 1 (aa) + 5 (phi,psi,rsa,asa,ss) + 61 = 67, matching datasets
+# preprocessed by the reference (nx2pyg.py:68-77).
+from .expasy import (  # noqa: E402
+    AA_ORDER as _EXPASY_AA_ORDER,
+    EXPASY_SCALE_NAMES,
+    N_EXPASY_SCALES,
+    expasy_block,
+)
 
 # residue-level hydrogen-bond donor/acceptor side-chain heavy atoms
 # (backbone N/O always participate) — graphein HYDROGEN_BOND_* equivalents
@@ -564,17 +521,17 @@ def build_edges(residues: List[Residue], distance_threshold: float = 10.0,
 
 def expasy_features(residues: List[Residue]) -> np.ndarray:
     one = [THREE_TO_ONE[r.resname] for r in residues]
-    cols = []
-    for scale in EXPASY_SCALES.values():
-        cols.append([scale[a] for a in one])
-    return np.asarray(cols).T  # (N, n_scales)
+    return expasy_block(one)  # (N, 61) in graphein column order
 
 
 def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
                         n_sasa_points: int = 100,
                         granularity: str = "CA") -> Dict[str, np.ndarray]:
     """Full featurization: returns {x, edge_index, edge_type, coords,
-    sequence} with the nx2pyg x-layout.  Accepts .pdb or .cif/.mmcif."""
+    distance_matrix, distance, node_id, sequence} with the nx2pyg layout
+    and record fields (reference nx2pyg.py:57-66 keeps distance_matrix,
+    coordinates, node_id and per-edge distance).  Accepts .pdb or
+    .cif/.mmcif."""
     residues = parse_structure(pdb_path, chain)
     if not residues:
         raise ValueError(f"no standard residues parsed from {pdb_path}")
@@ -591,11 +548,21 @@ def build_protein_graph(pdb_path: str, chain: Optional[str] = None,
         asa[:, None], ss_idx[:, None], expasy], axis=1)
     edge_index, edge_type = build_edges(residues, granularity=granularity)
     coords = residue_coords(residues, granularity)
+    # full pairwise CA distance matrix (reference keeps graphein's dist_mat
+    # as Data.distance_matrix, nx2pyg.py:63) + per-edge distances (:44)
+    dist_mat = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=2)
+    edge_dist = (dist_mat[edge_index[0], edge_index[1]]
+                 if edge_index.shape[1] else np.zeros((0,), np.float64))
+    node_id = np.asarray([
+        f"{r.chain}:{r.resname}:{r.resseq}" for r in residues])
     seq = "".join(THREE_TO_ONE[r.resname] for r in residues)
     return {
         "x": x.astype(np.float32),
         "edge_index": edge_index.astype(np.int64),
         "edge_type": edge_type.astype(np.int64),
         "coords": coords.astype(np.float32),
+        "distance_matrix": dist_mat.astype(np.float32),
+        "distance": edge_dist.astype(np.float32),
+        "node_id": node_id,
         "sequence": seq,
     }

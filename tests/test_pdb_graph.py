@@ -116,8 +116,9 @@ def test_asa_native_matches_numpy(helix_pdb):
 def test_build_protein_graph_contracts(helix_pdb):
     g = build_protein_graph(helix_pdb)
     n = 16
-    # x layout: aa_idx, phi, psi, rsa, asa, ss, expasy...
-    assert g["x"].shape[0] == n and g["x"].shape[1] >= 6 + 5
+    # x layout: aa_idx, phi, psi, rsa, asa, ss, expasy(61) — width 67
+    # matches the reference (nx2pyg.py:68-77 with graphein's full table)
+    assert g["x"].shape == (n, 67)
     assert (g["x"][:, 0] == 0).all()  # ALA index 0
     assert (g["x"][:, 3] >= 0).all() and (g["x"][:, 3] <= 1.5).all()  # rsa
     assert (g["x"][:, 4] > 0).any()  # asa positive somewhere
