@@ -50,6 +50,8 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=1.0)
+    p.add_argument("--early_stopping", type=str2bool, default=False)
     p.add_argument("--do_sample", type=str2bool, default=False)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
@@ -115,7 +117,8 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, eos_token_id=eos_id,
         pad_token_id=pad_id, do_sample=args.do_sample,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        num_beams=args.num_beams)
+        num_beams=args.num_beams, length_penalty=args.length_penalty,
+        early_stopping=args.early_stopping)
 
     results = {}
     t0 = time.time()

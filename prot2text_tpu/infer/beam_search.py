@@ -39,7 +39,8 @@ def _expand_beams(x, K):
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "gen_cfg", "num_beams", "attn_impl",
-                              "cache_dtype", "length_penalty"))
+                              "cache_dtype", "length_penalty",
+                              "early_stopping"))
 def beam_search(
     cfg: DecoderConfig,
     params,
@@ -49,6 +50,7 @@ def beam_search(
     gen_cfg: GenerationConfig,
     num_beams: int = 4,
     length_penalty: float = 1.0,
+    early_stopping: bool = False,
     attn_impl: str = "xla",
     cache_dtype=None,
 ):
@@ -97,9 +99,17 @@ def beam_search(
         jnp.full_like(alive_scores, NEG_INF))
     alive_scores = jnp.where(fin0, NEG_INF, alive_scores)
 
+    def _n_finished(finished_scores):
+        return (finished_scores > NEG_INF / 2).sum(axis=1)  # (B,)
+
     def body(t, state):
         (alive_tokens, alive_scores, finished_tokens, finished_scores,
          cache, kv_mask) = state
+        # HF BeamHypotheses.is_done with early_stopping=True: a batch row
+        # stops accepting hypotheses once K are banked (checked BEFORE the
+        # step's candidates are processed)
+        done = jnp.logical_and(
+            bool(early_stopping), _n_finished(finished_scores) >= K)  # (B,)
         prev = alive_tokens[:, :, t - 1].reshape(B * K)        # (B*K,)
         emb = params["embed_tokens"][prev][:, None, :].astype(dtype)
         pos = (last_pos_k + t)[:, None]
@@ -151,20 +161,46 @@ def beam_search(
         flat_sel = (jnp.arange(B)[:, None] * K + new_alive_beam).reshape(-1)
         cache = {k: v[:, :, flat_sel] for k, v in cache.items()}
 
+        # done rows freeze: no new hypotheses, alive state irrelevant
+        if early_stopping:
+            d1, d2 = done[:, None], done[:, None, None]
+            new_alive_tokens = jnp.where(d2, alive_tokens, new_alive_tokens)
+            new_alive_scores = jnp.where(d1, alive_scores, new_alive_scores)
+            new_fin_tokens = jnp.where(d2, finished_tokens, new_fin_tokens)
+            new_fin_scores = jnp.where(d1, finished_scores, new_fin_scores)
+
         return (new_alive_tokens, new_alive_scores, new_fin_tokens,
                 new_fin_scores, cache, kv_mask)
 
     state = (alive_tokens, alive_scores, finished_tokens, finished_scores,
              cache, kv_mask)
-    state = jax.lax.fori_loop(1, NEW, body, state)
+    if early_stopping:
+        # stop the whole decode once every batch row banked K hypotheses
+        def cond(carry):
+            t, st = carry
+            return jnp.logical_and(
+                t < NEW, ~jnp.all(_n_finished(st[3]) >= K))
+
+        def wbody(carry):
+            t, st = carry
+            return t + 1, body(t, st)
+
+        _, state = jax.lax.while_loop(cond, wbody, (jnp.asarray(1), state))
+    else:
+        state = jax.lax.fori_loop(1, NEW, body, state)
     (alive_tokens, alive_scores, finished_tokens, finished_scores,
      _, _) = state
 
-    # fall back to alive beams (normalized at full length) if none finished
+    # HF finalize: alive beams join the pool (normalized at full length)
+    # ONLY for rows that are not done (with early_stopping a done row's
+    # output comes from the banked hypotheses alone)
     alive_norm = alive_scores / (float(NEW) ** length_penalty)
     has_fin = finished_scores[:, 0] > NEG_INF / 2
     best_fin = finished_tokens[:, 0]
     best_alive = alive_tokens[:, 0]
     best_alive_better = alive_norm[:, 0] > finished_scores[:, 0]
     use_alive = jnp.logical_or(~has_fin, best_alive_better)
+    if early_stopping:
+        done_final = _n_finished(finished_scores) >= K
+        use_alive = jnp.logical_and(use_alive, ~done_final)
     return jnp.where(use_alive[:, None], best_alive, best_fin)

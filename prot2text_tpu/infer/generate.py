@@ -39,28 +39,57 @@ class GenerationConfig:
     top_k: Optional[int] = None
     top_p: Optional[float] = None
     num_beams: int = 1
+    # HF GenerationMixin beam knobs the reference inherits
+    # (generate_instruct.py:43-48; HF BeamHypotheses semantics)
+    length_penalty: float = 1.0
+    early_stopping: bool = False
+
+
+def resolve_generation_config(eos_token_id, pad_token_id,
+                              gen_kwargs: dict) -> GenerationConfig:
+    """HF-parity kwarg handling for model.generate surfaces: accepts either
+    a `generation_config=GenerationConfig(...)` object (flat kwargs override
+    its fields, as in HF GenerationMixin) or flat kwargs merged over the
+    model's eos/pad defaults."""
+    base = gen_kwargs.pop("generation_config", None)
+    if base is not None:
+        return dataclasses.replace(base, **gen_kwargs) if gen_kwargs else base
+    return GenerationConfig(eos_token_id=eos_token_id,
+                            pad_token_id=pad_token_id, **gen_kwargs)
+
+
+def filter_logits(logits, gen_cfg: GenerationConfig):
+    """Apply HF's warper pipeline in HF's order — temperature, then top-k,
+    then top-p (transformers LogitsProcessorList ordering in
+    GenerationMixin._get_logits_processor).  logits: (B, V) fp32."""
+    logits = logits / jnp.maximum(gen_cfg.temperature, 1e-6)
+    if gen_cfg.top_k is not None and gen_cfg.top_k > 0:
+        kth = jax.lax.top_k(logits, gen_cfg.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen_cfg.top_p is not None and gen_cfg.top_p < 1.0:
+        # exact HF TopPLogitsWarper algorithm: stable ASCENDING sort,
+        # remove tokens whose ascending cumulative mass <= 1 - top_p,
+        # scatter the removal mask back by sort index (this reproduces
+        # HF's tie behavior, where equal-valued tokens at the boundary are
+        # dropped by index order rather than all kept), always keep top-1
+        sort_idx = jnp.argsort(logits, axis=-1)          # ascending, stable
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove_sorted = cum <= (1.0 - gen_cfg.top_p)
+        remove_sorted = remove_sorted.at[:, -1].set(False)  # min_tokens=1
+        remove = jnp.zeros_like(remove_sorted)
+        remove = jnp.put_along_axis(
+            remove, sort_idx, remove_sorted, axis=-1, inplace=False)
+        logits = jnp.where(remove, -jnp.inf, logits)
+    return logits
 
 
 def _sample_token(logits, gen_cfg: GenerationConfig, key):
     """logits: (B, V) fp32 → (B,) int32."""
     if not gen_cfg.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / jnp.maximum(gen_cfg.temperature, 1e-6)
-    if gen_cfg.top_k is not None and gen_cfg.top_k > 0:
-        kth = jax.lax.top_k(logits, gen_cfg.top_k)[0][:, -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if gen_cfg.top_p is not None and gen_cfg.top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
-        cutoff_mask = cum - probs > gen_cfg.top_p
-        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits)
-        threshold = jnp.min(
-            jnp.where(jnp.isfinite(cutoff), cutoff, jnp.inf),
-            axis=-1, keepdims=True)
-        logits = jnp.where(logits < threshold, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, filter_logits(logits, gen_cfg), axis=-1).astype(jnp.int32)
 
 
 def _bias_from_kv_mask(kv_mask, q_len: int, dtype=jnp.float32):
@@ -96,8 +125,10 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
         return beam_search(
             cfg, params, inputs_embeds=inputs_embeds,
             attention_mask=attention_mask, gen_cfg=gen_cfg,
-            num_beams=gen_cfg.num_beams, attn_impl=attn_impl,
-            cache_dtype=cache_dtype)
+            num_beams=gen_cfg.num_beams,
+            length_penalty=gen_cfg.length_penalty,
+            early_stopping=gen_cfg.early_stopping,
+            attn_impl=attn_impl, cache_dtype=cache_dtype)
     return generate(cfg, params, inputs_embeds=inputs_embeds,
                     attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,
                     attn_impl=attn_impl, cache_dtype=cache_dtype)

@@ -147,12 +147,11 @@ class Esm2LlamaInstructForCausalLM:
             protein_attention_mask=protein_attention_mask,
             protein_inputs_embeds=protein_inputs_embeds,
             return_decoder_inputs=True, attn_impl=self.attn_impl)
-        from ..infer.generate import GenerationConfig, run_generation
+        from ..infer.generate import resolve_generation_config, run_generation
 
         lc = self.config.llama_config
-        gen_cfg = GenerationConfig(
-            eos_token_id=lc.eos_token_id, pad_token_id=lc.pad_token_id,
-            **gen_kwargs)
+        gen_cfg = resolve_generation_config(
+            lc.eos_token_id, lc.pad_token_id, gen_kwargs)
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
@@ -314,14 +313,11 @@ class Esm2LlamaForCausalLM:
         text_embeds = embed_tokens(self.params["llama_decoder"], inputs)
         inputs_embeds, full_mask, _ = concat_fusion(
             enc, enc_mask, text_embeds, attention_mask)
-        from ..infer.generate import GenerationConfig, run_generation
-
         lc = self.config.llama_config
-        from ..infer.generate import GenerationConfig, run_generation
+        from ..infer.generate import resolve_generation_config, run_generation
 
-        gen_cfg = GenerationConfig(
-            eos_token_id=self.config.eos_token_id,
-            pad_token_id=lc.pad_token_id, **gen_kwargs)
+        gen_cfg = resolve_generation_config(
+            self.config.eos_token_id, lc.pad_token_id, gen_kwargs)
         new_tokens = run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=full_mask,
@@ -434,12 +430,11 @@ class Esm2Rgcn2LlamaInstructForCausalLM:
             graph_edge_type=graph_edge_type,
             graph_edge_mask=graph_edge_mask,
             return_decoder_inputs=True, attn_impl=self.attn_impl)
-        from ..infer.generate import GenerationConfig, run_generation
+        from ..infer.generate import resolve_generation_config, run_generation
 
         lc = self.config.llama_config
-        gen_cfg = GenerationConfig(
-            eos_token_id=lc.eos_token_id, pad_token_id=lc.pad_token_id,
-            **gen_kwargs)
+        gen_cfg = resolve_generation_config(
+            lc.eos_token_id, lc.pad_token_id, gen_kwargs)
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
@@ -577,12 +572,11 @@ class ESMCQwen:
             protein_attention_mask=protein_attention_mask,
             input_ids=input_ids, attention_mask=attention_mask,
             return_decoder_inputs=True)
-        from ..infer.generate import GenerationConfig, run_generation
+        from ..infer.generate import resolve_generation_config, run_generation
 
         qc = self.config.llm_config
-        gen_cfg = GenerationConfig(
-            eos_token_id=qc.eos_token_id, pad_token_id=qc.pad_token_id,
-            **gen_kwargs)
+        gen_cfg = resolve_generation_config(
+            qc.eos_token_id, qc.pad_token_id, gen_kwargs)
         return run_generation(
             qc.core(), self.params["llm_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,

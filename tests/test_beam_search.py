@@ -64,3 +64,89 @@ def test_beam_search_matches_hf(hf_llama, num_beams, eos):
     np.testing.assert_array_equal(out[:, :L], ref)
     if L < max_new:
         assert (out[:, L:] == pad).all()
+
+
+@pytest.mark.parametrize("length_penalty", [0.5, 2.0, -0.5])
+def test_beam_search_length_penalty_matches_hf(hf_llama, length_penalty):
+    """length_penalty != 1.0 changes which finished hypothesis wins; must
+    track HF BeamHypotheses scoring exactly (VERDICT round-1 item #8)."""
+    import torch
+
+    model = hf_llama
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = decoder_params_from_hf(model.state_dict(), cfg.num_layers)
+
+    rng = np.random.default_rng(77)
+    B, P, K, max_new, eos, pad = 2, 5, 3, 10, 64, 127
+    ids = rng.integers(0, 128, (B, P))
+    mask = np.ones((B, P), dtype=np.int64)
+
+    with torch.no_grad():
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        ref = model.generate(
+            inputs_embeds=embeds, attention_mask=torch.tensor(mask),
+            max_new_tokens=max_new, num_beams=K, do_sample=False,
+            eos_token_id=eos, pad_token_id=pad,
+            length_penalty=length_penalty, early_stopping=False).numpy()
+
+    out = np.asarray(beam_search(
+        cfg.core(), params,
+        inputs_embeds=jnp.asarray(embeds.numpy()),
+        attention_mask=jnp.asarray(mask),
+        gen_cfg=GenerationConfig(max_new_tokens=max_new, eos_token_id=eos,
+                                 pad_token_id=pad),
+        num_beams=K, length_penalty=length_penalty))
+
+    L = ref.shape[1]
+    np.testing.assert_array_equal(out[:, :L], ref)
+    if L < max_new:
+        assert (out[:, L:] == pad).all()
+
+
+def test_beam_search_early_stopping_matches_hf(hf_llama):
+    import torch
+
+    model = hf_llama
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = decoder_params_from_hf(model.state_dict(), cfg.num_layers)
+
+    rng = np.random.default_rng(99)
+    B, P, K, max_new, eos, pad = 2, 5, 3, 12, 64, 127
+    ids = rng.integers(0, 128, (B, P))
+    mask = np.ones((B, P), dtype=np.int64)
+
+    with torch.no_grad():
+        embeds = model.get_input_embeddings()(torch.tensor(ids))
+        ref = model.generate(
+            inputs_embeds=embeds, attention_mask=torch.tensor(mask),
+            max_new_tokens=max_new, num_beams=K, do_sample=False,
+            eos_token_id=eos, pad_token_id=pad,
+            length_penalty=1.0, early_stopping=True).numpy()
+
+    out = np.asarray(beam_search(
+        cfg.core(), params,
+        inputs_embeds=jnp.asarray(embeds.numpy()),
+        attention_mask=jnp.asarray(mask),
+        gen_cfg=GenerationConfig(max_new_tokens=max_new, eos_token_id=eos,
+                                 pad_token_id=pad),
+        num_beams=K, early_stopping=True))
+
+    L = ref.shape[1]
+    np.testing.assert_array_equal(out[:, :L], ref)
+    if L < max_new:
+        assert (out[:, L:] == pad).all()
+
+
+def test_generation_config_kwarg_accepted(hf_llama):
+    """HF-parity surface: model.generate(..., generation_config=cfg) works
+    and flat kwargs override its fields."""
+    from prot2text_tpu.infer.generate import resolve_generation_config
+
+    base = GenerationConfig(max_new_tokens=7, eos_token_id=5, num_beams=2)
+    got = resolve_generation_config(1, 2, {"generation_config": base})
+    assert got == base
+    got2 = resolve_generation_config(
+        1, 2, {"generation_config": base, "max_new_tokens": 3})
+    assert got2.max_new_tokens == 3 and got2.num_beams == 2
+    flat = resolve_generation_config(11, 22, {"max_new_tokens": 4})
+    assert flat.eos_token_id == 11 and flat.pad_token_id == 22

@@ -145,3 +145,68 @@ def test_sampler_tiny_dataset_many_shards():
                              drop_last=False) for i in range(8)]
     sizes = [len(s.epoch_indices(0)) for s in shards]
     assert sizes == [1] * 8
+
+
+def test_filter_logits_matches_hf_warpers():
+    """Distribution-level parity vs transformers' warper pipeline on fixed
+    logits (VERDICT round-1 item #9): temperature → top-k → top-p in HF
+    processor order, including boundary-token tie handling."""
+    import torch
+    from transformers.generation.logits_process import (
+        LogitsProcessorList, TemperatureLogitsWarper, TopKLogitsWarper,
+        TopPLogitsWarper,
+    )
+
+    from prot2text_tpu.infer.generate import filter_logits
+
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((5, 64)).astype(np.float32) * 2.0
+    # adversarial rows: exact ties at the top-p boundary and repeated values
+    base[1] = np.repeat(np.linspace(3, -3, 8).astype(np.float32), 8)
+    base[2, :] = 0.0
+    base[2, 7] = 5.0
+
+    cases = [
+        dict(temperature=0.7, top_k=None, top_p=None),
+        dict(temperature=1.0, top_k=10, top_p=None),
+        dict(temperature=1.0, top_k=None, top_p=0.9),
+        dict(temperature=0.8, top_k=12, top_p=0.7),
+        dict(temperature=2.5, top_k=5, top_p=0.95),
+    ]
+    ids = torch.zeros((5, 1), dtype=torch.long)
+    for case in cases:
+        procs = LogitsProcessorList()
+        if case["temperature"] != 1.0:
+            procs.append(TemperatureLogitsWarper(case["temperature"]))
+        if case["top_k"]:
+            procs.append(TopKLogitsWarper(case["top_k"]))
+        if case["top_p"]:
+            procs.append(TopPLogitsWarper(case["top_p"]))
+        want = procs(ids, torch.as_tensor(base.copy())).numpy()
+
+        cfg = GenerationConfig(do_sample=True, **case)
+        got = np.asarray(filter_logits(jnp.asarray(base), cfg))
+
+        want_mask = np.isfinite(want)
+        got_mask = np.isfinite(got)
+        # kept-set SIZE always matches; exact kept indices match whenever
+        # the row has no duplicate values (HF's tie order at the top-p
+        # boundary comes from torch.sort's unspecified tie behavior, so
+        # index-level tie resolution is not a contract)
+        np.testing.assert_array_equal(got_mask.sum(-1), want_mask.sum(-1),
+                                      err_msg=str(case))
+        for r in range(base.shape[0]):
+            if len(np.unique(base[r])) == base.shape[1]:
+                np.testing.assert_array_equal(
+                    got_mask[r], want_mask[r], err_msg=f"{case} row {r}")
+
+        # renormalized distributions over the kept VALUES agree (compare
+        # value-sorted to be tie-order agnostic)
+        def _softmax(x):
+            x = np.where(np.isfinite(x), x, -1e30)
+            e = np.exp(x - x.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        np.testing.assert_allclose(
+            np.sort(_softmax(got), axis=-1), np.sort(_softmax(want), axis=-1),
+            rtol=1e-5, atol=1e-6, err_msg=str(case))
