@@ -6,6 +6,15 @@ TPU-native replacement for torch's DistributedSampler + DataLoader
 contiguously per host; each host feeds its local batch slice, and the jitted
 step shards the batch over the mesh's data axes.  `drop_last` keeps shapes
 static (the reference relies on the same).
+
+Host ↔ data-axis mapping: host h takes the strided slice perm[h::n_hosts]
+of one global permutation, so every host yields the SAME number of batches
+per epoch (collectives stay aligned step for step).  The global step batch
+is the concatenation of the per-host batches in process-index order; when
+placed with P(("dp", "fsdp")) the rows of host h land on the dp coordinates
+[h·local_bsz, (h+1)·local_bsz) — exactly the layout
+`jax.make_array_from_process_local_data` produces on a real multi-host mesh
+(test: tests/test_sampling.py::test_two_host_loader_alignment_and_dp_axis).
 """
 
 from __future__ import annotations
