@@ -1,19 +1,24 @@
-"""Benchmark: batched KV-cached decode throughput (flagship decode path).
+"""Benchmarks on the real chip. Prints one JSON line PER METRIC (driver
+parses the last line → the flagship decode number is printed last).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md) — vs_baseline is null until
-an A6000 reference measurement exists.
+Metrics (VERDICT round-1 item #4 — flagship scale + utilization):
+  1. sft_step — teacher-forcing train step (fwd+bwd+adamw) on an 8L×1024
+     decoder, B=8, S=512: tokens/s + MFU vs the v5e bf16 peak (197 TFLOP/s).
+  2. decode_tokens_per_sec_bf16_8Lx1024_b16 — round-1 continuity metric.
+  3. decode_llama32_1b — Llama-3.2-1B architecture (random bf16 weights,
+     real checkpoints don't exist in this zero-egress container), B=16:
+     tokens/s + achieved HBM GB/s vs the 819 GB/s v5e peak (decode is
+     bandwidth-bound: every step re-reads the full weight set + KV cache).
 
-Decoder: 8L × h1024 (GQA 16/8, SwiGLU 4096) in bf16 — sized so that
-compile-through-the-axon-tunnel + 3 timed runs fit the driver's budget;
-the persistent compilation cache (.jax_cache) amortizes recompiles across
-rounds.  Timing forces a host transfer per run because block_until_ready
-does not synchronize through the remote-execution tunnel.
+The reference publishes no numbers (BASELINE.md) — vs_baseline stays null.
+Timing forces a host transfer per run because block_until_ready does not
+synchronize through the remote-execution tunnel.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,19 +29,88 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_GBPS = 819.0
 
-def main():
-    from prot2text_tpu.infer.generate import GenerationConfig, generate
-    from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
+
+def _emit(metric, value, unit, **extra):
+    line = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+            "vs_baseline": None}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _time(fn, iters=3):
+    fn()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters
+
+
+def _param_count(params):
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def bench_sft_step():
+    """Jitted train step (loss fwd+bwd + adamw) on an 8L×1024 GQA decoder."""
+    from prot2text_tpu.models.decoder import (
+        DecoderConfig, causal_bias_from_mask, cross_entropy_loss,
+        decoder_forward, decoder_logits, init_decoder_params,
+    )
+    import optax
 
     cfg = DecoderConfig(
         vocab_size=32000, hidden_size=1024, num_layers=8, num_heads=16,
         num_kv_heads=8, intermediate_size=4096, head_dim=64,
         rope_theta=500000.0)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    n_params = _param_count(params)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    B, S = 8, 512
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 32000, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    labels = ids
+
+    def loss_fn(p):
+        emb = p["embed_tokens"][ids]
+        bias = causal_bias_from_mask(mask)
+        pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        h, _ = decoder_forward(cfg, p, inputs_embeds=emb, bias=bias,
+                               positions=pos, attn_impl="xla", remat=True)
+        return cross_entropy_loss(decoder_logits(cfg, p, h), labels)
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    def run():
+        nonlocal params, opt_state
+        params, opt_state, loss = step(params, opt_state)
+        return float(loss)
+
+    dt = _time(run)
+    tokens_per_sec = B * S / dt
+    # fwd+bwd ≈ 6·params FLOPs per token (+ attention terms, ignored)
+    mfu = 6.0 * n_params * tokens_per_sec / V5E_BF16_PEAK_FLOPS
+    _emit("sft_train_tokens_per_sec_bf16_8Lx1024_b8_s512", tokens_per_sec,
+          "tokens/s", mfu=round(mfu, 4), step_ms=round(dt * 1e3, 1),
+          params_m=round(n_params / 1e6, 1))
+
+
+def _bench_decode(cfg, name, B=16, P=128, NEW=128):
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.decoder import init_decoder_params
+
     dtype = jnp.bfloat16
     params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
-
-    B, P, NEW = 16, 128, 128
+    n_params = _param_count(params)
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -50,20 +124,47 @@ def main():
                         gen_cfg=gen_cfg, attn_impl="xla", cache_dtype=dtype)
         return np.asarray(toks)
 
-    run()  # compile + warmup
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        run()
-    dt = (time.perf_counter() - t0) / iters
-
+    dt = _time(run)
     toks_per_sec = B * NEW / dt
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec_bf16_8Lx1024_b16",
-        "value": round(toks_per_sec, 2),
-        "unit": "tokens/s",
-        "vs_baseline": None,
-    }))
+    steps_per_sec = NEW / dt
+    # bandwidth-bound model: every decode step re-reads all weights once and
+    # (on average) half the final KV cache
+    weight_bytes = 2.0 * n_params
+    cache_bytes = (2 * cfg.num_layers * (P + NEW / 2) * B
+                   * cfg.num_kv_heads * cfg.head_dim * 2)
+    gbps = steps_per_sec * (weight_bytes + cache_bytes) / 1e9
+    _emit(name, toks_per_sec, "tokens/s",
+          hbm_gbps=round(gbps, 1),
+          hbm_util=round(gbps / V5E_HBM_GBPS, 3),
+          params_m=round(n_params / 1e6, 1),
+          batch=B, new_tokens=NEW)
+
+
+def bench_decode_toy():
+    from prot2text_tpu.models.decoder import DecoderConfig
+
+    cfg = DecoderConfig(
+        vocab_size=32000, hidden_size=1024, num_layers=8, num_heads=16,
+        num_kv_heads=8, intermediate_size=4096, head_dim=64,
+        rope_theta=500000.0)
+    _bench_decode(cfg, "decode_tokens_per_sec_bf16_8Lx1024_b16")
+
+
+def bench_decode_flagship():
+    """Llama-3.2-1B architecture — the largest flagship config whose bf16
+    weights + cache comfortably fit one 16 GB v5e chip."""
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_2_1b().core()
+    _bench_decode(cfg, "decode_tokens_per_sec_bf16_llama32_1b_b16")
+
+
+def main():
+    for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship):
+        try:
+            fn()
+        except Exception as e:  # keep later (headline) metrics alive
+            print(f"[bench] {fn.__name__} failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
