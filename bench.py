@@ -56,8 +56,9 @@ def _param_count(params):
 def bench_sft_step():
     """Jitted train step (loss fwd+bwd + adamw) on an 8L×1024 GQA decoder."""
     from prot2text_tpu.models.decoder import (
-        DecoderConfig, causal_bias_from_mask, cross_entropy_loss,
-        decoder_forward, decoder_logits, init_decoder_params,
+        DecoderConfig, causal_bias_from_mask, contiguous_lengths,
+        cross_entropy_loss, decoder_forward, decoder_logits,
+        init_decoder_params,
     )
     import optax
 
@@ -80,8 +81,10 @@ def bench_sft_step():
         emb = p["embed_tokens"][ids]
         bias = causal_bias_from_mask(mask)
         pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        # the shipped default path: auto → masked flash on causal shapes
         h, _ = decoder_forward(cfg, p, inputs_embeds=emb, bias=bias,
-                               positions=pos, attn_impl="xla", remat=True)
+                               positions=pos, attn_impl="auto", remat=True,
+                               attn_lengths=contiguous_lengths(mask))
         return cross_entropy_loss(decoder_logits(cfg, p, h), labels)
 
     @jax.jit
@@ -104,13 +107,17 @@ def bench_sft_step():
           params_m=round(n_params / 1e6, 1))
 
 
-def _bench_decode(cfg, name, B=16, P=128, NEW=128):
+def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None):
     from prot2text_tpu.infer.generate import GenerationConfig, generate
     from prot2text_tpu.models.decoder import init_decoder_params
 
     dtype = jnp.bfloat16
     params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
     n_params = _param_count(params)
+    if quant_bits:
+        from prot2text_tpu.models.quant import quantize_params
+
+        params = quantize_params(params, bits=quant_bits)
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -129,7 +136,9 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128):
     steps_per_sec = NEW / dt
     # bandwidth-bound model: every decode step re-reads all weights once and
     # (on average) half the final KV cache
-    weight_bytes = 2.0 * n_params
+    weight_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "dtype"))
     cache_bytes = (2 * cfg.num_layers * (P + NEW / 2) * B
                    * cfg.num_kv_heads * cfg.head_dim * 2)
     gbps = steps_per_sec * (weight_bytes + cache_bytes) / 1e9
@@ -150,6 +159,17 @@ def bench_decode_toy():
     _bench_decode(cfg, "decode_tokens_per_sec_bf16_8Lx1024_b16")
 
 
+def bench_decode_flagship_int8():
+    """Same flagship config with int8 weight-only quantization (the serving
+    configuration — halves the weight bytes the bandwidth-bound decode
+    re-reads every step; numerics parity covered by tests/test_quant.py)."""
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_2_1b().core()
+    _bench_decode(cfg, "decode_tokens_per_sec_int8_llama32_1b_b16",
+                  quant_bits=8)
+
+
 def bench_decode_flagship():
     """Llama-3.2-1B architecture — the largest flagship config whose bf16
     weights + cache comfortably fit one 16 GB v5e chip."""
@@ -160,7 +180,8 @@ def bench_decode_flagship():
 
 
 def main():
-    for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship):
+    for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
+               bench_decode_flagship):
         try:
             fn()
         except Exception as e:  # keep later (headline) metrics alive

@@ -105,12 +105,13 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
-    # measured on v5e at S=512: XLA's fused attention beats the Pallas
-    # flash kernel in training (132 vs 213 ms/step contrastive) — the flash
-    # path materializes the fp32 bias tensor; flash wins on memory at longer
-    # sequences.  Default to xla; flash stays selectable.
-    p.add_argument("--attn_impl", type=str, default="xla",
-                   choices=["xla", "flash"])
+    # measured on v5e (scripts/bench_attention.py): the bias-free masked
+    # flash kernel wins every CAUSAL shape forward (-11% S=512, -33% S=2048
+    # — it skips upper-triangle blocks) and ties/wins the backward at
+    # S>=2048; XLA keeps bidirectional encoder shapes.  "auto" applies that
+    # rule per call site (falls back to xla off-TPU / odd shapes).
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"])
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--load_model_checkpoint_path", type=str, default=None)
     p.add_argument("--save_every_epochs", type=int, default=1)

@@ -72,10 +72,13 @@ def beam_search(
     # prefill ONCE at batch B, then expand the cache to B*K
     cache_b = init_kv_cache(cfg, B, T, dtype)
     bias = _prefill_bias(attention_mask, T)
+    from ..models.decoder import contiguous_lengths
+
     h, cache_b = decoder_forward(
         cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
         positions=positions, kv_cache=cache_b, cache_index=0,
-        attn_impl=attn_impl)
+        attn_impl="flash" if attn_impl == "auto" else attn_impl,
+        attn_lengths=contiguous_lengths(attention_mask))
     logp0 = jax.nn.log_softmax(
         decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1)  # (B, V)
 

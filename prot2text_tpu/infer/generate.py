@@ -161,12 +161,17 @@ def generate(
     ).astype(jnp.int32)                                   # (B, P)
     last_pos = positions[:, -1]                           # (B,)
 
+    from ..models.decoder import contiguous_lengths
+
     cache = init_kv_cache(cfg, B, T, dtype)
     bias = _prefill_bias(attention_mask, T)
+    # prefill is forward-only: force flash where eligible (wins at every
+    # causal S, not just the auto rule's >=1024 training threshold)
     h, cache = decoder_forward(
         cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
         positions=positions, kv_cache=cache, cache_index=0,
-        attn_impl=attn_impl,
+        attn_impl="flash" if attn_impl == "auto" else attn_impl,
+        attn_lengths=contiguous_lengths(attention_mask),
     )
     logits0 = decoder_logits(cfg, params, h[:, -1:])[:, 0]  # (B, V)
 

@@ -32,7 +32,48 @@ def _xla_attention(q, k, v, bias):
     return out.astype(v.dtype)
 
 
-def dot_product_attention(q, k, v, bias, impl: str = "xla"):
+def _flash_blocks(sq: int, skv: int):
+    """Pick legal Mosaic block sizes, or None if the shape can't tile."""
+    for b in (256, 128):
+        if sq % b == 0 and skv % b == 0:
+            return b
+    return None
+
+
+def flash_eligible(q, k, causal: bool, min_seq: int = 0) -> bool:
+    """auto-dispatch rule, measured on v5e (scripts/bench_attention.py):
+    flash-masked wins every CAUSAL shape forward-only (-11% at S=512, -33%
+    at S=2048 — it skips upper-triangle blocks entirely); for fwd+bwd
+    (training) it wins at S>=1024 (2.4x whole-train-step at S=2048, where
+    XLA materializes the (B,H,S,S) fp32 logits) but loses ~4% at S=512.
+    XLA keeps BIDIRECTIONAL encoder shapes (no blocks to skip, Mosaic
+    per-tile overhead)."""
+    return (causal
+            and q.shape[-2] >= min_seq
+            and jax.default_backend() == "tpu"
+            and q.shape[-1] in (64, 128)
+            and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)
+
+
+def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
+    """lengths: optional (kv_start (B,), kv_len (B,), causal: bool) asserting
+    the key-validity mask is ONE contiguous run per row (true for every
+    collator layout in this repo) — unlocks the bias-free masked flash
+    kernel.  impl="auto" applies the differentiable-path rule (flash for
+    causal S>=1024); impl="flash" forces flash on any eligible shape —
+    forward-only call sites (decode prefill, frozen text tower) use it,
+    where flash wins at every causal S."""
+    if impl in ("flash", "auto") and lengths is not None:
+        kv_start, kv_len, causal = lengths
+        if flash_eligible(q, k, causal,
+                          min_seq=1024 if impl == "auto" else 0):
+            from .flash_attention import flash_attention_masked
+
+            b = _flash_blocks(q.shape[-2], k.shape[-2])
+            return flash_attention_masked(
+                q, k, v, jnp.asarray(kv_start, jnp.int32),
+                jnp.asarray(kv_len, jnp.int32), causal=causal,
+                block_q=b, block_k=b)
     if impl == "flash":
         try:
             from .flash_attention import flash_attention_tpu

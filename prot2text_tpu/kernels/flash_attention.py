@@ -199,7 +199,15 @@ def _fwd_masked_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
     l_prev = l_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
+    # mask p EXPLICITLY: rows with zero valid keys have m_new == NEG_INF and
+    # exp(logits - m_new) == 1 at every (invalid) position — relying on exp
+    # underflow alone makes empty rows attend uniformly to everything (and
+    # corrupts lse for the backward: NEG_INF + log(l) absorbs the log term
+    # in fp32, so bwd p becomes 1 across the whole row and sprays cotangent
+    # into every key slot, compounding ~x512 per layer through the scan).
+    # Empty rows now output exactly 0 (vs XLA's uniform-average garbage —
+    # both are don't-care values, but 0 keeps gradients exactly zero).
+    p = jnp.where(ok, jnp.exp(logits - m_new), 0.0)
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -500,7 +508,9 @@ def _bwd_masked_dq_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
         ok = jnp.logical_and(ok, cols <= rows)
     logits = jnp.where(ok, logits, NEG_INF)
 
-    p = jnp.exp(logits - lse)
+    # explicit mask (not exp underflow): empty rows carry a degenerate lse
+    # (see _fwd_masked_kernel) and would otherwise get p == 1 everywhere
+    p = jnp.where(ok, jnp.exp(logits - lse), 0.0)
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -550,7 +560,8 @@ def _bwd_masked_dkv_kernel(kv_start_ref, kv_len_ref, q_ref, k_ref, v_ref,
         ok = jnp.logical_and(ok, cols <= rows)
     logits = jnp.where(ok, logits, NEG_INF)
 
-    p = jnp.exp(logits - lse)
+    # explicit mask — see _bwd_masked_dq_kernel
+    p = jnp.where(ok, jnp.exp(logits - lse), 0.0)
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

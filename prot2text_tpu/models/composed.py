@@ -27,8 +27,8 @@ from .adapters import (
     init_rgcn_adapter_params, modality_adapter, rgcn_adapter,
 )
 from .decoder import (
-    causal_bias_from_mask, cross_entropy_loss, decoder_forward,
-    decoder_logits, embed_tokens,
+    causal_bias_from_mask, contiguous_lengths, cross_entropy_loss,
+    decoder_forward, decoder_logits, embed_tokens,
 )
 from .esm2 import ESM2Config, esm2_encode, init_esm2_params
 from .esmc import ESMCConfig as ESMCEncoderConfig, esmc_encode, init_esmc_params
@@ -122,7 +122,8 @@ class Esm2LlamaInstructForCausalLM:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
         h, _ = decoder_forward(
             core, params["llama_decoder"], inputs_embeds=inputs_embeds,
-            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat)
+            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat,
+            attn_lengths=contiguous_lengths(attention_mask))
         logits = decoder_logits(core, params["llama_decoder"], h)
         loss = None
         if labels is not None:
@@ -280,7 +281,8 @@ class Esm2LlamaForCausalLM:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
         h, _ = decoder_forward(
             core, params["llama_decoder"], inputs_embeds=inputs_embeds,
-            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat)
+            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat,
+            attn_lengths=contiguous_lengths(attention_mask))
         logits = decoder_logits(core, params["llama_decoder"], h)
         loss = None
         if full_labels is not None:
@@ -405,7 +407,8 @@ class Esm2Rgcn2LlamaInstructForCausalLM:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
         h, _ = decoder_forward(
             core, params["llama_decoder"], inputs_embeds=inputs_embeds,
-            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat)
+            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat,
+            attn_lengths=contiguous_lengths(attention_mask))
         logits = decoder_logits(core, params["llama_decoder"], h)
         loss = None
         if labels is not None:
@@ -531,7 +534,8 @@ class ESMCQwen:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
         h, _ = decoder_forward(
             core, params["llm_decoder"], inputs_embeds=inputs_embeds,
-            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat)
+            bias=bias, positions=positions, attn_impl=attn_impl, remat=remat,
+            attn_lengths=contiguous_lengths(attention_mask))
         logits = decoder_logits(core, params["llm_decoder"], h)
         loss = None
         if labels is not None:

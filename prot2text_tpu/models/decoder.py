@@ -122,6 +122,17 @@ def embed_tokens(params, input_ids):
     return params["embed_tokens"][input_ids]
 
 
+def contiguous_lengths(attention_mask):
+    """(B, S) 0/1 mask whose valid run is CONTIGUOUS per row (every collator
+    layout here: [pad, prompt, description, pad]) → (kv_start, kv_len) int32.
+    Fully-masked rows get kv_len=1 so kernels never see an empty softmax —
+    their outputs are ignored downstream either way."""
+    m = attention_mask.astype(jnp.int32)
+    kv_len = jnp.maximum(m.sum(axis=1), 1)
+    kv_start = jnp.argmax(m, axis=1).astype(jnp.int32)
+    return kv_start, kv_len.astype(jnp.int32)
+
+
 def decoder_forward(
     cfg: DecoderConfig,
     params,
@@ -135,6 +146,8 @@ def decoder_forward(
     remat: bool = False,
     lora=None,              # optional LoRA tree (models/lora.py layout)
     lora_scale: float = 1.0,
+    attn_lengths=None,      # optional (kv_start, kv_len) contiguous-mask
+                            # assertion → masked flash under attn_impl="auto"
 ):
     """Returns (hidden_states, new_kv_cache).
 
@@ -184,10 +197,21 @@ def decoder_forward(
             k_full, v_full = k, v
             new_cache = None
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
-        a = attention(
-            q, repeat_kv(k_full, n_rep), repeat_kv(v_full, n_rep), bias,
-            impl=attn_impl,
-        )
+        if attn_lengths is not None:
+            # self-attention covers kv slots [0, S) even under a wider
+            # prefill cache (cache_index=0 on every prefill call site) —
+            # slice so the masked flash kernel sees only live keys
+            k_att, v_att = k_full[:, :, :S], v_full[:, :, :S]
+            a = attention(
+                q, repeat_kv(k_att, n_rep), repeat_kv(v_att, n_rep),
+                bias[..., :S], impl=attn_impl,
+                lengths=(attn_lengths[0], attn_lengths[1], True),
+            )
+        else:
+            a = attention(
+                q, repeat_kv(k_full, n_rep), repeat_kv(v_full, n_rep), bias,
+                impl=attn_impl,
+            )
         a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         x = x + proj("o_proj", a)
         xn = rms_norm(lp["post_attn_ln"], x, cfg.rms_norm_eps)

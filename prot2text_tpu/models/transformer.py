@@ -142,10 +142,12 @@ def make_attention_bias(attention_mask, dtype=jnp.float32, causal: bool = False,
     return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
 
 
-def attention(q, k, v, bias, impl: str = "xla"):
+def attention(q, k, v, bias, impl: str = "xla", lengths=None):
     """q,k,v: (B, H, S, D) with equal H (repeat_kv already applied).
-    bias: fp32 additive (B, 1, Sq, Skv) or (B, H, Sq, Skv)."""
-    return dot_product_attention(q, k, v, bias, impl=impl)
+    bias: fp32 additive (B, 1, Sq, Skv) or (B, H, Sq, Skv).
+    lengths: optional (kv_start, kv_len, causal) contiguous-mask assertion
+    enabling the masked flash kernel under impl="auto"."""
+    return dot_product_attention(q, k, v, bias, impl=impl, lengths=lengths)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,9 @@ def text_hidden_at_layer(core: DecoderConfig, decoder_params, input_ids,
     `layer` layers: scan the truncated layer stack without the final norm."""
     emb = decoder_params["embed_tokens"][input_ids]
     bias = causal_bias_from_mask(attention_mask)
+    from ..models.decoder import contiguous_lengths
+
+    attn_lengths = contiguous_lengths(attention_mask)
     B, S = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     layers_k = jax.tree_util.tree_map(
@@ -121,8 +124,11 @@ def text_hidden_at_layer(core: DecoderConfig, decoder_params, input_ids,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
+        # frozen text tower runs under stop_gradient → forward-only: force
+        # flash where eligible (wins at every causal S)
         a = attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias,
-                      impl=attn_impl)
+                      impl="flash" if attn_impl == "auto" else attn_impl,
+                      lengths=(attn_lengths[0], attn_lengths[1], True))
         a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D_)
         x = x + linear(lp["o_proj"], a)
         xn = rms_norm(lp["post_attn_ln"], x, cfg_k.rms_norm_eps)

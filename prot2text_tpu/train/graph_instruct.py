@@ -65,10 +65,13 @@ def graph_sft_loss(
     bias = causal_bias_from_mask(batch["attention_mask"])
     B, S = batch["input_ids"].shape
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    from ..models.decoder import contiguous_lengths
+
     h, _ = decoder_forward(
         decoder_core, llm, inputs_embeds=inputs_embeds, bias=bias,
         positions=positions, attn_impl=attn_impl, remat=cfg.remat,
-        lora=trainable["lora_llm"], lora_scale=cfg.lora.scale)
+        lora=trainable["lora_llm"], lora_scale=cfg.lora.scale,
+        attn_lengths=contiguous_lengths(batch["attention_mask"]))
     logits = decoder_logits(decoder_core, llm, h)
     return cross_entropy_loss(logits, batch["labels"])
 

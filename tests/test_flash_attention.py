@@ -220,3 +220,52 @@ def test_flash_masked_backward_matches_xla():
     for a, b, name in zip(gm, gx, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_flash_masked_backward_bounded_with_unmasked_cotangent():
+    """Regression: rows with ZERO valid keys (left padding + causal) used to
+    make the backward spray cotangent into every key slot (fwd lse for an
+    empty row degenerates to NEG_INF + log(l), which fp32 absorbs, so bwd
+    p = exp(logits - lse) became 1 everywhere) — gradients compounded ~x512
+    per layer through the decoder scan.  With p explicitly masked, empty
+    rows output exactly 0 and contribute exactly zero gradient, and the
+    valid-row gradients still match XLA."""
+    from prot2text_tpu.kernels.flash_attention import flash_attention_masked
+
+    q, k, v = _qkv(Sq=24, Skv=24, seed=33)
+    mask = np.ones((2, 24), np.int32)
+    mask[0, :6] = 0     # rows 0..5 of batch 0 have no valid keys (causal)
+    pos = jnp.broadcast_to(jnp.arange(24), (2, 24))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+    starts = jnp.asarray([6, 0], jnp.int32)
+    lens = jnp.asarray([18, 24], jnp.int32)
+
+    def loss_masked(q, k, v):   # cotangent NOT masked — every row contributes
+        o = flash_attention_masked(q, k, v, starts, lens, causal=True,
+                                   block_q=8, block_k=8, interpret=True)
+        return jnp.sum(jnp.square(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.square(_xla_attention(q, k, v, bias)))
+
+    out = flash_attention_masked(q, k, v, starts, lens, causal=True,
+                                 block_q=8, block_k=8, interpret=True)
+    # empty rows output exactly zero
+    np.testing.assert_array_equal(np.asarray(out)[0, :, :6], 0.0)
+
+    gm = jax.grad(loss_masked, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, name in zip(gm, "qkv"):
+        a = np.asarray(a)
+        assert np.isfinite(a).all(), name
+        assert np.abs(a).max() < 50, (name, np.abs(a).max())
+    # dq at empty rows is exactly zero (XLA gives garbage-through-uniform)
+    np.testing.assert_array_equal(np.asarray(gm[0])[0, :, :6], 0.0)
+    # valid-row q-gradients match XLA (k/v grads differ only by XLA's
+    # spurious empty-row uniform contributions, which flash now drops)
+    np.testing.assert_allclose(np.asarray(gm[0])[0, :, 6:],
+                               np.asarray(gx[0])[0, :, 6:],
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gm[0])[1], np.asarray(gx[0])[1],
+                               atol=2e-4, rtol=2e-4)
