@@ -107,17 +107,51 @@ def bench_sft_step():
           params_m=round(n_params / 1e6, 1))
 
 
-def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None):
+def _init_quantized_random(cfg, bits=8):
+    """Random decoder params DIRECTLY in quantized form (an 8B bf16 init
+    would not fit the chip before quantization; throughput does not depend
+    on the values).  Every int8 layer leaf is independently random —
+    no broadcasts XLA could optimize into smaller HBM reads."""
+    from prot2text_tpu.models.decoder import init_decoder_params
+    from prot2text_tpu.models.quant import quantize_params
+
+    tiny = type(cfg)(**{**cfg.__dict__, "num_layers": 1})
+    one = quantize_params(
+        init_decoder_params(tiny, jax.random.PRNGKey(0), jnp.bfloat16),
+        bits=bits)
+    L = cfg.num_layers
+    key = jax.random.PRNGKey(7)
+
+    def grow(a):
+        nonlocal key
+        shape = (L,) + a.shape[1:]
+        if a.dtype in (jnp.int8, jnp.int4):
+            key, k = jax.random.split(key)
+            return jax.random.randint(k, shape, -100, 100, jnp.int8
+                                      ).astype(a.dtype)
+        return jnp.full(shape, 0.01, a.dtype)  # fp32 scales
+
+    out = dict(one)
+    out["layers"] = jax.tree_util.tree_map(grow, one["layers"])
+    return out
+
+
+def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
+                  quant_direct=False):
     from prot2text_tpu.infer.generate import GenerationConfig, generate
     from prot2text_tpu.models.decoder import init_decoder_params
 
     dtype = jnp.bfloat16
-    params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
-    n_params = _param_count(params)
-    if quant_bits:
-        from prot2text_tpu.models.quant import quantize_params
+    if quant_direct:
+        params = _init_quantized_random(cfg, bits=quant_bits or 8)
+        n_params = _param_count(params)
+    else:
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
+        n_params = _param_count(params)
+        if quant_bits:
+            from prot2text_tpu.models.quant import quantize_params
 
-        params = quantize_params(params, bits=quant_bits)
+            params = quantize_params(params, bits=quant_bits)
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -179,9 +213,21 @@ def bench_decode_flagship():
     _bench_decode(cfg, "decode_tokens_per_sec_bf16_llama32_1b_b16")
 
 
+def bench_decode_8b_int8():
+    """The reference's instruct-flagship decoder scale (Llama-3.1-8B
+    architecture, README.md:17-19) served on ONE 16 GB v5e chip via int8
+    weight-only quantization: ~7 GB int8 layers + bf16 embeddings + KV
+    cache ≈ 9.5 GB."""
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_1_8b().core()
+    _bench_decode(cfg, "decode_tokens_per_sec_int8_llama31_8b_b16_one_chip",
+                  quant_bits=8, quant_direct=True, NEW=64)
+
+
 def main():
     for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
-               bench_decode_flagship):
+               bench_decode_flagship, bench_decode_8b_int8):
         try:
             fn()
         except Exception as e:  # keep later (headline) metrics alive
