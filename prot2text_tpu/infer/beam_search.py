@@ -82,7 +82,10 @@ def beam_search(
     logp0 = jax.nn.log_softmax(
         decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1)  # (B, V)
 
-    cache = {k: jnp.repeat(v, K, axis=2) for k, v in cache_b.items()}
+    from .kvcache import batch_axis
+
+    bax = batch_axis(cfg)
+    cache = {k: jnp.repeat(v, K, axis=bax) for k, v in cache_b.items()}
     kv_mask = _expand_beams(attention_mask.astype(jnp.int32), K)  # (B*K, P)
     kv_mask = jnp.concatenate(
         [kv_mask, jnp.zeros((B * K, NEW), jnp.int32)], axis=1)
@@ -160,9 +163,11 @@ def beam_search(
         new_fin_tokens = jnp.take_along_axis(
             pool_tokens, fin_sel[..., None], axis=1)
 
-        # reorder cache to follow the alive beams
+        # reorder cache to follow the alive beams — one gather of the
+        # cache's batch axis per step
         flat_sel = (jnp.arange(B)[:, None] * K + new_alive_beam).reshape(-1)
-        cache = {k: v[:, :, flat_sel] for k, v in cache.items()}
+        cache = {k: jnp.take(v, flat_sel, axis=bax)
+                 for k, v in cache.items()}
 
         # done rows freeze: no new hypotheses, alive state irrelevant
         if early_stopping:

@@ -8,10 +8,11 @@ reference (models/modeling_esm2llama_instruct.py:204-215, esmc_qwen_arc.py:208)
   * optional per-head q/k RMSNorm (Qwen3), optional llama3 rope scaling
   * logits computed in fp32; optional tied embeddings
 
-KV-cached decoding: the cache is a (L, T, B, Hkv, D) pytree
-(sequence-leading after the layer dim — slab-shaped slot writes); prefill
-writes whole prompt slabs inside the layer scan, and single-token decoding
-goes through `decoder_decode_step` (cache read-only in the scan, one write
+KV-cached decoding: the cache is a (L, B, Hkv, T, D) pytree (batch dims
+leading so every attention einsum lowers without operand transposes —
+infer/kvcache.py documents the layout history); prefill writes whole prompt
+slabs inside the layer scan, and single-token decoding goes through
+`decoder_decode_step` (cache read-only in the scan, one in-place slot write
 per step).  Static shapes throughout — the whole decode loop jits once
 (replacing HF GenerationMixin's dynamic cache, generate_instruct.py:72-87).
 """
@@ -133,6 +134,20 @@ def contiguous_lengths(attention_mask):
     return kv_start, kv_len.astype(jnp.int32)
 
 
+def kv_cache_layout(cfg: DecoderConfig) -> str:
+    """Measured per-head-dim cache layouts (v5e, profiler-driven):
+
+    * "bktd" (L, B, Hkv, T, D) — batch dims leading, every decode einsum a
+      natural dot_general.  Physically DENSE only when D fills the 128-lane
+      tile (D=128: Llama-8B, Qwen3-14B — the flagships): +5% decode vs the
+      T-leading layout (no per-step layout repack copies).
+    * "tbkd" (L, T, B, Hkv, D) — for D=64 models (Llama-1B/3B, ESMC heads):
+      a trailing (T, 64) tile row is half-padded, which taxes every cache
+      read ~2x, so XLA's preferred transposed layout + the slab-write Pallas
+      kernel wins there despite its repack copies."""
+    return "bktd" if cfg.head_dim % 128 == 0 else "tbkd"
+
+
 def decoder_forward(
     cfg: DecoderConfig,
     params,
@@ -140,7 +155,7 @@ def decoder_forward(
     inputs_embeds,          # (B, S, H)
     bias,                   # fp32 additive (B, 1, S, T)
     positions,              # (B, S) int32 rope positions
-    kv_cache=None,          # {"k","v"}: (L, T, B, Hkv, D) or None
+    kv_cache=None,          # {"k","v"} per kv_cache_layout(cfg), or None
     cache_index=None,       # scalar int32 write offset into T
     attn_impl: str = "xla",
     remat: bool = False,
@@ -184,14 +199,25 @@ def decoder_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if layer_cache is not None:
-            # per-layer cache is (T, B, Hkv, D); k/v here are (B, Hkv, S, D)
             ck, cv = layer_cache
-            k_t = k.transpose(2, 0, 1, 3).astype(ck.dtype)   # (S, B, Hkv, D)
-            v_t = v.transpose(2, 0, 1, 3).astype(cv.dtype)
-            ck = jax.lax.dynamic_update_slice(ck, k_t, (cache_index, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v_t, (cache_index, 0, 0, 0))
-            k_full = ck.transpose(1, 2, 0, 3)                # (B, Hkv, T, D)
-            v_full = cv.transpose(1, 2, 0, 3)
+            if kv_cache_layout(cfg) == "bktd":
+                # (B, Hkv, T, D) — same dim order as k/v (B, Hkv, S, D):
+                # slab write + read with NO transposes
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+                k_full, v_full = ck, cv
+            else:
+                # (T, B, Hkv, D) sequence-leading (dense for D=64)
+                k_t = k.transpose(2, 0, 1, 3).astype(ck.dtype)
+                v_t = v.transpose(2, 0, 1, 3).astype(cv.dtype)
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k_t, (cache_index, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v_t, (cache_index, 0, 0, 0))
+                k_full = ck.transpose(1, 2, 0, 3)        # (B, Hkv, T, D)
+                v_full = cv.transpose(1, 2, 0, 3)
             new_cache = (ck, cv)
         else:
             k_full, v_full = k, v
@@ -255,7 +281,7 @@ def decoder_decode_step(
     token_embeds,        # (B, 1, H) — current token embedding
     bias_old,            # fp32 (B, 1, 1, T) over ALREADY-WRITTEN cache slots
     positions,           # (B, 1) rope positions of the current token
-    kv_cache,            # {"k","v"}: (L, T, B, Hkv, D)
+    kv_cache,            # {"k","v"}: (L, B, Hkv, T, D)
     cache_index,         # scalar int32 slot for the current token's kv
 ):
     """Single-token decode step optimized from profiler evidence: the
@@ -265,12 +291,16 @@ def decoder_decode_step(
     layer (a) reads its slice, (b) computes attention as
     [stale-cache logits ‖ current-token logit] — no updated-cache temp, no
     repeat_kv materialization (grouped-head einsum) — and (c) writes only
-    the (B, Hkv, 1, D) new kv slot back.  Returns (h (B,1,Hid), new_cache).
-    """
+    the (B, Hkv, 1, D) new kv slot back.  The (L, B, Hkv, T, D)
+    batch-leading layout keeps every einsum's batch dims leading, so XLA
+    assigns ONE layout to the cache and the while-carry slot write stays
+    in place (the round-1 T-leading layout triggered two full-cache layout
+    copies per step).  Returns (h (B,1,Hid), new_cache)."""
     B = token_embeds.shape[0]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     rep = H // Hkv
-    T = kv_cache["k"].shape[1]
+    layout = kv_cache_layout(cfg)
+    T = kv_cache["k"].shape[3 if layout == "bktd" else 1]
     L = cfg.num_layers
 
     cos, sin = decoder_rope_cos_sin(cfg, positions)   # (B, 1, D)
@@ -295,10 +325,12 @@ def decoder_decode_step(
 
         ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        # grouped-head attention over the (T, B, Hkv, D) stale cache + the
-        # current token — no temps, no layout transposes
+        # grouped-head attention over the stale cache + the current token —
+        # einsum subscripts follow the layout so no operand transposes are
+        # ever materialized
+        ck_sub = "bktd" if layout == "bktd" else "tbkd"
         logits_old = jnp.einsum(
-            "bkrd,tbkd->bkrt", qg, ck,
+            f"bkrd,{ck_sub}->bkrt", qg, ck,
             preferred_element_type=jnp.float32) + bias_o
         logit_new = jnp.einsum(
             "bkrd,bkd->bkr", qg, k.astype(qg.dtype),
@@ -307,7 +339,7 @@ def decoder_decode_step(
         w = jax.nn.softmax(logits, axis=-1)
         w_old = w[..., :T].astype(cv.dtype)
         w_new = w[..., T:].astype(v.dtype)
-        a = jnp.einsum("bkrt,tbkd->bkrd", w_old, cv,
+        a = jnp.einsum(f"bkrt,{ck_sub}->bkrd", w_old, cv,
                        preferred_element_type=jnp.float32).astype(x.dtype)
         a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
                  ).astype(x.dtype)
@@ -324,24 +356,36 @@ def decoder_decode_step(
 
     h, (k_new, v_new) = jax.lax.scan(
         block, token_embeds, (params["layers"], jnp.arange(L)))
-    # k_new/v_new: (L, B, Hkv, D) → one slab write per step.  On TPU the
-    # write is a Pallas kernel with input_output_aliases (guaranteed
-    # in-place; XLA's dynamic_update_slice copies the whole cache through
-    # the while carry — profiler-verified).
-    from ..kernels.cache_update import cache_slot_write, supports_inplace
+    # k_new/v_new: (L, B, Hkv, D) → one slot write per step.  XLA refuses to
+    # update the while-carried cache in place through a plain
+    # dynamic_update_slice (full-cache copy per step, profiler-verified in
+    # BOTH layouts), so on TPU the writes are Pallas kernels with
+    # input_output_aliases (kernels/cache_update.py): a tile-group
+    # read-modify-write for "bktd", the slot-slab DMA for "tbkd".
+    from ..kernels.cache_update import (
+        cache_slot_write, cache_slot_write_bkt, supports_inplace,
+        supports_inplace_bkt,
+    )
 
-    # NOTE: two separate aliased calls measure FASTER than one fused
-    # two-output call (15.2k vs 13.7k tok/s on the 8Lx1024 bench) — XLA
-    # schedules the k/v writes concurrently with surrounding work when they
-    # are independent kernels.
-    if jax.default_backend() == "tpu" and supports_inplace(ck_all.shape):
-        ck_all = cache_slot_write(ck_all, k_new, cache_index)
-        cv_all = cache_slot_write(cv_all, v_new, cache_index)
+    on_tpu = jax.default_backend() == "tpu"
+    if layout == "bktd":
+        if on_tpu and supports_inplace_bkt(ck_all.shape):
+            ck_all = cache_slot_write_bkt(ck_all, k_new, cache_index)
+            cv_all = cache_slot_write_bkt(cv_all, v_new, cache_index)
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_new[:, :, :, None], (0, 0, 0, cache_index, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_new[:, :, :, None], (0, 0, 0, cache_index, 0))
     else:
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k_new[:, None], (0, cache_index, 0, 0, 0))
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
+        if on_tpu and supports_inplace(ck_all.shape):
+            ck_all = cache_slot_write(ck_all, k_new, cache_index)
+            cv_all = cache_slot_write(cv_all, v_new, cache_index)
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_new[:, None], (0, cache_index, 0, 0, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, {"k": ck_all, "v": cv_all}
 

@@ -23,11 +23,16 @@ from ..kernels.attention import dot_product_attention
 
 def linear(p, x, precision=None):
     if "kernel_q" in p:
-        # int8 weight-only path (models/quant.py): dequant fused into the
-        # matmul epilogue — halves weight HBM reads for serving
-        w = p["kernel_q"].astype(x.dtype)
-        y = jnp.matmul(x, w, precision=precision)
-        y = y * p["scale"].astype(y.dtype)[..., 0, :]
+        # int8 weight-only path (models/quant.py): MIXED-DTYPE dot_general
+        # (bf16 x int8) lets XLA fuse the dequant into the matmul operand
+        # read — an explicit .astype(bf16) materializes converted weights
+        # and measured ~6x slower on v5e (the weight stream doubles and
+        # round-trips HBM); per-channel scale applies in the fp32 epilogue
+        y = jax.lax.dot_general(
+            x, p["kernel_q"],
+            (((x.ndim - 1,), (p["kernel_q"].ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = (y * p["scale"][..., 0, :]).astype(x.dtype)
     else:
         y = jnp.matmul(x, p["kernel"].astype(x.dtype), precision=precision)
     if "bias" in p:

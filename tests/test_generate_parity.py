@@ -125,3 +125,55 @@ def test_kv_cache_decode_matches_full_forward():
     logits_cat = jnp.concatenate(logits_steps, axis=1)
     np.testing.assert_allclose(
         np.asarray(logits_cat), np.asarray(logits_full), atol=2e-5, rtol=2e-5)
+
+
+def test_kv_cache_decode_matches_full_forward_bktd_layout():
+    """Same cached-vs-full check for the batch-leading (D=128) cache layout
+    used by the D=128 flagships (models/decoder.kv_cache_layout)."""
+    from prot2text_tpu.models.decoder import (
+        DecoderConfig, causal_bias_from_mask, decoder_forward, decoder_logits,
+        init_decoder_params, kv_cache_layout,
+    )
+    from prot2text_tpu.infer.kvcache import init_kv_cache
+    from prot2text_tpu.infer.generate import _prefill_bias, _bias_from_kv_mask
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=256, num_layers=2,
+                        num_heads=2, num_kv_heads=2, intermediate_size=128,
+                        head_dim=128, rope_theta=1e4)
+    assert kv_cache_layout(cfg) == "bktd"
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    B, S = 2, 8
+    ids = rng.integers(0, cfg.vocab_size, (B, S))
+    mask = np.ones((B, S), dtype=np.int64)
+
+    emb = params["embed_tokens"][jnp.asarray(ids)]
+    bias = causal_bias_from_mask(jnp.asarray(mask))
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    h_full, _ = decoder_forward(cfg, params, inputs_embeds=emb, bias=bias,
+                                positions=pos)
+    logits_full = decoder_logits(cfg, params, h_full)
+
+    P = 4
+    cache = init_kv_cache(cfg, B, S, jnp.float32)
+    assert cache["k"].shape == (2, B, 2, S, 128)
+    pre_bias = _prefill_bias(jnp.asarray(mask[:, :P]), S)
+    h, cache = decoder_forward(
+        cfg, params, inputs_embeds=emb[:, :P], bias=pre_bias,
+        positions=pos[:, :P], kv_cache=cache, cache_index=0)
+    logits_steps = [decoder_logits(cfg, params, h)]
+    kv_mask = np.zeros((B, S), np.int32)
+    kv_mask[:, :P] = 1
+    from prot2text_tpu.models.decoder import decoder_decode_step
+
+    for t in range(P, S):
+        bias_t = _bias_from_kv_mask(jnp.asarray(kv_mask), 1)
+        h, cache = decoder_decode_step(
+            cfg, params, token_embeds=emb[:, t:t + 1], bias_old=bias_t,
+            positions=pos[:, t:t + 1], kv_cache=cache, cache_index=t)
+        kv_mask[:, t] = 1
+        logits_steps.append(decoder_logits(cfg, params, h))
+
+    logits_cat = jnp.concatenate(logits_steps, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(logits_cat), np.asarray(logits_full), atol=2e-5, rtol=2e-5)
