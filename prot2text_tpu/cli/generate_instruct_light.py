@@ -57,6 +57,15 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--speculative_gamma", type=int, default=0,
+                   help="enable greedy speculative decoding with this many "
+                        "draft tokens per verify (exact greedy outputs; "
+                        "needs --draft_checkpoint_dir)")
+    p.add_argument("--draft_checkpoint_dir", type=str, default=None,
+                   help="HF checkpoint dir of a small same-tokenizer draft "
+                        "decoder (the draft sees the raw prompt tokens, not "
+                        "the protein fusion — a weaker draft only costs "
+                        "acceptance rate, never correctness)")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="light")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -120,6 +129,32 @@ def main(argv=None):
         num_beams=args.num_beams, length_penalty=args.length_penalty,
         early_stopping=args.early_stopping)
 
+    draft = None
+    if args.speculative_gamma > 0:
+        if args.do_sample or args.num_beams > 1:
+            raise SystemExit("speculative decoding is greedy-only")
+        if args.debug_tiny_model:
+            from ..models.qwen3 import init_qwen3_params
+
+            draft_cfg = type(llm_cfg)(**{**llm_cfg.__dict__})
+            draft_params = init_qwen3_params(
+                draft_cfg, jax.random.PRNGKey(args.random_seed + 1),
+                args.model_dtype)
+        else:
+            if not args.draft_checkpoint_dir:
+                raise SystemExit("--speculative_gamma needs "
+                                 "--draft_checkpoint_dir")
+            from ..models.hf_import import (
+                load_state_dict_dir, qwen3_params_from_hf,
+            )
+            from ..models.qwen3 import Qwen3Config
+
+            draft_cfg = Qwen3Config.qwen3_0_6b()
+            draft_params = qwen3_params_from_hf(
+                load_state_dict_dir(args.draft_checkpoint_dir),
+                draft_cfg.num_layers, args.model_dtype)
+        draft = (draft_cfg, draft_params)
+
     results = {}
     t0 = time.time()
     with jax.set_mesh(mesh):
@@ -145,10 +180,23 @@ def main(argv=None):
                 input_ids=placed["input_ids"],
                 attention_mask=placed["attention_mask"],
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
-            toks = run_generation(
-                llm_cfg.core(), params["llm_decoder"],
-                inputs_embeds=embeds, attention_mask=attn, gen_cfg=gen_cfg,
-                attn_impl=args.attn_impl)
+            if draft is not None:
+                from ..infer.speculative import speculative_generate
+
+                draft_cfg, draft_params = draft
+                demb = draft_params["embed_tokens"][
+                    jnp.asarray(batch["input_ids"])]
+                toks, _ = speculative_generate(
+                    llm_cfg.core(), params["llm_decoder"],
+                    draft_cfg.core(), draft_params,
+                    inputs_embeds=embeds, draft_inputs_embeds=demb,
+                    attention_mask=attn, gen_cfg=gen_cfg,
+                    gamma=args.speculative_gamma, attn_impl=args.attn_impl)
+            else:
+                toks = run_generation(
+                    llm_cfg.core(), params["llm_decoder"],
+                    inputs_embeds=embeds, attention_mask=attn,
+                    gen_cfg=gen_cfg, attn_impl=args.attn_impl)
             toks = np.asarray(toks)
             for i, name in enumerate(names):
                 pred = tok.decode(

@@ -1,0 +1,219 @@
+"""Greedy speculative decoding with a draft model (serving latency feature).
+
+Beyond reference parity: the reference decodes strictly one token per
+target-model forward (HF GenerationMixin).  Here a small draft decoder
+proposes `gamma` tokens autoregressively and the target verifies them in ONE
+chunk forward; since decode is HBM-bandwidth-bound (weights re-read per
+step), a verify over gamma+1 positions costs about the same as one step, so
+throughput multiplies by the mean accepted length.
+
+Exactness: greedy speculative decoding is output-IDENTICAL to plain greedy
+decoding of the target for ANY draft (the acceptance rule keeps the longest
+prefix where draft tokens equal the target argmax, then takes the target's
+own next token) — tested in tests/test_speculative.py against generate().
+
+Batching: rows advance in LOCKSTEP by the batch-minimum accepted length
+(finished rows don't hold the batch back).  This keeps every cache write a
+scalar-indexed static slab (no per-row scatter) and targets the
+latency-sensitive small-batch serving regime where speculative decoding
+pays off; at B=1 it is exactly standard speculative decoding.
+
+Cache handling: rejected drafts leave stale kv in slots beyond the accepted
+point; correctness follows because kv validity is tracked by kv_mask and the
+slots are rewritten by the next iteration's catch-up chunk.  The draft model
+never sees tokens it didn't draft until the catch-up chunk replays the
+accepted tokens through it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.decoder import (
+    DecoderConfig, decoder_decode_step, decoder_forward, decoder_logits,
+)
+from .generate import GenerationConfig, _bias_from_kv_mask, _prefill_bias
+from .kvcache import init_kv_cache
+
+
+def _chunk_bias(kv_mask, G: int, chunk_start, dtype=jnp.float32):
+    """(B, T) validity of already-written slots + causal within the G-token
+    chunk that will occupy slots [chunk_start, chunk_start+G)."""
+    B, T = kv_mask.shape
+    neg = jnp.finfo(dtype).min
+    ok_old = kv_mask[:, None, None, :].astype(bool)          # (B,1,1,T)
+    ok_old = jnp.broadcast_to(ok_old, (B, 1, G, T))
+    cols = jnp.arange(T)[None, None, None, :]
+    rows = jnp.arange(G)[None, None, :, None]
+    in_chunk = jnp.logical_and(
+        cols >= chunk_start, cols <= chunk_start + rows)      # causal
+    ok = jnp.logical_or(ok_old, in_chunk)
+    return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_cfg", "draft_cfg", "gen_cfg", "gamma",
+                     "attn_impl", "cache_dtype"),
+)
+def speculative_generate(
+    target_cfg: DecoderConfig,
+    target_params,
+    draft_cfg: DecoderConfig,
+    draft_params,
+    *,
+    inputs_embeds,          # (B, P, H_target) left-padded prompt embeddings
+    draft_inputs_embeds,    # (B, P, H_draft) same prompt in draft's embedding
+    attention_mask,         # (B, P)
+    gen_cfg: GenerationConfig,
+    gamma: int = 4,
+    attn_impl: str = "xla",
+    cache_dtype=None,
+):
+    """Returns (tokens (B, max_new), n_target_forwards scalar).  Greedy only
+    (gen_cfg.do_sample/num_beams must be off)."""
+    B, P, _ = inputs_embeds.shape
+    NEW = gen_cfg.max_new_tokens
+    G = gamma + 1
+    # slot budget: prompt + generated + one slack chunk (verify writes up to
+    # G slots beyond the accepted point before they are overwritten)
+    T = P + NEW + G
+    eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
+    dtype = cache_dtype or inputs_embeds.dtype
+
+    positions = jnp.clip(
+        jnp.cumsum(attention_mask, axis=1) - 1, 0, None).astype(jnp.int32)
+    last_pos = positions[:, -1]                              # (B,)
+
+    # --- prefill both models
+    def prefill(cfg, params, emb):
+        cache = init_kv_cache(cfg, B, T, dtype)
+        bias = _prefill_bias(attention_mask, T)
+        h, cache = decoder_forward(
+            cfg, params, inputs_embeds=emb.astype(dtype), bias=bias,
+            positions=positions, kv_cache=cache, cache_index=0,
+            attn_impl=attn_impl)
+        return decoder_logits(cfg, params, h[:, -1:])[:, 0], cache
+
+    tgt_logits0, tgt_cache = prefill(target_cfg, target_params, inputs_embeds)
+    _, drf_cache = prefill(draft_cfg, draft_params, draft_inputs_embeds)
+
+    tok0 = jnp.argmax(tgt_logits0, axis=-1).astype(jnp.int32)
+    tokens = jnp.full((B, NEW + G), pad, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    finished0 = tok0 == eos
+
+    kv_mask0 = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.zeros((B, NEW + G), jnp.int32)], axis=1)        # (B, T)
+    # draft has NOT consumed tok0 yet; both models' caches hold the prompt
+
+    def emb_of(params, tok):
+        return params["embed_tokens"][tok].astype(dtype)
+
+    def cond(state):
+        (t, _, _, _, _, finished, _) = state
+        return jnp.logical_and(t < NEW, ~jnp.all(finished))
+
+    def body(state):
+        (t, tokens, tgt_cache, drf_cache, kv_mask, finished, n_fwd) = state
+        # slots [P, P+t) hold generated tokens 0..t-1; token t-1 is the last
+        # accepted (not yet fed to either model).  This iteration drafts
+        # gamma tokens after it, then the target verifies the G-chunk
+        # [tokens[t-1], d_0, ..., d_{gamma-1}] occupying slots [P+t-1+1 ...
+        # actually the chunk WRITES slots [P+t-1, P+t+gamma) for its own kv.
+        base = P + t - 1            # slot of token t-1 (to be written now)
+        pos_base = last_pos + t     # rope position of token t-1
+
+        # --- draft gamma tokens autoregressively (with catch-up: the first
+        # draft step consumes tokens[t-1], which the draft never saw).
+        # gamma+1 steps run: the final step emits no kept token but WRITES
+        # the kv of the last draft (slot base+gamma), which stays in the
+        # draft's context when all gamma drafts are accepted — without it
+        # the shared kv_mask would point the next iteration's draft at a
+        # zero kv slot and acceptance collapses.
+        def draft_step(j, carry):
+            drf_cache, kv_m, prev, drafts = carry
+            bias = _bias_from_kv_mask(kv_m, 1)
+            h, drf_cache = decoder_decode_step(
+                draft_cfg, draft_params, token_embeds=emb_of(
+                    draft_params, prev)[:, None, :],
+                bias_old=bias, positions=(pos_base + j)[:, None],
+                kv_cache=drf_cache, cache_index=base + j)
+            kv_m = jax.lax.dynamic_update_slice(
+                kv_m, jnp.ones((B, 1), jnp.int32), (0, base + j))
+            d = jnp.argmax(
+                decoder_logits(draft_cfg, draft_params, h)[:, 0],
+                axis=-1).astype(jnp.int32)
+            drafts = jax.lax.dynamic_update_slice(
+                drafts, d[:, None], (0, j))
+            return drf_cache, kv_m, d, drafts
+
+        prev = jnp.take_along_axis(tokens, (t - 1)[None].repeat(B)[:, None],
+                                   axis=1)[:, 0]
+        drafts0 = jnp.zeros((B, gamma + 1), jnp.int32)
+        drf_cache, drf_kv, _, drafts_all = jax.lax.fori_loop(
+            0, gamma + 1, draft_step, (drf_cache, kv_mask, prev, drafts0))
+        drafts = drafts_all[:, :gamma]
+
+        # --- target verifies the chunk [prev, drafts...] in ONE forward
+        chunk_toks = jnp.concatenate([prev[:, None], drafts], axis=1)  # (B,G)
+        chunk_emb = emb_of(target_params, chunk_toks)
+        bias = _chunk_bias(kv_mask, G, base)
+        pos = pos_base[:, None] + jnp.arange(G)[None, :]
+        h, tgt_cache = decoder_forward(
+            target_cfg, target_params, inputs_embeds=chunk_emb, bias=bias,
+            positions=pos, kv_cache=tgt_cache, cache_index=base,
+            attn_impl=attn_impl)
+        tgt_greedy = jnp.argmax(
+            decoder_logits(target_cfg, target_params, h),
+            axis=-1).astype(jnp.int32)                        # (B, G)
+
+        # --- acceptance: longest prefix where draft == target greedy, then
+        # the target's own token at the first mismatch (bonus token)
+        match = drafts == tgt_greedy[:, :gamma]               # (B, gamma)
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        # lockstep: advance by the batch minimum (ignore finished rows)
+        acc_eff = jnp.where(finished, gamma, acc)
+        a = jnp.min(acc_eff)                                  # scalar 0..gamma
+        # accepted tokens: drafts[:, :a] then bonus tgt_greedy[:, a]
+        out_chunk = jnp.concatenate(
+            [drafts, tgt_greedy[:, -1:]], axis=1)             # (B, G)
+        bonus = jnp.take_along_axis(tgt_greedy, a[None].repeat(B)[:, None],
+                                    axis=1)[:, 0]
+        out_chunk = jnp.where(
+            jnp.arange(G)[None, :] == a, bonus[:, None], out_chunk)
+        keep = jnp.arange(G)[None, :] <= a                    # (B, G)
+
+        # eos / finished handling: pad after eos, stop rows at eos
+        eos_hit = jnp.logical_and(keep, out_chunk == eos)
+        after_eos = jnp.cumsum(
+            jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                             eos_hit.astype(jnp.int32)[:, :-1]], axis=1),
+            axis=1) > 0
+        emit = jnp.where(
+            jnp.logical_or(~keep, finished[:, None] | after_eos),
+            pad, out_chunk)
+        tokens = jax.lax.dynamic_update_slice(tokens, emit, (0, t))
+        new_finished = jnp.logical_or(finished, eos_hit.any(axis=1))
+
+        # kv_mask: target chunk wrote slots [base, base+G); only the first
+        # a+1 of them (prev + accepted drafts) are valid going forward —
+        # INCLUDING slot base (token t-1 now has kv).  Note the bonus
+        # token's kv is NOT written yet (it is next iteration's `prev`).
+        slot_idx = jnp.arange(NEW + G + P)[None, :]
+        newly_valid = jnp.logical_and(
+            slot_idx >= base, slot_idx < base + 1 + a)
+        kv_mask = jnp.where(newly_valid, 1, kv_mask)
+
+        return (t + 1 + a, tokens, tgt_cache, drf_cache, kv_mask,
+                new_finished, n_fwd + 1)
+
+    state = (jnp.asarray(1, jnp.int32), tokens, tgt_cache, drf_cache,
+             kv_mask0, finished0, jnp.asarray(1, jnp.int32))
+    (t, tokens, _, _, _, _, n_fwd) = jax.lax.while_loop(cond, body, state)
+    return tokens[:, :NEW], n_fwd

@@ -52,6 +52,14 @@ class Qwen3Config:
         return cls()
 
     @classmethod
+    def qwen3_0_6b(cls):
+        """Qwen3-0.6B — the natural same-tokenizer draft model for
+        speculative decoding against Qwen3-14B (infer/speculative.py)."""
+        return cls(hidden_size=1024, num_layers=28, num_heads=16,
+                   num_kv_heads=8, head_dim=128, intermediate_size=3072,
+                   tie_word_embeddings=True)
+
+    @classmethod
     def tiny(cls, vocab_size: int = 256):
         return cls(vocab_size=vocab_size, hidden_size=64, num_layers=2,
                    num_heads=4, num_kv_heads=2, head_dim=16,

@@ -183,3 +183,21 @@ def test_train_contrast_resume(csv_path, tmp_path):
 
     assert int(restore_checkpoint(ck2)["step"]) > int(
         restore_checkpoint(ck)["step"])
+
+
+def test_generate_light_speculative_cli(csv_path, tmp_path):
+    """--speculative_gamma on the light CLI (tiny random draft) must decode
+    every protein (outputs are exact-greedy by construction, verified at the
+    kernel level in tests/test_speculative.py)."""
+    from prot2text_tpu.cli.generate_instruct_light import main as gen_main
+
+    gen_main(["--test_csv", csv_path, "--debug_tiny_model", "true",
+              "--model_dtype", "fp32", "--attn_impl", "xla",
+              "--batch_size", "2", "--max_new_tokens", "4",
+              "--speculative_gamma", "2",
+              "--output_dir", str(tmp_path / "spec_res")])
+    out = glob.glob(str(tmp_path / "spec_res" / "*.json"))
+    assert out
+    data = json.load(open(out[0]))
+    assert len(data) == 4
+    assert all("pred" in v for v in data.values())

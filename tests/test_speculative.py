@@ -1,0 +1,108 @@
+"""Speculative decoding: exact greedy equivalence for ANY draft model.
+
+The acceptance rule (keep the longest draft prefix matching the target
+argmax, then take the target's own next token) makes greedy speculative
+decoding output-identical to plain greedy decoding of the target — with a
+GOOD draft it just gets there in fewer target forwards.  These tests verify
+that invariant with (a) a perfect draft (= the target), (b) an unrelated
+random draft, and (c) eos/padding handling.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prot2text_tpu.infer.generate import GenerationConfig, generate
+from prot2text_tpu.infer.speculative import speculative_generate
+from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
+
+
+def _cfg(seed_dim=64):
+    return DecoderConfig(vocab_size=96, hidden_size=seed_dim, num_layers=2,
+                         num_heads=4, num_kv_heads=2, intermediate_size=128,
+                         head_dim=16, rope_theta=1e4)
+
+
+def _setup(B=2, P=6, eos=9999):
+    cfg = _cfg()
+    target = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(rng.standard_normal((B, P, cfg.hidden_size))
+                      .astype(np.float32))
+    mask = np.ones((B, P), np.int64)
+    mask[0, :2] = 0
+    return cfg, target, emb, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("gamma", [1, 3])
+def test_spec_decode_exact_with_perfect_draft(gamma):
+    cfg, target, emb, mask = _setup()
+    gen_cfg = GenerationConfig(max_new_tokens=12, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, n_fwd = speculative_generate(
+        cfg, target, cfg, target, inputs_embeds=emb,
+        draft_inputs_embeds=emb, attention_mask=mask, gen_cfg=gen_cfg,
+        gamma=gamma)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # perfect draft accepts everything: ~NEW/(gamma+1) verify forwards
+    assert int(n_fwd) <= 1 + int(np.ceil(12 / (gamma + 1))) + 1
+
+
+def test_spec_decode_exact_with_random_draft():
+    cfg, target, emb, mask = _setup()
+    draft = init_decoder_params(cfg, jax.random.PRNGKey(42))  # unrelated
+    gen_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, n_fwd = speculative_generate(
+        cfg, target, cfg, draft, inputs_embeds=emb,
+        draft_inputs_embeds=emb, attention_mask=mask, gen_cfg=gen_cfg,
+        gamma=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(n_fwd) <= 11  # never more verifies than plain decode steps
+
+
+def test_spec_decode_eos_padding():
+    """Find an eos id that actually triggers, then compare pad layout."""
+    cfg, target, emb, mask = _setup()
+    gen_cfg0 = GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                                pad_token_id=95)
+    free = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg0))
+    eos = int(free[0, 3])  # force an eos mid-sequence for row 0
+    gen_cfg = GenerationConfig(max_new_tokens=8, eos_token_id=eos,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, _ = speculative_generate(
+        cfg, target, cfg, target, inputs_embeds=emb,
+        draft_inputs_embeds=emb, attention_mask=mask, gen_cfg=gen_cfg,
+        gamma=2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_spec_decode_batch_one_smaller_draft():
+    """B=1 (the latency sweet spot) with a genuinely smaller draft stack."""
+    cfg, target, emb, mask = _setup(B=2)
+    emb, mask = emb[:1], mask[1:2] * 0 + 1
+    small = DecoderConfig(vocab_size=96, hidden_size=32, num_layers=1,
+                          num_heads=2, num_kv_heads=1, intermediate_size=64,
+                          head_dim=16, rope_theta=1e4)
+    draft = init_decoder_params(small, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(3)
+    demb = jnp.asarray(rng.standard_normal((1, emb.shape[1], 32))
+                       .astype(np.float32))
+    gen_cfg = GenerationConfig(max_new_tokens=9, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, _ = speculative_generate(
+        cfg, target, small, draft, inputs_embeds=emb,
+        draft_inputs_embeds=demb, attention_mask=mask, gen_cfg=gen_cfg,
+        gamma=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
