@@ -49,8 +49,14 @@ def _time(fn, iters=3):
 
 
 def _param_count(params):
-    return sum(int(np.prod(p.shape))
-               for p in jax.tree_util.tree_leaves(params))
+    # int4-packed leaves (kernel_q4) store two weights per int8 byte
+    total = 0
+    for path, p in jax.tree_util.tree_leaves_with_path(params):
+        n = int(np.prod(p.shape))
+        if any(getattr(k, "key", None) == "kernel_q4" for k in path):
+            n *= 2
+        total += n
+    return total
 
 
 def bench_sft_step():
@@ -225,9 +231,38 @@ def bench_decode_8b_int8():
                   quant_bits=8, quant_direct=True, NEW=64)
 
 
+def bench_decode_14b_int4():
+    """Qwen3-14B architecture (the reference's ESMC-Qwen flagship decoder,
+    esmc_qwen_arc.py:208) on ONE 16 GB v5e chip via int4 weight-only
+    quantization (nibble-packed, Pallas fused dequant-matmul — a bf16 14B
+    needs 28 GB, int8 needs 14 GB + embeddings; int4 is what makes one-chip
+    serving possible at all): ~7 GB packed layers + bf16 embeddings + KV."""
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+
+    cfg = Qwen3Config.qwen3_14b().core()
+    _bench_decode(cfg, "decode_tokens_per_sec_int4_qwen3_14b_b16_one_chip",
+                  quant_bits=4, quant_direct=True, NEW=64)
+
+
+def bench_decode_8b_int8_b128():
+    """Throughput-serving configuration: same 8B int8 one-chip setup at
+    B=128.  Measured (scripts/bench_quant_matmul.py probes): the decode
+    matmul step time is FLAT in batch up to B≈128 — the floor is the MXU
+    weight-load rate, not activation rows — so bigger serving batches are
+    nearly free tokens/s until KV-cache reads start to dominate
+    (measured: B16→64→128→192 gives 1115→2459→2907→3040 tok/s; saturating).
+    KV cache at B=128, T=192 ≈ 3.2 GB — still one 16 GB chip."""
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_1_8b().core()
+    _bench_decode(cfg, "decode_tokens_per_sec_int8_llama31_8b_b128_one_chip",
+                  quant_bits=8, quant_direct=True, B=128, NEW=64)
+
+
 def main():
     for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
-               bench_decode_flagship, bench_decode_8b_int8):
+               bench_decode_flagship, bench_decode_8b_int8,
+               bench_decode_14b_int4, bench_decode_8b_int8_b128):
         try:
             fn()
         except Exception as e:  # keep later (headline) metrics alive

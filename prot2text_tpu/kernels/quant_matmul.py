@@ -1,0 +1,225 @@
+"""Streaming weight-quantized matmul kernels (Pallas TPU).
+
+Decode-time linear layers are weight-streaming-bound: y = x·W with a few
+activation rows (B≈8-64) against hundreds of MB of weights that are read
+exactly once per step.  Measured on v5e (scripts/bench_quant_matmul.py),
+XLA's mixed-dtype `dot_general` moves int8 weights at ~410 GB/s and bf16 at
+~520 GB/s — far from the 819 GB/s HBM peak — and an XLA-level int4 unpack
+(shift + two dots) does NOT fuse: it materializes unpacked int8 to HBM and
+ends up slower than int8.  These kernels recover the headroom:
+
+* `quant_matmul_int8`  — x (R, K) bf16 · W (K, N) int8 · scale (N,) f32.
+  Classic (n, k)-grid accumulation matmul; Pallas grid pipelining
+  double-buffers the weight-tile DMA behind the MXU dot.
+* `quant_matmul_int4`  — W packed two-nibbles-per-byte in SPLIT-HALF order:
+  byte[k, n] = (q[k, n] & 0xF) | (q[k + K/2, n] << 4), i.e. the low nibbles
+  hold rows [0, K/2) and the high nibbles rows [K/2, K).  The kernel unpacks
+  with two arithmetic shifts (NO sublane interleave — the two halves hit
+  different x slices) and issues two MXU dots per tile.  Half the HBM bytes
+  of int8.
+
+The reference reaches the same capability through bitsandbytes' CUDA kernels
+(scripts/utils_argparse.py:27-48 `--torch_dtype int8/int4`); here the packing
+is explicit and the kernel is Mosaic.  Numerics: weights dequantize EXACTLY
+(int4/int8 values are small integers, bf16 holds them exactly); products
+accumulate in fp32 on the MXU; the per-output-channel scale applies in the
+fp32 epilogue — bit-identical to the XLA mixed-dtype reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(dim: int, candidates) -> int | None:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return None
+
+
+def _pad_rows(x, mult: int = 16):
+    R = x.shape[0]
+    pad = (-R) % mult
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, R
+
+
+# ---------------------------------------------------------------------------
+# int8
+
+
+def _mm_i8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+def supports_quant_matmul(K: int, N: int, bits: int = 8) -> bool:
+    Keff = K // 2 if bits == 4 else K
+    return (_pick_block(N, (1024, 512, 256, 128)) is not None
+            and _pick_block(Keff, (1024, 512, 256, 128, 64, 32))
+            is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k", "block_n"))
+def quant_matmul_int8(x, w_q, scale, *, out_dtype=jnp.bfloat16,
+                      interpret: bool = False, block_k: int = 0,
+                      block_n: int = 0):
+    """x: (R, K) bf16; w_q: (K, N) int8; scale: (1, N) or (N,) f32.
+    Returns (R, N) out_dtype = (x · w_q) * scale with fp32 accumulation."""
+    K, N = w_q.shape
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(K, (1024, 512, 256, 128, 64, 32))
+    nk = K // bk
+    scale = scale.reshape(1, N)
+    out = pl.pallas_call(
+        functools.partial(_mm_i8_kernel, nk=nk),
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w_q, scale)
+    return out[:R]
+
+
+# ---------------------------------------------------------------------------
+# int4 (split-half nibble packing)
+
+
+def pack_int4(q):
+    """q: (..., K, N) int values in [-8, 7] (any int dtype) → (..., K/2, N)
+    int8 with byte[..., k, :] = (q[..., k, :] & 0xF) | (q[..., k+K/2, :] << 4).
+    Split-half order: NO interleave to undo at matmul time."""
+    K = q.shape[-2]
+    assert K % 2 == 0, "pack_int4 needs an even contraction dim"
+    q = jnp.asarray(q, jnp.int8)
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2:, :]
+    return ((lo & jnp.int8(0xF))
+            | jax.lax.shift_left(hi, jnp.int8(4))).astype(jnp.int8)
+
+
+def unpack_int4(packed):
+    """Inverse of pack_int4: (..., K/2, N) int8 → (..., K, N) int8 in [-8, 7]."""
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(packed, jnp.int8(4)), jnp.int8(4))
+    hi = jax.lax.shift_right_arithmetic(packed, jnp.int8(4))
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def _mm_i4_kernel(x1_ref, x2_ref, wp_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Mosaic has no int8 vector shifts (arith.shli fails to legalize on
+    # vector<...xi8>) — widen to i32, shift there, convert straight to bf16.
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(wp, 28), 28).astype(jnp.bfloat16)
+    hi = jax.lax.shift_right_arithmetic(wp, 4).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x1_ref[:], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        x2_ref[:], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k", "block_n"))
+def quant_matmul_int4(x, w_packed, scale, *, out_dtype=jnp.bfloat16,
+                      interpret: bool = False, block_k: int = 0,
+                      block_n: int = 0):
+    """x: (R, K) bf16; w_packed: (K/2, N) int8 split-half nibbles (pack_int4);
+    scale: (1, N) or (N,) f32.  Returns (R, N) = (x · unpack(w_packed)) * scale."""
+    K2, N = w_packed.shape
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    x1, x2 = x[:, :K2], x[:, K2:]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(K2, (1024, 512, 256, 128, 64, 32))
+    nk = K2 // bk
+    scale = scale.reshape(1, N)
+    out = pl.pallas_call(
+        functools.partial(_mm_i4_kernel, nk=nk),
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((Rp, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x1, x2, w_packed, scale)
+    return out[:R]
+
+
+# ---------------------------------------------------------------------------
+# XLA fallbacks (CPU / unsupported shapes) — same numerics, no streaming win
+
+
+def quant_matmul_int8_xla(x, w_q, scale, out_dtype=jnp.bfloat16):
+    y = jax.lax.dot_general(
+        x, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * scale.reshape(-1)).astype(out_dtype)
+
+
+def quant_matmul_int4_xla(x, w_packed, scale, out_dtype=jnp.bfloat16):
+    K2 = w_packed.shape[0]
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(w_packed, jnp.int8(4)), jnp.int8(4))
+    hi = jax.lax.shift_right_arithmetic(w_packed, jnp.int8(4))
+    x1 = x[..., :K2]
+    x2 = x[..., K2:]
+    y = jax.lax.dot_general(
+        x1, lo, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + jax.lax.dot_general(
+        x2, hi, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * scale.reshape(-1)).astype(out_dtype)

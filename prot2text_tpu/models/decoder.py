@@ -393,7 +393,7 @@ def decoder_decode_step(
 def decoder_logits(cfg: DecoderConfig, params, hidden_states):
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"].T
-    elif "kernel_q" in params["lm_head"]:
+    elif "kernel" not in params["lm_head"]:   # quantized (int8/int4) head
         from .transformer import linear
 
         return linear(params["lm_head"], hidden_states).astype(jnp.float32)

@@ -1,14 +1,22 @@
-"""Int8 weight-only quantization for serving.
+"""Int8/int4 weight-only quantization for serving.
 
 Covers the reference's `--torch_dtype int8/int4` CLI surface
 (scripts/utils_argparse.py:27-48, where bitsandbytes provided the kernels) the
-TPU way: per-output-channel symmetric int8 weights with fp32 scales.  Decode
+TPU way: per-output-channel symmetric weights with fp32 scales.  Decode
 throughput at serving batch sizes is HBM-bandwidth-bound on weight reads —
-int8 halves the bytes vs bf16.
+int8 halves the bytes vs bf16; int4 halves them again.
 
-`quantize_params` rewrites every targeted kernel leaf {kernel} →
-{kernel_q (int8), scale (1, dout) fp32}; `transformer.linear` dequantizes on
-the fly (x·q)·scale — XLA fuses the scale multiply into the matmul epilogue.
+`quantize_params` rewrites every targeted kernel leaf:
+  bits=8 → {kernel_q (int8), scale (..., 1, dout) f32}; `transformer.linear`
+           dequantizes on the fly with a MIXED-dtype dot_general (XLA fuses
+           the int8→bf16 convert into the matmul operand read).
+  bits=4 → {kernel_q4 (din/2, dout) int8, scale}: two nibbles per byte in
+           kernels/quant_matmul.pack_int4's split-half order, consumed by
+           the Pallas streaming kernel `quant_matmul_int4` on TPU (XLA has
+           no fused int4 path — an XLA-level unpack materializes int8 to
+           HBM and loses the entire win; measured in
+           scripts/bench_quant_matmul.py).  Quarter the bf16 bytes: the
+           capacity lever that fits 14B-class decoders on one 16 GB chip.
 Embeddings / norms / biases stay high precision.
 """
 
@@ -41,22 +49,23 @@ def _path_str(path) -> str:
 
 
 def quantize_leaf(w, bits: int = 8):
-    """(..., din, dout) float → int8/int4 values + per-(…, dout) fp32
-    scales (symmetric, per-output-channel)."""
+    """(..., din, dout) float → int values (int8 storage) + per-(…, dout)
+    fp32 scales (symmetric, per-output-channel).  bits=4 values live in
+    [-7, 7] and are returned UNPACKED (see pack below)."""
     w32 = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)   # (..., 1, dout)
     qmax = float(2 ** (bits - 1) - 1)
     scale = jnp.maximum(absmax, 1e-8) / qmax
-    store = jnp.int8 if bits == 8 else jnp.int4
-    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(store)
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
     return q, scale
 
 
 def quantize_params(params: Any,
                     target_patterns: Sequence[str] = DEFAULT_TARGETS,
                     bits: int = 8) -> Any:
-    """Returns a tree where targeted kernels are {kernel_q, scale} dicts.
-    bits=4 stores native jnp.int4 (quarter the bf16 weight bytes)."""
+    """Returns a tree where targeted kernels are {kernel_q, scale} (bits=8)
+    or {kernel_q4, scale} (bits=4, nibble-packed along din — quarter the
+    bf16 weight bytes)."""
     pats = [re.compile(p) for p in target_patterns]
 
     def walk(node, prefix):
@@ -66,7 +75,12 @@ def quantize_params(params: Any,
                     and node["kernel"].ndim >= 2
                     and any(p.search(prefix + "/kernel") for p in pats)):
                 q, scale = quantize_leaf(node["kernel"], bits)
-                new = {"kernel_q": q, "scale": scale}
+                if bits == 4 and q.shape[-2] % 2 == 0:
+                    from ..kernels.quant_matmul import pack_int4
+
+                    new = {"kernel_q4": pack_int4(q), "scale": scale}
+                else:
+                    new = {"kernel_q": q, "scale": scale}
                 for k, v in node.items():
                     if k != "kernel":
                         new[k] = v

@@ -22,7 +22,35 @@ from ..kernels.attention import dot_product_attention
 
 
 def linear(p, x, precision=None):
-    if "kernel_q" in p:
+    if "kernel_q4" in p:
+        # int4 weight-only path (models/quant.py bits=4): nibble-packed
+        # weights stream through the Pallas fused dequant-matmul on TPU —
+        # XLA cannot keep the unpack out of HBM (kernels/quant_matmul.py).
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4, quant_matmul_int4_xla, supports_quant_matmul,
+        )
+
+        wp = p["kernel_q4"]
+        scale = p["scale"][..., 0, :]
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        # Pallas path is for the weight-streaming-bound serving shapes
+        # (few activation rows); the kernel keeps the whole row block in
+        # VMEM per tile, so large-R prefill/training calls take the XLA
+        # fallback instead (they are MXU-bound — the unpack materialization
+        # is amortized over R rows of reuse).
+        if (wp.ndim == 2 and rows <= 256
+                and jax.default_backend() == "tpu"
+                and supports_quant_matmul(wp.shape[0] * 2, wp.shape[1],
+                                          bits=4)):
+            lead = x.shape[:-1]
+            y = quant_matmul_int4(
+                x.reshape(-1, x.shape[-1]), wp, scale, out_dtype=x.dtype)
+            y = y.reshape(*lead, wp.shape[-1])
+        else:
+            y = quant_matmul_int4_xla(x, wp, scale, out_dtype=x.dtype)
+    elif "kernel_q" in p:
         # int8 weight-only path (models/quant.py): MIXED-DTYPE dot_general
         # (bf16 x int8) lets XLA fuse the dequant into the matmul operand
         # read — an explicit .astype(bf16) materializes converted weights
