@@ -47,6 +47,8 @@ def build_parser():
     p.add_argument("--load_checkpoint_dir", type=str, default=None)
     p.add_argument("--use_graph", type=str2bool, default=False)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--length_penalty", type=float, default=1.0)
@@ -83,7 +85,7 @@ def main(argv=None):
                         description=[128, 256, 512]))
     loader = DataLoader(
         dataset=dataset, collate_fn=lambda b: (collater(b), b),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), shuffle=False), drop_last=False)

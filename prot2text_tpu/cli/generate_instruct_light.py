@@ -48,6 +48,8 @@ def build_parser():
                    help="reference-style PEFT LoRA dir for the LLM decoder")
     p.add_argument("--lora_rank", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--length_penalty", type=float, default=1.0)
@@ -90,7 +92,7 @@ def main(argv=None):
         buckets=Buckets(protein=[128, 256, 512, 1024],
                         prompt=[256, 512, 1024, 2048]))
     loader = DataLoader(
-        dataset=dataset, collate_fn=collater, batch_size=args.batch_size,
+        dataset=dataset, collate_fn=collater, batch_size=args.batch_size, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), shuffle=False), drop_last=False)

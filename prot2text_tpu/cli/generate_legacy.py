@@ -38,6 +38,8 @@ def build_parser():
     p.add_argument("--load_checkpoint_dir", type=str, default=None)
     p.add_argument("--decoder_hidden_size", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--do_sample", type=str2bool, default=False)
     p.add_argument("--temperature", type=float, default=1.0)
@@ -69,7 +71,7 @@ def main(argv=None):
         mode="inference",
         buckets=Buckets(protein=[128, 256, 512, 1024]))
     loader = DataLoader(
-        dataset=dataset, collate_fn=collater, batch_size=args.batch_size,
+        dataset=dataset, collate_fn=collater, batch_size=args.batch_size, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), shuffle=False), drop_last=False)

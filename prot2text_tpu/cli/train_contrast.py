@@ -48,6 +48,8 @@ def build_parser():
     p.add_argument("--esm_checkpoint_path", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=8)
     p.add_argument("--num_epochs", type=int, default=12)
     p.add_argument("--learning_rate", type=float, default=2e-4)
@@ -145,7 +147,7 @@ def main(argv=None):
                         description=[128, 256, 512]))
     loader = DataLoader(
         dataset=dataset, collate_fn=collater,
-        batch_size=args.batch_size * args.gradient_accumulation_steps,
+        batch_size=args.batch_size * args.gradient_accumulation_steps, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), seed=args.random_seed))
@@ -199,7 +201,7 @@ def main(argv=None):
             buckets=collater.buckets)
         eval_loader = DataLoader(
             dataset=eval_ds, collate_fn=eval_collater,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, num_workers=args.num_workers,
             sampler=ShardedSampler(
                 len(eval_ds), num_shards=jax.process_count(),
                 shard_index=jax.process_index(), shuffle=False))

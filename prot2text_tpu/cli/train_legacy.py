@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--decoder_hidden_size", type=int, default=2048)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--num_epochs", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=2e-4)
@@ -77,7 +79,7 @@ def main(argv=None):
         buckets=Buckets(protein=[128, 256, 512, 1024],
                         description=[128, 256, 512]))
     loader = DataLoader(
-        dataset=dataset, collate_fn=collater, batch_size=args.batch_size,
+        dataset=dataset, collate_fn=collater, batch_size=args.batch_size, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), seed=args.random_seed))

@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--llama_checkpoint_dir", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
     p.add_argument("--num_epochs", type=int, default=8)
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--gradient_clipping", type=float, default=None)
@@ -75,7 +77,7 @@ def main(argv=None):
                         description=[128, 256, 512]))
     loader = DataLoader(
         dataset=dataset, collate_fn=lambda b: (collater(b), b),
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, num_workers=args.num_workers,
         sampler=ShardedSampler(
             len(dataset), num_shards=jax.process_count(),
             shard_index=jax.process_index(), seed=args.random_seed))

@@ -35,7 +35,8 @@ class Prot2TextInstructDataLoader(DataLoader):
                  batch_size: int = 1, shuffle: bool = False, seed: int = 42,
                  num_shards: int = 1, shard_index: int = 0,
                  drop_last: bool = True, text_pad_token_id: int = 128002,
-                 buckets: Optional[Buckets] = None):
+                 buckets: Optional[Buckets] = None, num_workers: int = 0,
+                 prefetch_factor: int = 2):
         collater = InstructCollator(
             text_pad_token_id=text_pad_token_id,
             seq_pad_token_id=dataset.sequence_tokenizer.pad_id,
@@ -45,7 +46,8 @@ class Prot2TextInstructDataLoader(DataLoader):
             sampler=ShardedSampler(
                 len(dataset), num_shards=num_shards, shard_index=shard_index,
                 shuffle=shuffle, seed=seed, drop_last=drop_last),
-            drop_last=drop_last)
+            drop_last=drop_last, num_workers=num_workers,
+            prefetch_factor=prefetch_factor)
 
 
 class Prot2TextDerivedDataLoader(DataLoader):
@@ -59,7 +61,8 @@ class Prot2TextDerivedDataLoader(DataLoader):
                      "sequence embeddings."),
                  batch_size: int = 1, shuffle: bool = False, seed: int = 42,
                  num_shards: int = 1, shard_index: int = 0,
-                 drop_last: bool = True, buckets: Optional[Buckets] = None):
+                 drop_last: bool = True, buckets: Optional[Buckets] = None,
+                 num_workers: int = 0, prefetch_factor: int = 2):
         collater = DerivedCollator(
             tokenizer=tokenizer,
             original_eos_token_id=original_eos_token_id,
@@ -71,4 +74,5 @@ class Prot2TextDerivedDataLoader(DataLoader):
             sampler=ShardedSampler(
                 len(dataset), num_shards=num_shards, shard_index=shard_index,
                 shuffle=shuffle, seed=seed, drop_last=drop_last),
-            drop_last=drop_last)
+            drop_last=drop_last, num_workers=num_workers,
+            prefetch_factor=prefetch_factor)

@@ -50,26 +50,52 @@ class ShardedSampler:
         return idx[self.shard_index::self.num_shards]
 
 
+# worker-process globals, installed by _pool_init via fork-context initargs
+# (the dataset/collator are passed ONCE at pool start, not pickled per task —
+# torch DataLoader's worker model, train_contrast.py:584-609 num_workers=4)
+_W_DATASET = None
+_W_COLLATE = None
+
+
+def _pool_init(dataset, collate_fn):
+    global _W_DATASET, _W_COLLATE
+    _W_DATASET = dataset
+    _W_COLLATE = collate_fn
+
+
+def _pool_fetch(chunk):
+    import os
+
+    batch = _W_COLLATE([_W_DATASET[int(i)] for i in chunk])
+    return os.getpid(), batch
+
+
 @dataclasses.dataclass
 class DataLoader:
     """Minimal map-style loader: dataset + collate_fn + batching.
 
-    Single-threaded by design — collation is cheap numpy work and the TPU
-    step overlaps with the next batch's host prep via async dispatch; a
-    prefetch thread can be layered on later if profiling shows host-bound
-    steps (the reference needed 4 worker processes because torch collation
-    is heavier, train_contrast.py:584-609)."""
+    `num_workers=0` (default) fetches+collates inline — collation is cheap
+    numpy work and the TPU step overlaps with the next batch's host prep via
+    async dispatch.  `num_workers>0` runs fetch+collate in a fork-context
+    process pool with `prefetch_factor` batches in flight per worker,
+    preserving batch order — the role of the reference's torch
+    `num_workers=4` loader processes (train_contrast.py:584-609); relevant
+    here when PDB-graph featurization or tokenization runs online.  Workers
+    must not touch JAX (they do pure numpy/tokenizer work)."""
 
     dataset: Any
     collate_fn: Callable[[list], Any]
     batch_size: int
     sampler: Optional[ShardedSampler] = None
     drop_last: bool = True
+    num_workers: int = 0
+    prefetch_factor: int = 2
 
     def __post_init__(self):
         if self.sampler is None:
             self.sampler = ShardedSampler(len(self.dataset))
         self.epoch = 0
+        self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -80,13 +106,61 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator:
+    def _chunks(self):
         idx = self.sampler.epoch_indices(self.epoch)
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+            yield chunk
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("fork"),
+                initializer=_pool_init,
+                initargs=(self.dataset, self.collate_fn))
+        return self._pool
+
+    def shutdown(self):
+        """Stop worker processes (idempotent; also runs at GC)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    def __iter__(self) -> Iterator:
+        if self.num_workers <= 0:
+            for chunk in self._chunks():
+                yield self.collate_fn(
+                    [self.dataset[int(i)] for i in chunk])
+            return
+
+        import collections
+
+        pool = self._ensure_pool()
+        depth = max(1, self.prefetch_factor) * self.num_workers
+        pending: "collections.deque" = collections.deque()
+        chunks = self._chunks()
+        try:
+            for chunk in chunks:
+                pending.append(pool.submit(_pool_fetch, chunk))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()[1]
+            while pending:
+                yield pending.popleft().result()[1]
+        finally:
+            for f in pending:
+                f.cancel()
 
 
 def prefetch(iterator, size: int = 2):

@@ -269,3 +269,59 @@ def test_two_host_loader_alignment_and_dp_axis():
     # first 4 dp coords carry host-0 rows, last 4 host-1 rows
     np.testing.assert_array_equal(global_batch[:4], b0[0]["i"])
     np.testing.assert_array_equal(global_batch[4:], b1[0]["i"])
+
+
+# --- DataLoader worker processes (reference torch num_workers,
+#     train_contrast.py:584-609) ---
+
+class _SquareDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"i": np.int64(i), "sq": np.int64(i * i)}
+
+
+def _pid_collate(items):
+    import os
+
+    return {"i": np.stack([it["i"] for it in items]),
+            "sq": np.stack([it["sq"] for it in items]),
+            "pid": np.int64(os.getpid())}
+
+
+def test_worker_pool_loader_matches_inline():
+    """num_workers>0 must yield identical batches in identical order to the
+    inline path, with fetch+collate running in separate processes."""
+    import os
+
+    from prot2text_tpu.data.sampler import DataLoader, ShardedSampler
+
+    ds = _SquareDataset(37)
+    kw = dict(dataset=ds, collate_fn=_pid_collate, batch_size=4,
+              sampler=ShardedSampler(len(ds), shuffle=True, seed=3),
+              drop_last=False)
+    inline = list(DataLoader(**kw))
+    pooled_loader = DataLoader(**kw, num_workers=2)
+    pooled = list(pooled_loader)
+    assert len(pooled) == len(inline) == 10
+    for a, b in zip(inline, pooled):
+        np.testing.assert_array_equal(a["i"], b["i"])
+        np.testing.assert_array_equal(a["sq"], b["sq"])
+    # collation really happened in worker processes
+    worker_pids = {int(b["pid"]) for b in pooled}
+    assert os.getpid() not in worker_pids
+    assert 1 <= len(worker_pids) <= 2
+    # second epoch reuses the pool and reshuffles
+    pooled_loader.set_epoch(1)
+    inline_e1_loader = DataLoader(**kw)
+    inline_e1_loader.set_epoch(1)
+    e1_inline = list(inline_e1_loader)
+    e1_pooled = list(pooled_loader)
+    for a, b in zip(e1_inline, e1_pooled):
+        np.testing.assert_array_equal(a["i"], b["i"])
+    assert not np.array_equal(e1_pooled[0]["i"], pooled[0]["i"])
+    pooled_loader.shutdown()
