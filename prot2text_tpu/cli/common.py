@@ -97,6 +97,7 @@ def setup_platform(args) -> "jax.sharding.Mesh":
         dp=-1,
         fsdp=getattr(args, "fsdp", 1),
         tp=getattr(args, "tp", 1),
+        sp=getattr(args, "sp", 1),
     ))
 
 
@@ -105,13 +106,16 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--random_seed", type=int, default=42)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence/context-parallel ring size (use with "
+                        "--attn_impl ring for long-context training)")
     # measured on v5e (scripts/bench_attention.py): the bias-free masked
     # flash kernel wins every CAUSAL shape forward (-11% S=512, -33% S=2048
     # — it skips upper-triangle blocks) and ties/wins the backward at
     # S>=2048; XLA keeps bidirectional encoder shapes.  "auto" applies that
     # rule per call site (falls back to xla off-TPU / odd shapes).
     p.add_argument("--attn_impl", type=str, default="auto",
-                   choices=["auto", "xla", "flash"])
+                   choices=["auto", "xla", "flash", "ring"])
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--load_model_checkpoint_path", type=str, default=None)
     p.add_argument("--save_every_epochs", type=int, default=1)

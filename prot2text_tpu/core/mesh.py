@@ -13,6 +13,9 @@ Axes:
                train_legacy.py:314-318 FSDP equivalent).
   * ``tp``   — tensor parallel (attention heads / MLP columns) for the
                large decoders.
+  * ``sp``   — sequence/context parallel (ring attention,
+               kernels/ring_attention.py) — long-context extension beyond
+               the reference; size 1 unless requested.
 """
 
 from __future__ import annotations
@@ -28,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS_DP = "dp"
 AXIS_FSDP = "fsdp"
 AXIS_TP = "tp"
-MESH_AXES = (AXIS_DP, AXIS_FSDP, AXIS_TP)
+AXIS_SP = "sp"
+MESH_AXES = (AXIS_DP, AXIS_FSDP, AXIS_TP, AXIS_SP)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,32 +42,34 @@ class MeshConfig:
     dp: int = -1
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        fsdp, tp = self.fsdp, self.tp
+    def resolve(self, n_devices: int) -> tuple[int, int, int, int]:
+        fsdp, tp, sp = self.fsdp, self.tp, self.sp
         dp = self.dp
         if dp == -1:
-            if n_devices % (fsdp * tp) != 0:
+            if n_devices % (fsdp * tp * sp) != 0:
                 raise ValueError(
-                    f"{n_devices} devices not divisible by fsdp*tp={fsdp * tp}"
+                    f"{n_devices} devices not divisible by "
+                    f"fsdp*tp*sp={fsdp * tp * sp}"
                 )
-            dp = n_devices // (fsdp * tp)
-        if dp * fsdp * tp != n_devices:
+            dp = n_devices // (fsdp * tp * sp)
+        if dp * fsdp * tp * sp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{fsdp}x{tp} != {n_devices} devices"
+                f"mesh {dp}x{fsdp}x{tp}x{sp} != {n_devices} devices"
             )
-        return dp, fsdp, tp
+        return dp, fsdp, tp, sp
 
 
 def make_mesh(
     config: MeshConfig = MeshConfig(),
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a Mesh with (dp, fsdp, tp) axes over the given devices."""
+    """Build a Mesh with (dp, fsdp, tp, sp) axes over the given devices."""
     if devices is None:
         devices = jax.devices()
-    dp, fsdp, tp = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+    dp, fsdp, tp, sp = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(dp, fsdp, tp, sp)
     return Mesh(dev_array, MESH_AXES)
 
 

@@ -62,7 +62,26 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
     kernel.  impl="auto" applies the differentiable-path rule (flash for
     causal S>=1024); impl="flash" forces flash on any eligible shape —
     forward-only call sites (decode prefill, frozen text tower) use it,
-    where flash wins at every causal S."""
+    where flash wins at every causal S.  impl="ring" runs sequence-parallel
+    ring attention over the ambient mesh's 'sp' axis (long-context
+    training; requires `lengths` and `jax.set_mesh` with sp>1 — see
+    kernels/ring_attention.py); batch/head dims ride the data/tensor axes."""
+    if impl == "ring":
+        if lengths is None:
+            # bidirectional towers (ESM2/ESMC) don't carry run lengths and
+            # aren't sequence-sharded — they keep XLA under a ring config
+            return _xla_attention(q, k, v, bias)
+        from .ring_attention import ring_attention
+
+        mesh = jax.sharding.get_abstract_mesh()
+        axes = set(mesh.shape) if mesh is not None else set()
+        kv_start, kv_len, causal = lengths
+        return ring_attention(
+            q, k, v, kv_start=jnp.asarray(kv_start, jnp.int32),
+            kv_len=jnp.asarray(kv_len, jnp.int32), causal=causal,
+            scale=1.0,  # callers pre-scale q (models/decoder.py)
+            batch_axis=tuple(a for a in ("dp", "fsdp") if a in axes) or None,
+            head_axis="tp" if "tp" in axes else None)
     if impl in ("flash", "auto") and lengths is not None:
         kv_start, kv_len, causal = lengths
         if flash_eligible(q, k, causal,

@@ -95,18 +95,30 @@ def ring_attention_local(q, k, v, kv_start, kv_len, *, axis_name: str,
     return out.astype(v.dtype)
 
 
-def ring_attention(q, k, v, *, mesh: Mesh, axis_name: str = "sp",
+def ring_attention(q, k, v, *, mesh: Optional[Mesh] = None,
+                   axis_name: str = "sp",
                    kv_start=None, kv_len=None, causal: bool = True,
                    scale: Optional[float] = None, remat: bool = True,
-                   batch_axis: Optional[str] = None):
+                   batch_axis=None, head_axis=None):
     """Sequence-parallel attention over `axis_name` of `mesh`.
 
     q, k, v: (B, H, S, D) GLOBAL arrays (or already sharded on dim 2);
     S must divide evenly by the axis size.  kv_start/kv_len: (B,) global
     contiguous key-validity run (default: all keys valid).  Set
-    `batch_axis` to additionally shard B over a data axis.
+    `batch_axis` / `head_axis` to additionally shard B / H over data /
+    tensor axes (axis name or tuple of names).  With mesh=None
+    the AMBIENT mesh is used (`jax.set_mesh(...)` — how the CLIs run their
+    jitted steps, cli/common.py), so `attn_impl="ring"` needs no mesh
+    plumbing through the model stack.
     Returns (B, H, S, D).
     """
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or axis_name not in mesh.shape:
+            raise ValueError(
+                f"ring attention needs an ambient mesh with a '{axis_name}' "
+                "axis — wrap the call in jax.set_mesh(make_mesh(MeshConfig("
+                "sp=...)))")
     B, H, S, D = q.shape
     n = mesh.shape[axis_name]
     if S % n != 0:
@@ -118,7 +130,7 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis_name: str = "sp",
     kv_start = jnp.asarray(kv_start, jnp.int32)
     kv_len = jnp.asarray(kv_len, jnp.int32)
 
-    seq_spec = P(batch_axis, None, axis_name, None)
+    seq_spec = P(batch_axis, head_axis, axis_name, None)
     rep_spec = P(batch_axis)
 
     body = functools.partial(

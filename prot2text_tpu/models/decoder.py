@@ -171,6 +171,15 @@ def decoder_forward(
     memory for 14B-scale frozen bases (SURVEY.md §7 hard part #5)."""
     from .transformer import linear_lora
 
+    if attn_impl == "ring":
+        # ring = training/uncached path only; cached prefill (generation)
+        # attends over a wider cache whose T dim is not sequence-sharded
+        if kv_cache is not None:
+            attn_impl = "xla"
+        elif attn_lengths is None:
+            raise ValueError("attn_impl='ring' needs attn_lengths "
+                             "(contiguous_lengths of the attention mask)")
+
     B, S, _ = inputs_embeds.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     n_rep = H // Hkv

@@ -7,6 +7,8 @@ shipped decode step (~44 ms) at 8B int8 B=128:
 """
 import sys, time
 
+WHICH = sys.argv[1] if len(sys.argv) > 1 else "abcd"
+
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -45,7 +47,7 @@ def timeit(fn, label, steps=STEPS):
 
 
 @jax.jit
-def run_a(cache, emb):
+def run_a(params, cache, emb):
     bias = _bias_from_kv_mask(kv_mask0, 1)
 
     def body(t, carry):
@@ -60,11 +62,12 @@ def run_a(cache, emb):
     return h[:1, :, :1]
 
 
-timeit(lambda: run_a(cache, emb1), "a) decode_step only      ")
+if "a" in WHICH:
+    timeit(lambda: run_a(params, cache, emb1), "a) decode_step only      ")
 
 
 @jax.jit
-def run_b(cache, emb):
+def run_b(params, cache, emb):
     bias = _bias_from_kv_mask(kv_mask0, 1)
 
     def body(t, carry):
@@ -82,11 +85,12 @@ def run_b(cache, emb):
     return tok[:1]
 
 
-timeit(lambda: run_b(cache, emb1), "b) + embed+logits+argmax ")
+if "b" in WHICH:
+    timeit(lambda: run_b(params, cache, emb1), "b) + embed+logits+argmax ")
 
 
 @jax.jit
-def run_c(cache, emb):
+def run_c(params, cache, emb):
     tokens = jnp.zeros((B, NEW), jnp.int32)
     finished = jnp.zeros((B,), bool)
 
@@ -113,7 +117,8 @@ def run_c(cache, emb):
     return tokens[:1, :1]
 
 
-timeit(lambda: run_c(cache, emb1), "c) + mask/buffer (fori)  ")
+if "c" in WHICH:
+    timeit(lambda: run_c(params, cache, emb1), "c) + mask/buffer (fori)  ")
 
 emb = jnp.asarray(rng.standard_normal((B, P, cfg.hidden_size)), jnp.bfloat16)
 mask = jnp.ones((B, P), jnp.int32)
@@ -126,4 +131,5 @@ def run_full():
         gen_cfg=gen_cfg, attn_impl="xla", cache_dtype=jnp.bfloat16))
 
 
-timeit(run_full, "d) full generate (while) ", steps=NEW)
+if "d" in WHICH:
+    timeit(run_full, "d) full generate (while) ", steps=NEW)
