@@ -144,6 +144,11 @@ def _init_quantized_random(cfg, bits=8):
 
 def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
                   quant_direct=False):
+    """Two-point measurement (scripts/bench_decode_gap.py evidence): one
+    generate() call conflates the prompt PREFILL (compute-bound, ~1.5 s at
+    8B B=128 P=128) with the decode loop (bandwidth-bound, at the HBM
+    floor).  Timing NEW/2 and NEW new tokens and differencing isolates the
+    pure decode rate; prefill is reported separately (TTFT-style)."""
     from prot2text_tpu.infer.generate import GenerationConfig, generate
     from prot2text_tpu.models.decoder import init_decoder_params
 
@@ -163,28 +168,39 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
         dtype)
     mask = jnp.ones((B, P), jnp.int32)
-    gen_cfg = GenerationConfig(
-        max_new_tokens=NEW, eos_token_id=-1, pad_token_id=0)  # never stop
 
-    def run():
-        toks = generate(cfg, params, inputs_embeds=emb, attention_mask=mask,
-                        gen_cfg=gen_cfg, attn_impl="xla", cache_dtype=dtype)
-        return np.asarray(toks)
+    def run_new(new_tokens):
+        gen_cfg = GenerationConfig(
+            max_new_tokens=new_tokens, eos_token_id=-1,
+            pad_token_id=0)  # never stop
 
-    dt = _time(run)
-    toks_per_sec = B * NEW / dt
-    steps_per_sec = NEW / dt
-    # bandwidth-bound model: every decode step re-reads all weights once and
-    # (on average) half the final KV cache
+        def run():
+            toks = generate(cfg, params, inputs_embeds=emb,
+                            attention_mask=mask, gen_cfg=gen_cfg,
+                            attn_impl="xla", cache_dtype=dtype)
+            return np.asarray(toks)
+
+        return run
+
+    lo, hi = NEW // 2, NEW
+    t_lo = _time(run_new(lo))
+    t_hi = _time(run_new(hi))
+    decode_dt = max((t_hi - t_lo) / (hi - lo), 1e-9)   # s per decode step
+    prefill_s = max(t_lo - lo * decode_dt, 0.0)
+    toks_per_sec = B / decode_dt
+    # bandwidth-bound decode: every step re-reads all weights once and (on
+    # average) half the final KV cache
     weight_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
         if hasattr(x, "dtype"))
     cache_bytes = (2 * cfg.num_layers * (P + NEW / 2) * B
                    * cfg.num_kv_heads * cfg.head_dim * 2)
-    gbps = steps_per_sec * (weight_bytes + cache_bytes) / 1e9
+    gbps = (weight_bytes + cache_bytes) / decode_dt / 1e9
     _emit(name, toks_per_sec, "tokens/s",
           hbm_gbps=round(gbps, 1),
           hbm_util=round(gbps / V5E_HBM_GBPS, 3),
+          prefill_ms=round(prefill_s * 1e3, 1),
+          e2e_tok_s=round(B * hi / t_hi, 1),
           params_m=round(n_params / 1e6, 1),
           batch=B, new_tokens=NEW)
 

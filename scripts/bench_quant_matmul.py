@@ -20,7 +20,7 @@ from prot2text_tpu.kernels.quant_matmul import (  # noqa: E402
     quant_matmul_int4, quant_matmul_int8,
 )
 
-B, H, M, L, STEPS = 16, 4096, 14336, 4, 20
+B, H, M, L, STEPS = int(os.environ.get("PROBE_B", 16)), 4096, 14336, 4, 20
 
 
 def timed(step, weights, label, bytes_per_step):
