@@ -199,6 +199,147 @@ def quant_matmul_int4(x, w_packed, scale, *, out_dtype=jnp.bfloat16,
 
 
 # ---------------------------------------------------------------------------
+# stacked (layer-indexed) variants — scalar-prefetch layer selection
+#
+# Inside a `lax.scan` over layers, passing per-layer weight slices as scan
+# xs forces XLA to MATERIALIZE a copy of each slice before the pallas call
+# (a pallas operand must be a real buffer; only XLA ops like dot_general can
+# fuse the slice into their operand read).  At Qwen3-14B that copy is ~7 GB
+# of extra read+write per decode step — measured ~55 GB/s effective kernel
+# bandwidth vs ~170+ GB/s without the copy (scripts/bench_launch_overhead.py,
+# bench_stacked_matmul.py).  These variants instead take the FULL stacked
+# (L, K, N) buffer plus a dynamic layer index: the index rides scalar
+# prefetch and the BlockSpec index_map reads the layer's tiles STRAIGHT from
+# the stacked buffer — zero copies, scan-invariant operand.
+
+
+def _mm_i4_stacked_kernel(idx_ref, x1_ref, x2_ref, wp_ref, s_ref, o_ref,
+                          acc_ref, *, nk: int):
+    del idx_ref  # consumed by the index_maps
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wp = wp_ref[0].astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(wp, 28), 28).astype(jnp.bfloat16)
+    hi = jax.lax.shift_right_arithmetic(wp, 4).astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x1_ref[:], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        x2_ref[:], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k", "block_n"))
+def quant_matmul_int4_stacked(x, w_packed_all, scale_all, layer, *,
+                              out_dtype=jnp.bfloat16,
+                              interpret: bool = False, block_k: int = 0,
+                              block_n: int = 0):
+    """x: (R, K) bf16; w_packed_all: (L, K/2, N) int8 split-half nibbles;
+    scale_all: (L, 1, N) f32; layer: scalar int32.  Returns
+    (R, N) = (x · unpack(w_packed_all[layer])) * scale_all[layer] without
+    materializing the layer slice."""
+    L, K2, N = w_packed_all.shape
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    x1, x2 = x[:, :K2], x[:, K2:]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(K2, (1024, 512, 256, 128, 64, 32))
+    nk = K2 // bk
+    scale_all = scale_all.reshape(L, 1, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, bk), lambda n, k, idx: (0, k)),
+            pl.BlockSpec((Rp, bk), lambda n, k, idx: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda n, k, idx: (idx[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k, idx: (0, n)),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_i4_stacked_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, x1, x2, w_packed_all, scale_all)
+    return out[:R]
+
+
+def _mm_i8_stacked_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                          nk: int):
+    del idx_ref
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(jnp.bfloat16)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k", "block_n"))
+def quant_matmul_int8_stacked(x, w_q_all, scale_all, layer, *,
+                              out_dtype=jnp.bfloat16,
+                              interpret: bool = False, block_k: int = 0,
+                              block_n: int = 0):
+    """x: (R, K) bf16; w_q_all: (L, K, N) int8; scale_all: (L, 1, N) f32;
+    layer: scalar int32 — layer-indexed without materializing the slice."""
+    L, K, N = w_q_all.shape
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk = block_k or _pick_block(K, (1024, 512, 256, 128, 64, 32))
+    nk = K // bk
+    scale_all = scale_all.reshape(L, 1, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, bk), lambda n, k, idx: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda n, k, idx: (idx[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k, idx: (0, n)),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_i8_stacked_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, x, w_q_all, scale_all)
+    return out[:R]
+
+
+# ---------------------------------------------------------------------------
 # XLA fallbacks (CPU / unsupported shapes) — same numerics, no streaming win
 
 

@@ -318,15 +318,56 @@ def decoder_decode_step(
     ck_all = kv_cache["k"]
     cv_all = kv_cache["v"]
 
-    def block(x, xs):
-        lp, li = xs
-        xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)
-        q = linear(lp["q_proj"], xn).reshape(B, H, D)
-        k = linear(lp["k_proj"], xn).reshape(B, Hkv, D)
-        v = linear(lp["v_proj"], xn).reshape(B, Hkv, D)
+    layers = params["layers"]
+    on_tpu_q4 = jax.default_backend() == "tpu"
+
+    def fetch(sub, li):
+        """Per-layer view of a stacked leaf dict (norms, small projections)."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+            sub)
+
+    def proj(name, li, x_):
+        """Layer-li projection.  int4 leaves go through the scalar-prefetch
+        STACKED kernel — a pallas operand must be materialized, so slicing
+        the (L, K/2, N) buffer per layer (scan xs or dynamic_index) copies
+        the whole layer's weights every step; the stacked kernel's
+        index_map reads tiles straight from the stacked buffer instead
+        (measured on-chip: scripts/bench_stacked_matmul.py).  int8/bf16
+        leaves keep dynamic_index — XLA fuses that slice into the
+        dot_general operand read (the 8B int8 decode measures at the HBM
+        floor, scripts/bench_decode_gap.py)."""
+        sub = layers[name]
+        if "kernel_q4" in sub:
+            from ..kernels.quant_matmul import (
+                quant_matmul_int4_stacked, supports_quant_matmul,
+            )
+
+            wp = sub["kernel_q4"]                  # (L, K/2, N)
+            rows = 1
+            for d in x_.shape[:-1]:
+                rows *= d
+            if (on_tpu_q4 and rows <= 256
+                    and supports_quant_matmul(wp.shape[1] * 2, wp.shape[2],
+                                              bits=4)):
+                lead = x_.shape[:-1]
+                y = quant_matmul_int4_stacked(
+                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                    out_dtype=x_.dtype)
+                if "bias" in sub:
+                    y = y + jax.lax.dynamic_index_in_dim(
+                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+                return y.reshape(*lead, wp.shape[-1])
+        return linear(fetch(sub, li), x_)
+
+    def block(x, li):
+        xn = rms_norm(fetch(layers["input_ln"], li), x, cfg.rms_norm_eps)
+        q = proj("q_proj", li, xn).reshape(B, H, D)
+        k = proj("k_proj", li, xn).reshape(B, Hkv, D)
+        v = proj("v_proj", li, xn).reshape(B, Hkv, D)
         if cfg.qk_norm:
-            q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
-            k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
+            q = rms_norm(fetch(layers["q_norm"], li), q, cfg.rms_norm_eps)
+            k = rms_norm(fetch(layers["k_norm"], li), k, cfg.rms_norm_eps)
         q = apply_rope(q[:, :, None, :], cos, sin).reshape(B, H, D)
         k = apply_rope(k.reshape(B, Hkv, 1, D), cos, sin).reshape(B, Hkv, D)
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
@@ -353,18 +394,17 @@ def decoder_decode_step(
         a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
                  ).astype(x.dtype)
         a = a.reshape(B, 1, H * D)
-        x = x + linear(lp["o_proj"], a)
-        xn = rms_norm(lp["post_attn_ln"], x, cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(lp["gate_proj"], xn).astype(jnp.float32))
-        up = linear(lp["up_proj"], xn).astype(jnp.float32)
-        x = x + linear(lp["down_proj"], (gate * up).astype(xn.dtype))
+        x = x + proj("o_proj", li, a)
+        xn = rms_norm(fetch(layers["post_attn_ln"], li), x, cfg.rms_norm_eps)
+        gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
+        up = proj("up_proj", li, xn).astype(jnp.float32)
+        x = x + proj("down_proj", li, (gate * up).astype(xn.dtype))
         # cache stays READ-ONLY inside the scan; new kv returned as ys and
         # written with ONE small dynamic_update_slice below — keeping the
         # cache out of scan carries/ys is what lets XLA update it in place
         return x, (k.astype(ck_all.dtype), v.astype(cv_all.dtype))
 
-    h, (k_new, v_new) = jax.lax.scan(
-        block, token_embeds, (params["layers"], jnp.arange(L)))
+    h, (k_new, v_new) = jax.lax.scan(block, token_embeds, jnp.arange(L))
     # k_new/v_new: (L, B, Hkv, D) → one slot write per step.  XLA refuses to
     # update the while-carried cache in place through a plain
     # dynamic_update_slice (full-cache copy per step, profiler-verified in

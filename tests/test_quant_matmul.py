@@ -108,3 +108,50 @@ def test_int4_decoder_forward_close_to_int8():
     rel = np.abs(np.asarray(h4) - np.asarray(h8)).max() / (
         np.abs(np.asarray(h8)).max() + 1e-9)
     assert rel < 0.35, rel
+
+
+def test_stacked_kernels_match_per_layer():
+    """Scalar-prefetch stacked variants vs the per-layer kernels: exact
+    (same block structure → identical fp32 accumulation order)."""
+    from prot2text_tpu.kernels.quant_matmul import (
+        quant_matmul_int4_stacked, quant_matmul_int8_stacked,
+    )
+
+    rng = np.random.default_rng(3)
+    L, K, N, R = 3, 256, 384, 16
+    x = jnp.asarray(rng.standard_normal((R, K)), jnp.bfloat16)
+    q = rng.integers(-8, 8, (L, K, N)).astype(np.int8)
+    pk = pack_int4(jnp.asarray(q))
+    w8 = jnp.asarray(rng.integers(-127, 128, (L, K, N)), jnp.int8)
+    s = jnp.asarray(rng.uniform(0.001, 0.02, (L, 1, N)), jnp.float32)
+    for li in range(L):
+        a4 = quant_matmul_int4(x, pk[li], s[li], interpret=True)
+        b4 = quant_matmul_int4_stacked(x, pk, s, li, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a4), np.asarray(b4))
+        a8 = quant_matmul_int8(x, w8[li], s[li], interpret=True)
+        b8 = quant_matmul_int8_stacked(x, w8, s, li, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a8), np.asarray(b8))
+
+
+def test_stacked_int4_under_scan_with_traced_index():
+    """The decode-step usage: layer index is a traced scan variable."""
+    from prot2text_tpu.kernels.quant_matmul import quant_matmul_int4_stacked
+
+    rng = np.random.default_rng(4)
+    L, K, N, R = 4, 128, 256, 8
+    x = jnp.asarray(rng.standard_normal((R, K)), jnp.bfloat16)
+    q = rng.integers(-8, 8, (L, K, N)).astype(np.int8)
+    pk = pack_int4(jnp.asarray(q))
+    s = jnp.full((L, 1, N), 0.01, jnp.float32)
+
+    def body(c, li):
+        y = quant_matmul_int4_stacked(c, pk, s, li, interpret=True)
+        return (y[:, :K] * 0.01 + c).astype(jnp.bfloat16), y
+
+    _, ys = jax.lax.scan(body, x, jnp.arange(L))
+    # per-layer reference chain
+    c = x
+    for li in range(L):
+        y = quant_matmul_int4(c, pk[li], s[li], interpret=True)
+        np.testing.assert_array_equal(np.asarray(ys[li]), np.asarray(y))
+        c = (y[:, :K] * 0.01 + c).astype(jnp.bfloat16)
