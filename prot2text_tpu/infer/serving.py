@@ -1,0 +1,243 @@
+"""Continuous batching — slot-based serving loop (beyond reference).
+
+The reference serves with static batches (generate_instruct.py loops a
+DataLoader; every sequence in a batch decodes until ALL finish), so short
+answers wait for the longest one.  This engine keeps a fixed pool of
+`max_slots` cache slots; each decode step advances EVERY active slot by one
+token at its own length (per-row cache indices, models/decoder.py
+decoder_decode_step), finished slots are freed immediately and refilled
+from the queue by prefilling straight into the freed slot's cache region.
+
+TPU-static by construction: all jitted pieces see fixed shapes —
+(max_slots,)-wide state, `prompt_pad`-wide prefill — and the serving state
+(KV cache + per-slot metadata) is DONATED through every step call, so slot
+writes stay in place across jit boundaries.
+
+Typical use:
+
+    eng = ContinuousBatcher(cfg, params, max_slots=16, max_len=512)
+    for rid, emb, n in requests:
+        eng.submit(rid, emb, max_new_tokens=n)
+    for request_id, tokens in eng.run():
+        ...  # emitted as each request finishes, NOT in batch order
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import (
+    DecoderConfig, contiguous_lengths, decoder_decode_step, decoder_forward,
+    decoder_logits, kv_cache_layout,
+)
+from .generate import _bias_from_kv_mask
+from .kvcache import init_kv_cache
+
+
+@dataclasses.dataclass
+class _Request:
+    request_id: object
+    embeds: np.ndarray          # (P, H) prompt embeddings (unpadded)
+    max_new_tokens: int
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_pad"))
+def _prefill_one(cfg: DecoderConfig, params, emb, mask, *, prompt_pad: int):
+    """B=1 prefill into a fresh prompt_pad-wide cache slab.
+    emb: (1, prompt_pad, H) left-padded; mask: (1, prompt_pad).
+    Returns (slab_k, slab_v, logits (V,))."""
+    cache = init_kv_cache(cfg, 1, prompt_pad, emb.dtype)
+    positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
+                         ).astype(jnp.int32)
+    idx = jnp.arange(prompt_pad)
+    causal = idx[None, :] <= idx[:, None]
+    ok = jnp.logical_and(causal[None, None], mask[:, None, None, :] > 0)
+    bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+    h, cache = decoder_forward(
+        cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
+        kv_cache=cache, cache_index=0, attn_impl="xla",
+        attn_lengths=contiguous_lengths(mask))
+    logits = decoder_logits(cfg, params, h[:, -1:])[0, 0]
+    return cache["k"], cache["v"], logits
+
+
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("cfg", "prompt_pad"))
+def _install_slot(cfg: DecoderConfig, state, slot, slab_k, slab_v, plen,
+                  tok0, budget, *, prompt_pad: int):
+    """Copy a prefilled slab into `slot`'s cache region [0, prompt_pad) and
+    activate the slot.  state is donated — in-place across the call."""
+    if kv_cache_layout(cfg) == "bktd":     # slab (L, 1, K, P, D)
+        state["k"] = jax.lax.dynamic_update_slice(
+            state["k"], slab_k.astype(state["k"].dtype), (0, slot, 0, 0, 0))
+        state["v"] = jax.lax.dynamic_update_slice(
+            state["v"], slab_v.astype(state["v"].dtype), (0, slot, 0, 0, 0))
+    else:                                  # (L, P, 1, K, D) seq-leading
+        state["k"] = jax.lax.dynamic_update_slice(
+            state["k"], slab_k.astype(state["k"].dtype), (0, 0, slot, 0, 0))
+        state["v"] = jax.lax.dynamic_update_slice(
+            state["v"], slab_v.astype(state["v"].dtype), (0, 0, slot, 0, 0))
+    T = state["kv_mask"].shape[1]
+    row_mask = (jnp.arange(T) < prompt_pad).astype(jnp.int32)
+    pad = prompt_pad - plen                # left padding inside the slab
+    row_mask = row_mask * (jnp.arange(T) >= pad).astype(jnp.int32)
+    state["kv_mask"] = state["kv_mask"].at[slot].set(row_mask)
+    state["pos"] = state["pos"].at[slot].set(plen - 1)
+    state["next_slot"] = state["next_slot"].at[slot].set(prompt_pad)
+    state["active"] = state["active"].at[slot].set(True)
+    state["last_tok"] = state["last_tok"].at[slot].set(tok0)
+    state["budget"] = state["budget"].at[slot].set(budget)
+    return state
+
+
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("cfg", "eos_token_id"))
+def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int):
+    """One token for every active slot.  Returns (state, tok (B,),
+    newly_finished (B,), advanced (B,) — the pre-step active mask)."""
+    B = state["pos"].shape[0]
+    emb = params["embed_tokens"][state["last_tok"]][:, None, :].astype(
+        state["k"].dtype)
+    bias = _bias_from_kv_mask(state["kv_mask"], 1)
+    pos = (state["pos"] + 1)[:, None]
+    h, cache = decoder_decode_step(
+        cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
+        kv_cache={"k": state["k"], "v": state["v"]},
+        cache_index=state["next_slot"])
+    state["k"], state["v"] = cache["k"], cache["v"]
+    bidx = jnp.arange(B)
+    state["kv_mask"] = state["kv_mask"].at[bidx, state["next_slot"]].set(
+        jnp.where(state["active"], 1, state["kv_mask"][bidx,
+                                                       state["next_slot"]]))
+    logits = decoder_logits(cfg, params, h)[:, 0]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    state["budget"] = jnp.where(state["active"], state["budget"] - 1,
+                                state["budget"])
+    finished = jnp.logical_and(
+        state["active"],
+        jnp.logical_or(tok == eos_token_id, state["budget"] <= 0))
+    advanced = state["active"]
+    state["pos"] = jnp.where(advanced, state["pos"] + 1, state["pos"])
+    state["next_slot"] = jnp.where(
+        advanced, jnp.minimum(state["next_slot"] + 1,
+                              state["kv_mask"].shape[1] - 1),
+        state["next_slot"])
+    state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
+    state["active"] = jnp.where(finished, False, state["active"])
+    return state, tok, finished, advanced
+
+
+class ContinuousBatcher:
+    """Greedy continuous-batching engine over `decoder_decode_step`.
+
+    cfg/params: the decoder core + its params (quantized or bf16).
+    max_slots: concurrent sequences (the static batch width).
+    max_len: cache width per slot (prompt_pad + longest answer).
+    prompt_pad: static prefill width (prompts are left-padded to this).
+    """
+
+    def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
+                 max_len: int, prompt_pad: int = 64,
+                 eos_token_id: int = 128009, cache_dtype=jnp.bfloat16):
+        if prompt_pad >= max_len:
+            raise ValueError("prompt_pad must leave room for new tokens")
+        self.cfg = cfg
+        self.params = params
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.prompt_pad = prompt_pad
+        self.eos_token_id = eos_token_id
+        self.dtype = cache_dtype
+        cache = init_kv_cache(cfg, max_slots, max_len, cache_dtype)
+        self.state = {
+            "k": cache["k"], "v": cache["v"],
+            "kv_mask": jnp.zeros((max_slots, max_len), jnp.int32),
+            "pos": jnp.zeros((max_slots,), jnp.int32),
+            "next_slot": jnp.zeros((max_slots,), jnp.int32),
+            "active": jnp.zeros((max_slots,), bool),
+            "last_tok": jnp.zeros((max_slots,), jnp.int32),
+            "budget": jnp.zeros((max_slots,), jnp.int32),
+        }
+        self.queue: deque[_Request] = deque()
+        self._slot_req: list[Optional[object]] = [None] * max_slots
+        self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]
+        self.steps = 0
+
+    def submit(self, request_id, prompt_embeds, *, max_new_tokens: int = 64):
+        """prompt_embeds: (P, H) with P <= prompt_pad."""
+        emb = np.asarray(prompt_embeds)
+        if emb.shape[0] > self.prompt_pad:
+            raise ValueError(
+                f"prompt length {emb.shape[0]} > prompt_pad={self.prompt_pad}")
+        self.queue.append(_Request(request_id, emb, max_new_tokens))
+
+    def _fill_free_slots(self):
+        for slot in range(self.max_slots):
+            if not self.queue:
+                break
+            if self._slot_req[slot] is not None:
+                continue
+            req = self.queue.popleft()
+            P, Hd = req.embeds.shape
+            emb = np.zeros((1, self.prompt_pad, Hd), np.float32)
+            emb[0, self.prompt_pad - P:] = req.embeds     # left-pad
+            mask = np.zeros((1, self.prompt_pad), np.int32)
+            mask[0, self.prompt_pad - P:] = 1
+            slab_k, slab_v, logits = _prefill_one(
+                self.cfg, self.params, jnp.asarray(emb, self.dtype),
+                jnp.asarray(mask), prompt_pad=self.prompt_pad)
+            tok0 = int(np.argmax(np.asarray(logits)))
+            self.state = _install_slot(
+                self.cfg, self.state, slot, slab_k, slab_v, P, tok0,
+                req.max_new_tokens - 1, prompt_pad=self.prompt_pad)
+            self._slot_req[slot] = req
+            self._slot_toks[slot] = [tok0]
+            if tok0 == self.eos_token_id or req.max_new_tokens <= 1:
+                # finished at the first token — emit immediately
+                self.state["active"] = self.state["active"].at[slot].set(
+                    False)
+
+    def _harvest_immediate(self) -> Iterator[tuple]:
+        active = np.asarray(self.state["active"])
+        for slot in range(self.max_slots):
+            if self._slot_req[slot] is not None and not active[slot]:
+                req = self._slot_req[slot]
+                toks = self._slot_toks[slot]
+                self._slot_req[slot] = None
+                self._slot_toks[slot] = []
+                yield req.request_id, toks
+
+    def run(self) -> Iterator[tuple]:
+        """Drives the loop until the queue and all slots drain, yielding
+        (request_id, [tokens...]) as each request finishes."""
+        while True:
+            self._fill_free_slots()
+            yield from self._harvest_immediate()
+            if not any(r is not None for r in self._slot_req):
+                if not self.queue:
+                    return
+                continue
+            self.state, tok, finished, advanced = _decode_all(
+                self.cfg, self.state, self.params,
+                eos_token_id=self.eos_token_id)
+            self.steps += 1
+            tok_h = np.asarray(tok)
+            fin_h = np.asarray(finished)
+            adv_h = np.asarray(advanced)
+            for slot in range(self.max_slots):
+                if self._slot_req[slot] is None or not adv_h[slot]:
+                    continue
+                self._slot_toks[slot].append(int(tok_h[slot]))
+                if fin_h[slot]:
+                    req = self._slot_req[slot]
+                    toks = self._slot_toks[slot]
+                    self._slot_req[slot] = None
+                    self._slot_toks[slot] = []
+                    yield req.request_id, toks

@@ -291,7 +291,9 @@ def decoder_decode_step(
     bias_old,            # fp32 (B, 1, 1, T) over ALREADY-WRITTEN cache slots
     positions,           # (B, 1) rope positions of the current token
     kv_cache,            # {"k","v"}: (L, B, Hkv, T, D)
-    cache_index,         # scalar int32 slot for the current token's kv
+    cache_index,         # int32 slot for the current token's kv: scalar
+                         # (lockstep generate) or (B,) per-row (continuous
+                         # batching — every slot decodes at its own length)
 ):
     """Single-token decode step optimized from profiler evidence: the
     generic scan-over-(params, cache) path spends ~45% of decode time
@@ -417,6 +419,23 @@ def decoder_decode_step(
     )
 
     on_tpu = jax.default_backend() == "tpu"
+    if getattr(cache_index, "ndim", 0) == 1:
+        # per-row slots (continuous batching): one scatter over the batch
+        # dim — in place when the serving state buffer is donated across
+        # the step jit boundary (infer/serving.py)
+        bidx = jnp.arange(B)
+        if layout == "bktd":
+            ck_all = ck_all.at[:, bidx, :, cache_index, :].set(
+                jnp.moveaxis(k_new.astype(ck_all.dtype), 1, 0))
+            cv_all = cv_all.at[:, bidx, :, cache_index, :].set(
+                jnp.moveaxis(v_new.astype(cv_all.dtype), 1, 0))
+        else:
+            ck_all = ck_all.at[:, cache_index, bidx, :, :].set(
+                k_new.astype(ck_all.dtype))
+            cv_all = cv_all.at[:, cache_index, bidx, :, :].set(
+                v_new.astype(cv_all.dtype))
+        h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+        return h, {"k": ck_all, "v": cv_all}
     if layout == "bktd":
         if on_tpu and supports_inplace_bkt(ck_all.shape):
             ck_all = cache_slot_write_bkt(ck_all, k_new, cache_index)
