@@ -275,10 +275,58 @@ def bench_decode_8b_int8_b128():
                   quant_bits=8, quant_direct=True, B=128, NEW=64)
 
 
+def bench_serving_continuous():
+    """Continuous batching (infer/serving.py) on a ragged workload:
+    32 requests, budgets cycling 16..64 new tokens, 16 slots, 1B int8.
+    Useful-token throughput vs the lockstep estimate (every request padded
+    to the longest budget, the reference's static-batch behavior) computed
+    from THIS run's decode rate — greedy outputs are token-identical to
+    generate() (tests/test_serving.py)."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+    from prot2text_tpu.models.decoder import init_decoder_params
+    from prot2text_tpu.models.llama import LlamaConfig
+    from prot2text_tpu.models.quant import quantize_params
+
+    cfg = LlamaConfig.llama_3_2_1b().core()
+    params = quantize_params(
+        init_decoder_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16),
+        bits=8)
+    SLOTS, PAD = 8, 128
+    budgets = [16 + 8 * (i % 7) for i in range(16)]       # 16..64 ragged
+    rng = np.random.default_rng(0)
+    prompts = [rng.standard_normal(
+        (64 + (i * 13) % 65, cfg.hidden_size)).astype(np.float32)
+        for i in range(16)]
+
+    def serve(n_requests):
+        eng = ContinuousBatcher(cfg, params, max_slots=SLOTS,
+                                max_len=PAD + 64, prompt_pad=PAD,
+                                eos_token_id=-1, sync_every=8)
+        for i, (emb, n) in enumerate(zip(prompts[:n_requests],
+                                         budgets[:n_requests])):
+            eng.submit(i, emb, max_new_tokens=n)
+        out = dict(eng.run())
+        return eng.steps, sum(len(v) for v in out.values())
+
+    serve(2)                                  # compile warmup
+    t0 = time.perf_counter()
+    steps, useful = serve(len(budgets))
+    dt = time.perf_counter() - t0
+    # lockstep: every request decodes to the round's max budget
+    lockstep_steps = sum(
+        max(budgets[i:i + SLOTS]) for i in range(0, len(budgets), SLOTS))
+    _emit("serving_continuous_tokens_per_sec_int8_llama32_1b_8slots",
+          useful / dt, "tokens/s",
+          decode_steps=steps, lockstep_steps=lockstep_steps,
+          step_reduction=round(1 - steps / lockstep_steps, 3),
+          requests=len(budgets), useful_tokens=useful)
+
+
 def main():
     for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
                bench_decode_flagship, bench_decode_8b_int8,
-               bench_decode_14b_int4, bench_decode_8b_int8_b128):
+               bench_decode_14b_int4, bench_serving_continuous,
+               bench_decode_8b_int8_b128):
         try:
             fn()
         except Exception as e:  # keep later (headline) metrics alive

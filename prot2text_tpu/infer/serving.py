@@ -3,15 +3,26 @@
 The reference serves with static batches (generate_instruct.py loops a
 DataLoader; every sequence in a batch decodes until ALL finish), so short
 answers wait for the longest one.  This engine keeps a fixed pool of
-`max_slots` cache slots; each decode step advances EVERY active slot by one
-token at its own length (per-row cache indices, models/decoder.py
-decoder_decode_step), finished slots are freed immediately and refilled
-from the queue by prefilling straight into the freed slot's cache region.
+`max_slots` cache slots; each decode round advances EVERY active slot by
+`sync_every` tokens at its own length (per-row cache indices,
+models/decoder.py decoder_decode_step), finished slots are freed
+immediately and refilled from the queue by prefilling straight into the
+freed slot's cache region.
 
-TPU-static by construction: all jitted pieces see fixed shapes —
-(max_slots,)-wide state, `prompt_pad`-wide prefill — and the serving state
-(KV cache + per-slot metadata) is DONATED through every step call, so slot
-writes stay in place across jit boundaries.
+TPU-static and sync-lean by construction:
+  * all jitted pieces see fixed shapes — (max_slots,)-wide state,
+    `prompt_pad`-wide prefill — and the serving state (KV cache + per-slot
+    metadata) is DONATED through every call, so slot writes stay in place
+    across jit boundaries;
+  * prefill + slot install + first-token sample is ONE dispatch returning
+    one scalar; each decode round is ONE dispatch returning one packed
+    (3, sync_every, B) array; slot occupancy is mirrored on the host so no
+    extra device reads are needed.  Dispatch/transfer latency (large under
+    remote-tunnel execution) is paid once per round, amortized
+    sync_every-fold.
+
+Greedy output is token-identical to per-request generate() for ANY
+max_slots / sync_every (tests/test_serving.py).
 
 Typical use:
 
@@ -48,11 +59,13 @@ class _Request:
     max_new_tokens: int
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_pad"))
-def _prefill_one(cfg: DecoderConfig, params, emb, mask, *, prompt_pad: int):
-    """B=1 prefill into a fresh prompt_pad-wide cache slab.
-    emb: (1, prompt_pad, H) left-padded; mask: (1, prompt_pad).
-    Returns (slab_k, slab_v, logits (V,))."""
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("cfg", "prompt_pad", "eos_token_id"))
+def _prefill_install(cfg: DecoderConfig, state, params, emb, mask, slot,
+                     plen, budget, *, prompt_pad: int, eos_token_id: int):
+    """One dispatch: B=1 prefill → write the slab into `slot`'s cache
+    region → sample the first token → activate the slot (unless the first
+    token already finishes the request).  Returns (state, tok0)."""
     cache = init_kv_cache(cfg, 1, prompt_pad, emb.dtype)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
                          ).astype(jnp.int32)
@@ -65,73 +78,81 @@ def _prefill_one(cfg: DecoderConfig, params, emb, mask, *, prompt_pad: int):
         kv_cache=cache, cache_index=0, attn_impl="xla",
         attn_lengths=contiguous_lengths(mask))
     logits = decoder_logits(cfg, params, h[:, -1:])[0, 0]
-    return cache["k"], cache["v"], logits
+    tok0 = jnp.argmax(logits).astype(jnp.int32)
 
-
-@functools.partial(jax.jit, donate_argnums=(1,),
-                   static_argnames=("cfg", "prompt_pad"))
-def _install_slot(cfg: DecoderConfig, state, slot, slab_k, slab_v, plen,
-                  tok0, budget, *, prompt_pad: int):
-    """Copy a prefilled slab into `slot`'s cache region [0, prompt_pad) and
-    activate the slot.  state is donated — in-place across the call."""
     if kv_cache_layout(cfg) == "bktd":     # slab (L, 1, K, P, D)
         state["k"] = jax.lax.dynamic_update_slice(
-            state["k"], slab_k.astype(state["k"].dtype), (0, slot, 0, 0, 0))
+            state["k"], cache["k"].astype(state["k"].dtype),
+            (0, slot, 0, 0, 0))
         state["v"] = jax.lax.dynamic_update_slice(
-            state["v"], slab_v.astype(state["v"].dtype), (0, slot, 0, 0, 0))
+            state["v"], cache["v"].astype(state["v"].dtype),
+            (0, slot, 0, 0, 0))
     else:                                  # (L, P, 1, K, D) seq-leading
         state["k"] = jax.lax.dynamic_update_slice(
-            state["k"], slab_k.astype(state["k"].dtype), (0, 0, slot, 0, 0))
+            state["k"], cache["k"].astype(state["k"].dtype),
+            (0, 0, slot, 0, 0))
         state["v"] = jax.lax.dynamic_update_slice(
-            state["v"], slab_v.astype(state["v"].dtype), (0, 0, slot, 0, 0))
+            state["v"], cache["v"].astype(state["v"].dtype),
+            (0, 0, slot, 0, 0))
     T = state["kv_mask"].shape[1]
-    row_mask = (jnp.arange(T) < prompt_pad).astype(jnp.int32)
     pad = prompt_pad - plen                # left padding inside the slab
-    row_mask = row_mask * (jnp.arange(T) >= pad).astype(jnp.int32)
+    row_mask = jnp.logical_and(jnp.arange(T) < prompt_pad,
+                               jnp.arange(T) >= pad).astype(jnp.int32)
+    finished0 = jnp.logical_or(tok0 == eos_token_id, budget <= 1)
     state["kv_mask"] = state["kv_mask"].at[slot].set(row_mask)
     state["pos"] = state["pos"].at[slot].set(plen - 1)
     state["next_slot"] = state["next_slot"].at[slot].set(prompt_pad)
-    state["active"] = state["active"].at[slot].set(True)
+    state["active"] = state["active"].at[slot].set(~finished0)
     state["last_tok"] = state["last_tok"].at[slot].set(tok0)
-    state["budget"] = state["budget"].at[slot].set(budget)
-    return state
+    state["budget"] = state["budget"].at[slot].set(budget - 1)
+    return state, tok0
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
-                   static_argnames=("cfg", "eos_token_id"))
-def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int):
-    """One token for every active slot.  Returns (state, tok (B,),
-    newly_finished (B,), advanced (B,) — the pre-step active mask)."""
+                   static_argnames=("cfg", "eos_token_id", "chunk"))
+def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int,
+                chunk: int = 1):
+    """`chunk` tokens for every active slot, device-side (one host sync per
+    chunk — slots that finish mid-chunk stop advancing on device, so the
+    per-request token streams are identical for any chunk size; refills
+    just wait until the chunk boundary).  Returns (state,
+    packed (3, chunk, B) int32 = [tok, finished, advanced])."""
     B = state["pos"].shape[0]
-    emb = params["embed_tokens"][state["last_tok"]][:, None, :].astype(
-        state["k"].dtype)
-    bias = _bias_from_kv_mask(state["kv_mask"], 1)
-    pos = (state["pos"] + 1)[:, None]
-    h, cache = decoder_decode_step(
-        cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
-        kv_cache={"k": state["k"], "v": state["v"]},
-        cache_index=state["next_slot"])
-    state["k"], state["v"] = cache["k"], cache["v"]
     bidx = jnp.arange(B)
-    state["kv_mask"] = state["kv_mask"].at[bidx, state["next_slot"]].set(
-        jnp.where(state["active"], 1, state["kv_mask"][bidx,
-                                                       state["next_slot"]]))
-    logits = decoder_logits(cfg, params, h)[:, 0]
-    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    state["budget"] = jnp.where(state["active"], state["budget"] - 1,
-                                state["budget"])
-    finished = jnp.logical_and(
-        state["active"],
-        jnp.logical_or(tok == eos_token_id, state["budget"] <= 0))
-    advanced = state["active"]
-    state["pos"] = jnp.where(advanced, state["pos"] + 1, state["pos"])
-    state["next_slot"] = jnp.where(
-        advanced, jnp.minimum(state["next_slot"] + 1,
-                              state["kv_mask"].shape[1] - 1),
-        state["next_slot"])
-    state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
-    state["active"] = jnp.where(finished, False, state["active"])
-    return state, tok, finished, advanced
+
+    def step(state, _):
+        emb = params["embed_tokens"][state["last_tok"]][:, None, :].astype(
+            state["k"].dtype)
+        bias = _bias_from_kv_mask(state["kv_mask"], 1)
+        pos = (state["pos"] + 1)[:, None]
+        h, cache = decoder_decode_step(
+            cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
+            kv_cache={"k": state["k"], "v": state["v"]},
+            cache_index=state["next_slot"])
+        state["k"], state["v"] = cache["k"], cache["v"]
+        state["kv_mask"] = state["kv_mask"].at[bidx, state["next_slot"]].set(
+            jnp.where(state["active"], 1,
+                      state["kv_mask"][bidx, state["next_slot"]]))
+        logits = decoder_logits(cfg, params, h)[:, 0]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        state["budget"] = jnp.where(state["active"], state["budget"] - 1,
+                                    state["budget"])
+        finished = jnp.logical_and(
+            state["active"],
+            jnp.logical_or(tok == eos_token_id, state["budget"] <= 0))
+        advanced = state["active"]
+        state["pos"] = jnp.where(advanced, state["pos"] + 1, state["pos"])
+        state["next_slot"] = jnp.where(
+            advanced, jnp.minimum(state["next_slot"] + 1,
+                                  state["kv_mask"].shape[1] - 1),
+            state["next_slot"])
+        state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
+        state["active"] = jnp.where(finished, False, state["active"])
+        return state, (tok, finished.astype(jnp.int32),
+                       advanced.astype(jnp.int32))
+
+    state, (toks, fin, adv) = jax.lax.scan(step, state, None, length=chunk)
+    return state, jnp.stack([toks, fin, adv])
 
 
 class ContinuousBatcher:
@@ -141,11 +162,13 @@ class ContinuousBatcher:
     max_slots: concurrent sequences (the static batch width).
     max_len: cache width per slot (prompt_pad + longest answer).
     prompt_pad: static prefill width (prompts are left-padded to this).
+    sync_every: decode tokens per host round-trip (latency amortization).
     """
 
     def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
                  max_len: int, prompt_pad: int = 64,
-                 eos_token_id: int = 128009, cache_dtype=jnp.bfloat16):
+                 eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
+                 sync_every: int = 1):
         if prompt_pad >= max_len:
             raise ValueError("prompt_pad must leave room for new tokens")
         self.cfg = cfg
@@ -155,6 +178,7 @@ class ContinuousBatcher:
         self.prompt_pad = prompt_pad
         self.eos_token_id = eos_token_id
         self.dtype = cache_dtype
+        self.sync_every = max(1, sync_every)
         cache = init_kv_cache(cfg, max_slots, max_len, cache_dtype)
         self.state = {
             "k": cache["k"], "v": cache["v"],
@@ -166,7 +190,7 @@ class ContinuousBatcher:
             "budget": jnp.zeros((max_slots,), jnp.int32),
         }
         self.queue: deque[_Request] = deque()
-        self._slot_req: list[Optional[object]] = [None] * max_slots
+        self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]
         self.steps = 0
 
@@ -176,9 +200,11 @@ class ContinuousBatcher:
         if emb.shape[0] > self.prompt_pad:
             raise ValueError(
                 f"prompt length {emb.shape[0]} > prompt_pad={self.prompt_pad}")
+        if max_new_tokens > self.max_len - self.prompt_pad:
+            raise ValueError("max_new_tokens exceeds the slot cache width")
         self.queue.append(_Request(request_id, emb, max_new_tokens))
 
-    def _fill_free_slots(self):
+    def _fill_free_slots(self) -> Iterator[tuple]:
         for slot in range(self.max_slots):
             if not self.queue:
                 break
@@ -190,54 +216,41 @@ class ContinuousBatcher:
             emb[0, self.prompt_pad - P:] = req.embeds     # left-pad
             mask = np.zeros((1, self.prompt_pad), np.int32)
             mask[0, self.prompt_pad - P:] = 1
-            slab_k, slab_v, logits = _prefill_one(
-                self.cfg, self.params, jnp.asarray(emb, self.dtype),
-                jnp.asarray(mask), prompt_pad=self.prompt_pad)
-            tok0 = int(np.argmax(np.asarray(logits)))
-            self.state = _install_slot(
-                self.cfg, self.state, slot, slab_k, slab_v, P, tok0,
-                req.max_new_tokens - 1, prompt_pad=self.prompt_pad)
-            self._slot_req[slot] = req
-            self._slot_toks[slot] = [tok0]
+            self.state, tok0 = _prefill_install(
+                self.cfg, self.state, self.params,
+                jnp.asarray(emb, self.dtype), jnp.asarray(mask), slot, P,
+                req.max_new_tokens, prompt_pad=self.prompt_pad,
+                eos_token_id=self.eos_token_id)
+            tok0 = int(tok0)
             if tok0 == self.eos_token_id or req.max_new_tokens <= 1:
-                # finished at the first token — emit immediately
-                self.state["active"] = self.state["active"].at[slot].set(
-                    False)
-
-    def _harvest_immediate(self) -> Iterator[tuple]:
-        active = np.asarray(self.state["active"])
-        for slot in range(self.max_slots):
-            if self._slot_req[slot] is not None and not active[slot]:
-                req = self._slot_req[slot]
-                toks = self._slot_toks[slot]
-                self._slot_req[slot] = None
-                self._slot_toks[slot] = []
-                yield req.request_id, toks
+                yield req.request_id, [tok0]   # finished at the first token
+            else:
+                self._slot_req[slot] = req
+                self._slot_toks[slot] = [tok0]
 
     def run(self) -> Iterator[tuple]:
         """Drives the loop until the queue and all slots drain, yielding
         (request_id, [tokens...]) as each request finishes."""
         while True:
-            self._fill_free_slots()
-            yield from self._harvest_immediate()
+            yield from self._fill_free_slots()
             if not any(r is not None for r in self._slot_req):
                 if not self.queue:
                     return
                 continue
-            self.state, tok, finished, advanced = _decode_all(
+            self.state, packed = _decode_all(
                 self.cfg, self.state, self.params,
-                eos_token_id=self.eos_token_id)
-            self.steps += 1
-            tok_h = np.asarray(tok)
-            fin_h = np.asarray(finished)
-            adv_h = np.asarray(advanced)
-            for slot in range(self.max_slots):
-                if self._slot_req[slot] is None or not adv_h[slot]:
-                    continue
-                self._slot_toks[slot].append(int(tok_h[slot]))
-                if fin_h[slot]:
-                    req = self._slot_req[slot]
-                    toks = self._slot_toks[slot]
-                    self._slot_req[slot] = None
-                    self._slot_toks[slot] = []
-                    yield req.request_id, toks
+                eos_token_id=self.eos_token_id, chunk=self.sync_every)
+            self.steps += self.sync_every
+            packed = np.asarray(packed)        # ONE transfer per round
+            tok_h, fin_h, adv_h = packed[0], packed[1], packed[2]
+            for c in range(tok_h.shape[0]):
+                for slot in range(self.max_slots):
+                    if self._slot_req[slot] is None or not adv_h[c, slot]:
+                        continue
+                    self._slot_toks[slot].append(int(tok_h[c, slot]))
+                    if fin_h[c, slot]:
+                        req = self._slot_req[slot]
+                        toks = self._slot_toks[slot]
+                        self._slot_req[slot] = None
+                        self._slot_toks[slot] = []
+                        yield req.request_id, toks

@@ -49,14 +49,16 @@ def _ref_tokens(params, emb_unpadded, max_new, eos=-1):
 
 
 @pytest.mark.parametrize("max_slots", [2, 4])
-def test_engine_matches_generate(max_slots):
+@pytest.mark.parametrize("sync_every", [1, 3])
+def test_engine_matches_generate(max_slots, sync_every):
     params = _params()
     reqs = [("a", _prompt(1, 3), 4), ("b", _prompt(2, 5), 6),
             ("c", _prompt(3, 8), 3), ("d", _prompt(4, 2), 5),
             ("e", _prompt(5, 6), 6)]
     eng = ContinuousBatcher(CFG, params, max_slots=max_slots,
                             max_len=PAD + 6, prompt_pad=PAD,
-                            eos_token_id=-1, cache_dtype=jnp.float32)
+                            eos_token_id=-1, cache_dtype=jnp.float32,
+                            sync_every=sync_every)
     for rid, emb, n in reqs:
         eng.submit(rid, emb, max_new_tokens=n)
     out = dict(eng.run())
@@ -75,7 +77,7 @@ def test_engine_eos_stops_early_and_frees_slot():
     eos = probe[2]
     eng = ContinuousBatcher(CFG, params, max_slots=1, max_len=PAD + 8,
                             prompt_pad=PAD, eos_token_id=eos,
-                            cache_dtype=jnp.float32)
+                            cache_dtype=jnp.float32, sync_every=2)
     eng.submit("x", emb, max_new_tokens=8)
     eng.submit("y", _prompt(8, 3), max_new_tokens=4)   # waits for the slot
     out = dict(eng.run())
