@@ -133,8 +133,11 @@ def _init_quantized_random(cfg, bits=8):
         shape = (L,) + a.shape[1:]
         if a.dtype in (jnp.int8, jnp.int4):
             key, k = jax.random.split(key)
-            return jax.random.randint(k, shape, -100, 100, jnp.int8
-                                      ).astype(a.dtype)
+            # random.bits avoids randint's int32 intermediate (4x the
+            # target bytes — a 7 GB transient at 14B scale that OOMs when
+            # other towers are already resident)
+            return jax.jit(lambda kk: jax.random.bits(
+                kk, shape, jnp.uint8).astype(a.dtype))(k)
         return jnp.full(shape, 0.01, a.dtype)  # fp32 scales
 
     out = dict(one)
@@ -322,10 +325,62 @@ def bench_serving_continuous():
           requests=len(budgets), useful_tokens=useful)
 
 
+def bench_descriptions_per_hour():
+    """BASELINE.md north-star proxy: end-to-end protein→description at the
+    reference's ESMC-Qwen flagship scale (esmc_600m encoder + adapter +
+    Qwen3-14B int4 decoder, esmc_qwen_arc.py:208) on ONE 16 GB chip.
+    One batch = encoder forward + adapter + prefill + 256 greedy tokens —
+    the full per-description latency, B=16 concurrent.  Random weights
+    (zero-egress container); throughput does not depend on values.  The
+    reference publishes no A6000 number to compare against (BASELINE.md)."""
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, init_modality_adapter_params, modality_adapter)
+    from prot2text_tpu.models.esmc import (
+        ESMCConfig, esmc_encode, init_esmc_params)
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+
+    B, PROT, NEW = 8, 512, 256
+    enc_cfg = ESMCConfig.esmc_600m()
+    dec_cfg = Qwen3Config.qwen3_14b().core()
+    enc_params = init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
+                                  jnp.bfloat16)
+    ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, dec_cfg.hidden_size)
+    ad_params = init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(1),
+                                             jnp.bfloat16)
+    dec_params = _init_quantized_random(dec_cfg, bits=4)
+    rng = np.random.default_rng(0)
+    prot_ids = jnp.asarray(rng.integers(4, 24, (B, PROT)), jnp.int32)
+    prot_mask = jnp.ones((B, PROT), jnp.int32)
+    text_emb = jnp.asarray(rng.standard_normal((B, 32, dec_cfg.hidden_size)),
+                           jnp.bfloat16)
+    gen_cfg = GenerationConfig(max_new_tokens=NEW, eos_token_id=-1,
+                               pad_token_id=0)
+
+    def run():
+        enc = esmc_encode(enc_cfg, enc_params, prot_ids, prot_mask)
+        adapted = modality_adapter(ad_cfg, ad_params, enc,
+                                   deterministic=True)
+        emb = jnp.concatenate([adapted.astype(jnp.bfloat16), text_emb],
+                              axis=1)
+        mask = jnp.ones((B, emb.shape[1]), jnp.int32)
+        toks = generate(dec_cfg, dec_params, inputs_embeds=emb,
+                        attention_mask=mask, gen_cfg=gen_cfg,
+                        attn_impl="xla", cache_dtype=jnp.bfloat16)
+        return np.asarray(toks)
+
+    dt = _time(run, iters=1)
+    _emit("descriptions_per_hour_esmc600m_qwen3_14b_int4_one_chip",
+          B * 3600 / dt, "descriptions/h",
+          batch=B, new_tokens=NEW, protein_len=PROT,
+          batch_seconds=round(dt, 2))
+
+
 def main():
     for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
                bench_decode_flagship, bench_decode_8b_int8,
                bench_decode_14b_int4, bench_serving_continuous,
+               bench_descriptions_per_hour,
                bench_decode_8b_int8_b128):
         try:
             fn()
