@@ -325,6 +325,60 @@ def bench_serving_continuous():
           requests=len(budgets), useful_tokens=useful)
 
 
+def bench_contrastive_step():
+    """BASELINE.json named metric: contrastive pairs/sec/chip.  Stage-1
+    alignment step (frozen esmc_300m + frozen Llama-1B layer-16 text tower
+    + trainable adapter, InfoNCE over the batch — train_contrast.py
+    defaults: B=8/device, grad-accum 8, bf16) as ONE jitted step."""
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, init_modality_adapter_params)
+    from prot2text_tpu.models.esmc import ESMCConfig, init_esmc_params
+    from prot2text_tpu.models.llama import LlamaConfig
+    from prot2text_tpu.models.decoder import init_decoder_params
+    from prot2text_tpu.train.contrastive import (
+        ContrastiveConfig, make_contrastive_train_step)
+    from prot2text_tpu.train.optim import adamw_constant
+    from prot2text_tpu.train.sft import TrainState
+
+    enc_cfg = ESMCConfig.esmc_300m()
+    dec_cfg = LlamaConfig.llama_3_2_1b().core()
+    ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, dec_cfg.hidden_size)
+    frozen = {
+        "esm_encoder": init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
+                                        jnp.bfloat16),
+        "llm_decoder": init_decoder_params(dec_cfg, jax.random.PRNGKey(1),
+                                           jnp.bfloat16),
+    }
+    adapter = init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(2),
+                                           jnp.bfloat16)
+    tx = adamw_constant(2e-4)
+    state = TrainState.create(adapter, tx)
+    ccfg = ContrastiveConfig()
+    B, GA, PROT, DESC = 8, 8, 512, 128        # reference defaults
+    rng = np.random.default_rng(0)
+    batch = {
+        "protein_input_ids": jnp.asarray(
+            rng.integers(4, 24, (GA, B, PROT)), jnp.int32),
+        "protein_attention_mask": jnp.ones((GA, B, PROT), jnp.int32),
+        "description_input_ids": jnp.asarray(
+            rng.integers(0, 32000, (GA, B, DESC)), jnp.int32),
+        "description_attention_mask": jnp.ones((GA, B, DESC), jnp.int32),
+    }
+    step = jax.jit(make_contrastive_train_step(
+        esm_config=enc_cfg, adapter_config=ad_cfg, decoder_core=dec_cfg,
+        cfg=ccfg, tx=tx, grad_accum=GA, deterministic=True))
+
+    def run():
+        nonlocal state
+        state, loss = step(state, frozen, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    dt = _time(run)
+    _emit("contrastive_pairs_per_sec_esmc300m_llama1b_b8x8", B * GA / dt,
+          "pairs/s", step_ms=round(dt * 1e3, 1), batch=B, grad_accum=GA,
+          protein_len=PROT, desc_len=DESC)
+
+
 def bench_descriptions_per_hour():
     """BASELINE.md north-star proxy: end-to-end protein→description at the
     reference's ESMC-Qwen flagship scale (esmc_600m encoder + adapter +
@@ -380,7 +434,7 @@ def main():
     for fn in (bench_sft_step, bench_decode_toy, bench_decode_flagship_int8,
                bench_decode_flagship, bench_decode_8b_int8,
                bench_decode_14b_int4, bench_serving_continuous,
-               bench_descriptions_per_hour,
+               bench_contrastive_step, bench_descriptions_per_hour,
                bench_decode_8b_int8_b128):
         try:
             fn()
