@@ -54,8 +54,10 @@ def resolve_generation_config(eos_token_id, pad_token_id,
     base = gen_kwargs.pop("generation_config", None)
     if base is not None:
         return dataclasses.replace(base, **gen_kwargs) if gen_kwargs else base
-    return GenerationConfig(eos_token_id=eos_token_id,
-                            pad_token_id=pad_token_id, **gen_kwargs)
+    # flat eos_token_id/pad_token_id kwargs override the model defaults
+    # (HF GenerationMixin surface, e.g. generate(..., eos_token_id=...))
+    return GenerationConfig(**{"eos_token_id": eos_token_id,
+                               "pad_token_id": pad_token_id, **gen_kwargs})
 
 
 def filter_logits(logits, gen_cfg: GenerationConfig):
