@@ -14,8 +14,8 @@ TPU-static and sync-lean by construction:
     `prompt_pad`-wide prefill — and the serving state (KV cache + per-slot
     metadata) is DONATED through every call, so slot writes stay in place
     across jit boundaries;
-  * prefill + slot install + first-token sample is ONE dispatch returning
-    one scalar; each decode round is ONE dispatch returning one packed
+  * prefill + install + first-token sampling for ALL pending requests
+    is ONE pool-wide dispatch; each decode round is ONE dispatch returning one packed
     (3, sync_every, B) array; slot occupancy is mirrored on the host so no
     extra device reads are needed.  Dispatch/transfer latency (large under
     remote-tunnel execution) is paid once per round, amortized
@@ -61,12 +61,17 @@ class _Request:
 
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "prompt_pad", "eos_token_id"))
-def _prefill_install(cfg: DecoderConfig, state, params, emb, mask, slot,
-                     plen, budget, *, prompt_pad: int, eos_token_id: int):
-    """One dispatch: B=1 prefill → write the slab into `slot`'s cache
-    region → sample the first token → activate the slot (unless the first
-    token already finishes the request).  Returns (state, tok0)."""
-    cache = init_kv_cache(cfg, 1, prompt_pad, emb.dtype)
+def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
+                          install, plens, budgets, *, prompt_pad: int,
+                          eos_token_id: int):
+    """One dispatch installs ANY number of pending requests: a full-pool
+    (max_slots, prompt_pad)-wide prefill (rows are in SLOT order, dummy
+    rows masked out by `install`), then one masked update of the pool's
+    first prompt_pad cache columns + metadata — no scatter, no per-request
+    loop.  Rows not being installed keep their current contents exactly.
+    Returns (state, tok0 (max_slots,))."""
+    B = state["pos"].shape[0]
+    cache = init_kv_cache(cfg, B, prompt_pad, emb.dtype)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
                          ).astype(jnp.int32)
     idx = jnp.arange(prompt_pad)
@@ -77,34 +82,39 @@ def _prefill_install(cfg: DecoderConfig, state, params, emb, mask, slot,
         cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
         kv_cache=cache, cache_index=0, attn_impl="xla",
         attn_lengths=contiguous_lengths(mask))
-    logits = decoder_logits(cfg, params, h[:, -1:])[0, 0]
-    tok0 = jnp.argmax(logits).astype(jnp.int32)
+    logits = decoder_logits(cfg, params, h[:, -1:])[:, 0]
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)       # (B,)
 
-    if kv_cache_layout(cfg) == "bktd":     # slab (L, 1, K, P, D)
-        state["k"] = jax.lax.dynamic_update_slice(
-            state["k"], cache["k"].astype(state["k"].dtype),
-            (0, slot, 0, 0, 0))
-        state["v"] = jax.lax.dynamic_update_slice(
-            state["v"], cache["v"].astype(state["v"].dtype),
-            (0, slot, 0, 0, 0))
-    else:                                  # (L, P, 1, K, D) seq-leading
-        state["k"] = jax.lax.dynamic_update_slice(
-            state["k"], cache["k"].astype(state["k"].dtype),
-            (0, 0, slot, 0, 0))
-        state["v"] = jax.lax.dynamic_update_slice(
-            state["v"], cache["v"].astype(state["v"].dtype),
-            (0, 0, slot, 0, 0))
+    inst = install                                             # (B,) bool
+    if kv_cache_layout(cfg) == "bktd":     # pool slab (L, B, K, P, D)
+        sel = inst[None, :, None, None, None]
+        state["k"] = state["k"].at[:, :, :, :prompt_pad, :].set(
+            jnp.where(sel, cache["k"].astype(state["k"].dtype),
+                      state["k"][:, :, :, :prompt_pad, :]))
+        state["v"] = state["v"].at[:, :, :, :prompt_pad, :].set(
+            jnp.where(sel, cache["v"].astype(state["v"].dtype),
+                      state["v"][:, :, :, :prompt_pad, :]))
+    else:                                  # (L, P, B, K, D) seq-leading
+        sel = inst[None, None, :, None, None]
+        state["k"] = state["k"].at[:, :prompt_pad].set(
+            jnp.where(sel, cache["k"].astype(state["k"].dtype),
+                      state["k"][:, :prompt_pad]))
+        state["v"] = state["v"].at[:, :prompt_pad].set(
+            jnp.where(sel, cache["v"].astype(state["v"].dtype),
+                      state["v"][:, :prompt_pad]))
     T = state["kv_mask"].shape[1]
-    pad = prompt_pad - plen                # left padding inside the slab
-    row_mask = jnp.logical_and(jnp.arange(T) < prompt_pad,
-                               jnp.arange(T) >= pad).astype(jnp.int32)
-    finished0 = jnp.logical_or(tok0 == eos_token_id, budget <= 1)
-    state["kv_mask"] = state["kv_mask"].at[slot].set(row_mask)
-    state["pos"] = state["pos"].at[slot].set(plen - 1)
-    state["next_slot"] = state["next_slot"].at[slot].set(prompt_pad)
-    state["active"] = state["active"].at[slot].set(~finished0)
-    state["last_tok"] = state["last_tok"].at[slot].set(tok0)
-    state["budget"] = state["budget"].at[slot].set(budget - 1)
+    pads = (prompt_pad - plens)[:, None]   # per-row left padding
+    row_mask = jnp.logical_and(jnp.arange(T)[None, :] < prompt_pad,
+                               jnp.arange(T)[None, :] >= pads
+                               ).astype(jnp.int32)
+    finished0 = jnp.logical_or(tok0 == eos_token_id, budgets <= 1)
+    i2 = inst[:, None]
+    state["kv_mask"] = jnp.where(i2, row_mask, state["kv_mask"])
+    state["pos"] = jnp.where(inst, plens - 1, state["pos"])
+    state["next_slot"] = jnp.where(inst, prompt_pad, state["next_slot"])
+    state["active"] = jnp.where(inst, ~finished0, state["active"])
+    state["last_tok"] = jnp.where(inst, tok0, state["last_tok"])
+    state["budget"] = jnp.where(inst, budgets - 1, state["budget"])
     return state, tok0
 
 
@@ -205,28 +215,42 @@ class ContinuousBatcher:
         self.queue.append(_Request(request_id, emb, max_new_tokens))
 
     def _fill_free_slots(self) -> Iterator[tuple]:
+        """Install queued requests into ALL free slots with ONE pool-wide
+        prefill dispatch (dummy rows masked out)."""
+        installs = {}                       # slot -> request
         for slot in range(self.max_slots):
             if not self.queue:
                 break
-            if self._slot_req[slot] is not None:
-                continue
-            req = self.queue.popleft()
-            P, Hd = req.embeds.shape
-            emb = np.zeros((1, self.prompt_pad, Hd), np.float32)
-            emb[0, self.prompt_pad - P:] = req.embeds     # left-pad
-            mask = np.zeros((1, self.prompt_pad), np.int32)
-            mask[0, self.prompt_pad - P:] = 1
-            self.state, tok0 = _prefill_install(
-                self.cfg, self.state, self.params,
-                jnp.asarray(emb, self.dtype), jnp.asarray(mask), slot, P,
-                req.max_new_tokens, prompt_pad=self.prompt_pad,
-                eos_token_id=self.eos_token_id)
-            tok0 = int(tok0)
-            if tok0 == self.eos_token_id or req.max_new_tokens <= 1:
-                yield req.request_id, [tok0]   # finished at the first token
+            if self._slot_req[slot] is None:
+                installs[slot] = self.queue.popleft()
+        if not installs:
+            return
+        K, Hd = self.max_slots, installs[next(iter(installs))].embeds.shape[1]
+        emb = np.zeros((K, self.prompt_pad, Hd), np.float32)
+        mask = np.zeros((K, self.prompt_pad), np.int32)
+        inst = np.zeros((K,), bool)
+        plens = np.ones((K,), np.int32)
+        budgets = np.ones((K,), np.int32)
+        for slot, req in installs.items():
+            P = req.embeds.shape[0]
+            emb[slot, self.prompt_pad - P:] = req.embeds   # left-pad
+            mask[slot, self.prompt_pad - P:] = 1
+            inst[slot] = True
+            plens[slot] = P
+            budgets[slot] = req.max_new_tokens
+        self.state, tok0 = _prefill_install_pool(
+            self.cfg, self.state, self.params,
+            jnp.asarray(emb, self.dtype), jnp.asarray(mask),
+            jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
+            prompt_pad=self.prompt_pad, eos_token_id=self.eos_token_id)
+        tok0 = np.asarray(tok0)
+        for slot, req in installs.items():
+            t0 = int(tok0[slot])
+            if t0 == self.eos_token_id or req.max_new_tokens <= 1:
+                yield req.request_id, [t0]    # finished at the first token
             else:
                 self._slot_req[slot] = req
-                self._slot_toks[slot] = [tok0]
+                self._slot_toks[slot] = [t0]
 
     def run(self) -> Iterator[tuple]:
         """Drives the loop until the queue and all slots drain, yielding
