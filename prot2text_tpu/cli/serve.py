@@ -1,0 +1,175 @@
+"""Continuous-batching serving CLI over the CSV-backed light dataset.
+
+Beyond-reference serving surface: same model/checkpoint flags as
+generate_instruct_light (merge-and-unload LoRA/PEFT, ESMC+Qwen fusion) but
+decoding through `infer.serving.ContinuousBatcher` — a fixed pool of cache
+slots where every request advances at its own length and finished slots
+refill immediately, so short descriptions never wait for the batch's
+longest (the reference's static batches do, generate_instruct.py loop).
+Greedy-only (engine contract; token-identical to generate()).
+
+Output format matches the reference generators: per-host JSON
+{name: {"true": ..., "pred": ...}} + descriptions/hour print.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import restore_checkpoint
+from ..core.dtypes import str2bool
+from ..data.collate import Buckets, LightCollator
+from ..data.dataset import Prot2TextLightDataset
+from ..data.sampler import DataLoader, ShardedSampler
+from ..infer.serving import ContinuousBatcher
+from ..models.composed import ESMCQwen, ESMCQwenConfig
+from ..models.lora import LoraConfig, merge_lora
+from .common import (
+    add_common_args, setup_platform, shard_model_params, text_tokenizer,
+)
+from .train_contrast import build_models
+
+
+def build_parser():
+    p = argparse.ArgumentParser("serve")
+    add_common_args(p)
+    p.add_argument("--test_csv", type=str, required=True)
+    p.add_argument("--esm_model", type=str, default="esmc_600m")
+    p.add_argument("--llm_model", type=str, default="Qwen/Qwen3-14B")
+    p.add_argument("--llm_checkpoint_dir", type=str, default=None)
+    p.add_argument("--esm_checkpoint_path", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--load_sft_checkpoint_dir", type=str, default=None)
+    p.add_argument("--load_peft_adapter_dir", type=str, default=None)
+    p.add_argument("--lora_rank", type=int, default=32)
+    p.add_argument("--max_slots", type=int, default=8,
+                   help="concurrent sequences in the serving pool")
+    p.add_argument("--sync_every", type=int, default=8,
+                   help="decode tokens per host round-trip")
+    p.add_argument("--prompt_pad", type=int, default=1024,
+                   help="static prefill width; longer prompts are skipped "
+                        "with a warning")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="loader worker processes (reference torch num_workers)")
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--output_dir", type=str, default="./generation_results")
+    p.add_argument("--output_identifier", type=str, default="serve")
+    p.add_argument("--debug_trim_generate_split", type=int, default=None)
+    p.add_argument("--debug_tiny_model", type=str2bool, default=False)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    mesh = setup_platform(args)
+    tok = text_tokenizer(args)
+
+    dataset = Prot2TextLightDataset(args.test_csv)
+    if args.debug_trim_generate_split:
+        dataset.df = dataset.df.iloc[:args.debug_trim_generate_split]
+    placeholder_token = getattr(tok, "placeholder_token",
+                                "<|reserved_special_token_1|>")
+    collater = LightCollator(
+        tokenizer=tok, mode="inference", placeholder_token=placeholder_token,
+        name_dropout=0.0, taxonomy_dropout=0.0,
+        max_sequence_length=args.max_sequence_length,
+        buckets=Buckets(protein=[128, 256, 512, 1024],
+                        prompt=[256, 512, 1024, 2048]))
+    loader = DataLoader(
+        dataset=dataset, collate_fn=collater, batch_size=args.max_slots,
+        num_workers=args.num_workers,
+        sampler=ShardedSampler(
+            len(dataset), num_shards=jax.process_count(),
+            shard_index=jax.process_index(), shuffle=False),
+        drop_last=False)
+
+    esm_cfg, llm_cfg, adapter_cfg, frozen, adapter = build_models(args, tok)
+    if args.load_peft_adapter_dir:
+        from ..models.peft_interop import lora_params_from_peft_dir
+
+        lora_tree, lcfg = lora_params_from_peft_dir(
+            args.load_peft_adapter_dir, frozen["llm_decoder"])
+        frozen["llm_decoder"] = merge_lora(
+            lcfg, frozen["llm_decoder"], lora_tree)
+    if args.load_sft_checkpoint_dir:
+        sft = restore_checkpoint(args.load_sft_checkpoint_dir)
+        lora_cfg = LoraConfig(r=args.lora_rank, alpha=2 * args.lora_rank)
+        frozen["esm_encoder"] = merge_lora(
+            lora_cfg, frozen["esm_encoder"], sft["lora_esm"])
+        frozen["llm_decoder"] = merge_lora(
+            lora_cfg, frozen["llm_decoder"], sft["lora_llm"])
+        adapter = sft["adapter"]
+
+    placeholder_id = getattr(tok, "placeholder_id", 151669)
+    cfg = ESMCQwenConfig(esm_config=esm_cfg, adapter_config=adapter_cfg,
+                         llm_config=llm_cfg, placeholder_id=placeholder_id)
+    params = {"esm_encoder": frozen["esm_encoder"],
+              "llm_decoder": frozen["llm_decoder"], "adapter": adapter}
+    params = shard_model_params(mesh, params)
+
+    eos_id = getattr(tok, "eos_token_id", llm_cfg.eos_token_id)
+    pad_id = getattr(tok, "pad_token_id", llm_cfg.pad_token_id)
+    eng = ContinuousBatcher(
+        llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
+        max_len=args.prompt_pad + args.max_new_tokens,
+        prompt_pad=args.prompt_pad, eos_token_id=eos_id,
+        cache_dtype=args.model_dtype, sync_every=args.sync_every)
+
+    trues = {}
+    t0 = time.time()
+    with jax.set_mesh(mesh):
+        for batch in loader:
+            embeds, attn = ESMCQwen.apply(
+                cfg, params,
+                protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
+                protein_attention_mask=jnp.asarray(
+                    batch["protein_attention_mask"]),
+                input_ids=jnp.asarray(batch["input_ids"]),
+                attention_mask=jnp.asarray(batch["attention_mask"]),
+                return_decoder_inputs=True, attn_impl=args.attn_impl)
+            embeds = np.asarray(embeds)
+            attn = np.asarray(attn)
+            for i, name in enumerate(batch["name"]):
+                row = embeds[i][attn[i] == 1]
+                if row.shape[0] > args.prompt_pad:
+                    print(f"[serve] skipping {name}: prompt "
+                          f"{row.shape[0]} > --prompt_pad {args.prompt_pad}")
+                    continue
+                trues[name] = tok.decode(
+                    [t for t in batch["description_input_ids"][i].tolist()
+                     if t != pad_id],
+                    skip_special_tokens=True)
+                eng.submit(name, row, max_new_tokens=args.max_new_tokens)
+
+        results = {}
+        for name, toks in eng.run():
+            pred = tok.decode(
+                [t for t in toks if t not in (pad_id, eos_id)],
+                skip_special_tokens=True)
+            results[name] = {"true": trues[name], "pred": pred}
+    dt = time.time() - t0
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(
+        args.output_dir,
+        f"generation_{args.output_identifier}_{jax.process_index()}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    n = len(results)
+    print(f"{n} proteins in {dt:.1f}s "
+          f"({n / dt * 3600:.0f} descriptions/hour, continuous batching, "
+          f"{eng.steps} decode steps) → {out_path}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -201,3 +201,35 @@ def test_generate_light_speculative_cli(csv_path, tmp_path):
     data = json.load(open(out[0]))
     assert len(data) == 4
     assert all("pred" in v for v in data.values())
+
+
+def test_serve_cli_continuous(csv_path, tmp_path):
+    """The continuous-batching serving CLI produces the reference output
+    format; predictions must match the lockstep generator CLI's for the
+    same (greedy, tiny random) model seed."""
+    from prot2text_tpu.cli.serve import main as serve_main
+
+    out = serve_main([
+        "--test_csv", csv_path, "--debug_tiny_model", "true",
+        "--model_dtype", "fp32", "--attn_impl", "xla",
+        "--max_slots", "2", "--sync_every", "2", "--prompt_pad", "512",
+        "--max_new_tokens", "4",
+        "--output_dir", str(tmp_path / "serve_out")])
+    files = glob.glob(str(tmp_path / "serve_out" / "*.json"))
+    assert files
+    data = json.load(open(files[0]))
+    assert len(data) == 4
+    assert all("true" in v and "pred" in v for v in data.values())
+    assert out.keys() == data.keys()
+
+    # lockstep reference CLI with the same seed/model
+    from prot2text_tpu.cli.generate_instruct_light import main as gen_main
+
+    gen_main(["--test_csv", csv_path, "--debug_tiny_model", "true",
+              "--model_dtype", "fp32", "--attn_impl", "xla",
+              "--batch_size", "2", "--max_new_tokens", "4",
+              "--output_dir", str(tmp_path / "gen_out")])
+    ref = json.load(open(glob.glob(str(tmp_path / "gen_out" / "*.json"))[0]))
+    assert set(ref) == set(data)
+    for name in ref:
+        assert data[name]["pred"] == ref[name]["pred"], name
