@@ -99,12 +99,18 @@ def bench_sft_step():
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    STEPS = 5
+
     def run():
+        # real training loops sync once per epoch print, not per step —
+        # a per-step float(loss) adds a full host round-trip (~20 ms via
+        # the remote tunnel) and under-reports throughput ~30%
         nonlocal params, opt_state
-        params, opt_state, loss = step(params, opt_state)
+        for _ in range(STEPS):
+            params, opt_state, loss = step(params, opt_state)
         return float(loss)
 
-    dt = _time(run)
+    dt = _time(run) / STEPS
     tokens_per_sec = B * S / dt
     # fwd+bwd ≈ 6·params FLOPs per token (+ attention terms, ignored)
     mfu = 6.0 * n_params * tokens_per_sec / V5E_BF16_PEAK_FLOPS
