@@ -60,10 +60,11 @@ class _Request:
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
-                   static_argnames=("cfg", "prompt_pad", "eos_token_id"))
+                   static_argnames=("cfg", "prompt_pad", "eos_token_id",
+                                    "gen_cfg"))
 def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
-                          install, plens, budgets, *, prompt_pad: int,
-                          eos_token_id: int):
+                          install, plens, budgets, rng, *, prompt_pad: int,
+                          eos_token_id: int, gen_cfg=None):
     """One dispatch installs ANY number of pending requests: a full-pool
     (max_slots, prompt_pad)-wide prefill (rows are in SLOT order, dummy
     rows masked out by `install`), then one masked update of the pool's
@@ -83,7 +84,13 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
         kv_cache=cache, cache_index=0, attn_impl="xla",
         attn_lengths=contiguous_lengths(mask))
     logits = decoder_logits(cfg, params, h[:, -1:])[:, 0]
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)       # (B,)
+    if gen_cfg is not None and gen_cfg.do_sample:
+        from .generate import filter_logits
+
+        tok0 = jax.random.categorical(
+            rng, filter_logits(logits, gen_cfg), axis=-1).astype(jnp.int32)
+    else:
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B,)
 
     inst = install                                             # (B,) bool
     if kv_cache_layout(cfg) == "bktd":     # pool slab (L, B, K, P, D)
@@ -119,18 +126,22 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
-                   static_argnames=("cfg", "eos_token_id", "chunk"))
-def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int,
-                chunk: int = 1):
+                   static_argnames=("cfg", "eos_token_id", "chunk",
+                                    "gen_cfg"))
+def _decode_all(cfg: DecoderConfig, state, params, rng, *,
+                eos_token_id: int, chunk: int = 1, gen_cfg=None):
     """`chunk` tokens for every active slot, device-side (one host sync per
     chunk — slots that finish mid-chunk stop advancing on device, so the
     per-request token streams are identical for any chunk size; refills
-    just wait until the chunk boundary).  Returns (state,
+    just wait until the chunk boundary).  gen_cfg enables HF-warper
+    sampling (temperature/top-k/top-p, infer/generate.filter_logits) with
+    one fresh key per micro-step; None = greedy argmax.  Returns (state,
     packed (3, chunk, B) int32 = [tok, finished, advanced])."""
     B = state["pos"].shape[0]
     bidx = jnp.arange(B)
 
-    def step(state, _):
+    def step(carry, _):
+        state, rng = carry
         emb = params["embed_tokens"][state["last_tok"]][:, None, :].astype(
             state["k"].dtype)
         bias = _bias_from_kv_mask(state["kv_mask"], 1)
@@ -144,7 +155,15 @@ def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int,
             jnp.where(state["active"], 1,
                       state["kv_mask"][bidx, state["next_slot"]]))
         logits = decoder_logits(cfg, params, h)[:, 0]
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if gen_cfg is not None and gen_cfg.do_sample:
+            from .generate import filter_logits
+
+            rng, key = jax.random.split(rng)
+            tok = jax.random.categorical(
+                key, filter_logits(logits, gen_cfg), axis=-1
+            ).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         state["budget"] = jnp.where(state["active"], state["budget"] - 1,
                                     state["budget"])
         finished = jnp.logical_and(
@@ -158,10 +177,11 @@ def _decode_all(cfg: DecoderConfig, state, params, *, eos_token_id: int,
             state["next_slot"])
         state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
         state["active"] = jnp.where(finished, False, state["active"])
-        return state, (tok, finished.astype(jnp.int32),
-                       advanced.astype(jnp.int32))
+        return (state, rng), (tok, finished.astype(jnp.int32),
+                              advanced.astype(jnp.int32))
 
-    state, (toks, fin, adv) = jax.lax.scan(step, state, None, length=chunk)
+    (state, _), (toks, fin, adv) = jax.lax.scan(
+        step, (state, rng), None, length=chunk)
     return state, jnp.stack([toks, fin, adv])
 
 
@@ -178,7 +198,7 @@ class ContinuousBatcher:
     def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
                  max_len: int, prompt_pad: int = 64,
                  eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
-                 sync_every: int = 1):
+                 sync_every: int = 1, gen_cfg=None, rng=None):
         if prompt_pad >= max_len:
             raise ValueError("prompt_pad must leave room for new tokens")
         self.cfg = cfg
@@ -189,6 +209,11 @@ class ContinuousBatcher:
         self.eos_token_id = eos_token_id
         self.dtype = cache_dtype
         self.sync_every = max(1, sync_every)
+        # optional sampling: a GenerationConfig with do_sample=True applies
+        # the HF warper pipeline per token (greedy stays the default and
+        # the only mode with exact generate() token parity)
+        self.gen_cfg = gen_cfg
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         cache = init_kv_cache(cfg, max_slots, max_len, cache_dtype)
         self.state = {
             "k": cache["k"], "v": cache["v"],
@@ -238,11 +263,13 @@ class ContinuousBatcher:
             inst[slot] = True
             plens[slot] = P
             budgets[slot] = req.max_new_tokens
+        self._rng, key = jax.random.split(self._rng)
         self.state, tok0 = _prefill_install_pool(
             self.cfg, self.state, self.params,
             jnp.asarray(emb, self.dtype), jnp.asarray(mask),
             jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
-            prompt_pad=self.prompt_pad, eos_token_id=self.eos_token_id)
+            key, prompt_pad=self.prompt_pad,
+            eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg)
         tok0 = np.asarray(tok0)
         for slot, req in installs.items():
             t0 = int(tok0[slot])
@@ -261,9 +288,11 @@ class ContinuousBatcher:
                 if not self.queue:
                     return
                 continue
+            self._rng, key = jax.random.split(self._rng)
             self.state, packed = _decode_all(
-                self.cfg, self.state, self.params,
-                eos_token_id=self.eos_token_id, chunk=self.sync_every)
+                self.cfg, self.state, self.params, key,
+                eos_token_id=self.eos_token_id, chunk=self.sync_every,
+                gen_cfg=self.gen_cfg)
             self.steps += self.sync_every
             packed = np.asarray(packed)        # ONE transfer per round
             tok_h, fin_h, adv_h = packed[0], packed[1], packed[2]

@@ -123,3 +123,35 @@ def test_engine_interleaves_different_lengths():
     # 'q' finished after 2 steps while 'p' ran 9 — the engine really ran
     # ragged lengths in one pool
     assert eng.steps < sum(n for _, _, n in reqs)
+
+
+def test_engine_sampling_modes():
+    """gen_cfg sampling: deterministic under a fixed rng, ~greedy at
+    near-zero temperature, diverse at high temperature."""
+    from prot2text_tpu.infer.generate import GenerationConfig
+
+    params = _params()
+    reqs = [("a", _prompt(20, 4), 6), ("b", _prompt(21, 6), 6)]
+
+    def serve(gen_cfg, seed=0):
+        eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 6,
+                                prompt_pad=PAD, eos_token_id=-1,
+                                cache_dtype=jnp.float32, sync_every=2,
+                                gen_cfg=gen_cfg,
+                                rng=jax.random.PRNGKey(seed))
+        for rid, emb, n in reqs:
+            eng.submit(rid, emb, max_new_tokens=n)
+        return dict(eng.run())
+
+    greedy = serve(None)
+    cold = GenerationConfig(do_sample=True, temperature=1e-6,
+                            eos_token_id=-1, pad_token_id=0)
+    assert serve(cold) == greedy            # argmax limit of the sampler
+
+    hot = GenerationConfig(do_sample=True, temperature=5.0, top_k=50,
+                           eos_token_id=-1, pad_token_id=0)
+    s1 = serve(hot, seed=1)
+    s2 = serve(hot, seed=1)
+    s3 = serve(hot, seed=2)
+    assert s1 == s2                          # same key -> same stream
+    assert s1 != s3 or s1 != greedy          # actually sampling
