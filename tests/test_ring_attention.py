@@ -154,3 +154,19 @@ def test_ring_under_jit_with_batch_axis():
     out = fn(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_with_tensor_parallel_heads():
+    """tp-sharded heads compose with the sequence ring: (tp=2, sp=4) mesh,
+    H=4 heads split over tp, S=64 over sp."""
+    q, k, v = _qkv(6)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("tp", "sp"))
+    scale = D ** -0.5
+    full = _bias(jnp.zeros((B,), jnp.int32), jnp.full((B,), S, jnp.int32),
+                 True)
+    ref = _xla_attention(q * scale, k, v, full)
+    out = jax.jit(lambda q, k, v: ring_attention(
+        q, k, v, mesh=mesh, axis_name="sp", head_axis="tp"))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
