@@ -1,3 +1,4 @@
 from .kvcache import init_kv_cache
 from .generate import GenerationConfig, generate, run_generation
 from .beam_search import beam_search
+from .serving import ContinuousBatcher

@@ -1,1 +1,2 @@
 from .attention import dot_product_attention
+from .ring_attention import ring_attention
