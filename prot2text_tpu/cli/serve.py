@@ -6,7 +6,8 @@ decoding through `infer.serving.ContinuousBatcher` — a fixed pool of cache
 slots where every request advances at its own length and finished slots
 refill immediately, so short descriptions never wait for the batch's
 longest (the reference's static batches do, generate_instruct.py loop).
-Greedy-only (engine contract; token-identical to generate()).
+Greedy by default (token-identical to generate()); --do_sample enables
+the HF warper pipeline (temperature/top-k/top-p) per token.
 
 Output format matches the reference generators: per-host JSON
 {name: {"true": ..., "pred": ...}} + descriptions/hour print.
@@ -60,6 +61,10 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=0,
                    help="loader worker processes (reference torch num_workers)")
     p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--do_sample", type=str2bool, default=False)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--max_sequence_length", type=int, default=512)
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="serve")
@@ -118,11 +123,19 @@ def main(argv=None):
 
     eos_id = getattr(tok, "eos_token_id", llm_cfg.eos_token_id)
     pad_id = getattr(tok, "pad_token_id", llm_cfg.pad_token_id)
+    gen_cfg = None
+    if args.do_sample:
+        from ..infer.generate import GenerationConfig
+
+        gen_cfg = GenerationConfig(
+            do_sample=True, temperature=args.temperature, top_k=args.top_k,
+            top_p=args.top_p, eos_token_id=eos_id, pad_token_id=pad_id)
     eng = ContinuousBatcher(
         llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
         max_len=args.prompt_pad + args.max_new_tokens,
         prompt_pad=args.prompt_pad, eos_token_id=eos_id,
-        cache_dtype=args.model_dtype, sync_every=args.sync_every)
+        cache_dtype=args.model_dtype, sync_every=args.sync_every,
+        gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed))
 
     trues = {}
     t0 = time.time()
