@@ -286,7 +286,7 @@ def bench_decode_8b_int8_b128():
 
 def bench_serving_continuous():
     """Continuous batching (infer/serving.py) on a ragged workload:
-    32 requests, budgets cycling 16..64 new tokens, 16 slots, 1B int8.
+    16 requests, budgets cycling 16..64 new tokens, 8 slots, 1B int8.
     Useful-token throughput vs the lockstep estimate (every request padded
     to the longest budget, the reference's static-batch behavior) computed
     from THIS run's decode rate — greedy outputs are token-identical to
@@ -436,38 +436,91 @@ def bench_descriptions_per_hour():
           batch_seconds=round(dt, 2))
 
 
-METRICS = ("bench_sft_step", "bench_decode_toy",
-           "bench_decode_flagship_int8", "bench_decode_flagship",
-           "bench_decode_8b_int8", "bench_decode_14b_int4",
-           "bench_serving_continuous", "bench_contrastive_step",
-           "bench_descriptions_per_hour", "bench_decode_8b_int8_b128")
+# Run order IS priority order (round-2 lesson: the driver's outer timeout
+# killed the run after 8 of 10 metrics and took out the BASELINE.md named
+# metrics + the intended headline).  The headline runs FIRST and its line is
+# RE-EMITTED after every later metric, so the driver-parsed LAST stdout line
+# is always the headline no matter where an outer timeout lands.
+HEADLINE = "bench_decode_8b_int8_b128"
+METRICS = (
+    # -- critical: headline + the three BASELINE.md named metrics ---------
+    "bench_decode_8b_int8_b128",      # headline: flagship serving decode
+    "bench_contrastive_step",         # BASELINE: contrastive pairs/s/chip
+    "bench_decode_8b_int8",           # BASELINE: decode tokens/s
+    "bench_descriptions_per_hour",    # BASELINE: north-star proxy
+    # -- flagship-scale secondary metrics ---------------------------------
+    "bench_decode_14b_int4",
+    "bench_serving_continuous",
+    "bench_sft_step",
+    # -- small-model continuity metrics (skipped first under pressure) ----
+    "bench_decode_flagship_int8",
+    "bench_decode_flagship",
+    "bench_decode_toy",
+)
+N_CRITICAL = 4
 
 
 def main():
-    """Each metric runs in its OWN subprocess with a timeout + one retry:
-    the remote-execution tunnel occasionally wedges a whole process at
-    dispatch (observed ~1-in-4 full runs; individual metrics always
-    recover on a fresh process), and a single hang must not zero the other
-    metrics or the headline (the driver parses the LAST stdout line)."""
+    """Each metric runs in its OWN subprocess with a timeout + retries: the
+    remote-execution tunnel occasionally wedges a whole process at dispatch
+    (observed ~1-in-4 full runs; individual metrics always recover on a
+    fresh process), and a single hang must not zero the other metrics or
+    the headline (the driver parses the LAST stdout line).
+
+    A GLOBAL deadline (BENCH_DEADLINE_SECS, default 2400 s — inside the
+    driver budget that killed round 2 at rc=124) bounds the whole run:
+    per-attempt timeouts shrink to the remaining budget, and once 80% of
+    the budget is spent the remaining non-critical metrics are emitted as
+    explicit skip markers instead of being silently lost."""
+    import os
     import subprocess
 
-    for name in METRICS:
+    budget = float(os.environ.get("BENCH_DEADLINE_SECS", "2400"))
+    t_start = time.monotonic()
+    headline_line = None
+
+    def emit_line(line):
+        # one atomic write; headline re-emitted so it is ALWAYS last
+        nonlocal headline_line
+        out = line
+        if headline_line is not None and line != headline_line:
+            out = line + "\n" + headline_line
+        print(out, flush=True)
+
+    for i, name in enumerate(METRICS):
+        critical = i < N_CRITICAL
+        remaining = budget - (time.monotonic() - t_start)
+        spent_frac = 1.0 - remaining / budget
+        if remaining < 120 or (not critical and spent_frac > 0.8):
+            emit_line(json.dumps(
+                {"metric": name, "value": None, "unit": "skipped",
+                 "vs_baseline": None, "skipped": True,
+                 "reason": "global deadline"}))
+            continue
         for attempt in (1, 2, 3):
+            remaining = budget - (time.monotonic() - t_start)
+            if remaining < 90:
+                break
             try:
                 r = subprocess.run(
                     [sys.executable, "-u", __file__, "--only", name],
-                    capture_output=True, text=True, timeout=450)
+                    capture_output=True, text=True,
+                    timeout=min(450.0, remaining - 30))
                 out = [ln for ln in r.stdout.splitlines()
                        if ln.startswith("{")]
                 if out:
-                    print(out[-1], flush=True)
+                    if name == HEADLINE:
+                        headline_line = out[-1]
+                    emit_line(out[-1])
                     break
                 print(f"[bench] {name} attempt {attempt}: no output "
                       f"(rc={r.returncode})", file=sys.stderr)
             except subprocess.TimeoutExpired:
                 print(f"[bench] {name} attempt {attempt}: timeout",
                       file=sys.stderr)
-            time.sleep(45)     # wedge windows pass; retry on a fresh process
+            # wedge windows pass; retry on a fresh process
+            time.sleep(min(30, max(0.0, budget - (time.monotonic() - t_start)
+                                   - 60)))
 
 
 if __name__ == "__main__":
