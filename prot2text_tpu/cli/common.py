@@ -119,7 +119,56 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     p.add_argument("--load_model_checkpoint_path", type=str, default=None)
     p.add_argument("--save_every_epochs", type=int, default=1)
+    p.add_argument("--log_every", type=int, default=10,
+                   help="steps between loss host-syncs (a per-step "
+                        "float(loss) costs a full host round-trip, ~20 ms "
+                        "through the remote-execution tunnel)")
     return p
+
+
+class LossLogger:
+    """Per-step losses WITHOUT per-step host syncs: device scalars are
+    collected and transferred as ONE stacked array every `log_every` steps
+    (the reference's tqdm postfix paid a `loss.item()` sync per batch;
+    measured here at ~20 ms/step through the remote tunnel — CLAUDE.md).
+    Guards run at each flush: warn on non-finite (and, for the contrastive
+    trainer, <= 0) losses — reference train_contrast.py:432-434."""
+
+    def __init__(self, log_every: int = 10, positive_required: bool = False,
+                 label: str = "loss"):
+        self.log_every = max(1, int(log_every))
+        self.positive_required = positive_required
+        self.label = label
+        self._pending: list = []
+        self._host: list = []
+
+    def append(self, device_loss):
+        self._pending.append(device_loss)
+        if len(self._pending) >= self.log_every:
+            self._flush()
+
+    def _flush(self):
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+
+        vals = np.asarray(jnp.stack(self._pending))   # one transfer
+        self._pending.clear()
+        bad = ~np.isfinite(vals)
+        if self.positive_required:
+            bad |= vals <= 0
+        for v in vals[bad]:
+            print(f"WARNING: impossible {self.label} {float(v)}",
+                  file=sys.stderr)
+        self._host.extend(float(v) for v in vals)
+
+    def finish(self) -> tuple:
+        """Flush the tail; returns (mean, count) for the epoch print."""
+        self._flush()
+        n = len(self._host)
+        mean = float(np.mean(self._host)) if n else float("nan")
+        self._host.clear()
+        return mean, n
 
 
 def text_tokenizer(args):

@@ -138,8 +138,19 @@ def main(argv=None):
         gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed))
 
     trues = {}
+    results = {}
+
+    def _finish(name, toks):
+        pred = tok.decode(
+            [t for t in toks if t not in (pad_id, eos_id)],
+            skip_special_tokens=True)
+        results[name] = {"true": trues.pop(name), "pred": pred}
+
     t0 = time.time()
     with jax.set_mesh(mesh):
+        # submission interleaves with draining (eng.pump backpressure):
+        # at most ~2 batches of prompt embeddings (P×hidden fp32 each) are
+        # ever held on the host, instead of the whole test split at once
         for batch in loader:
             embeds, attn = ESMCQwen.apply(
                 cfg, params,
@@ -162,13 +173,11 @@ def main(argv=None):
                      if t != pad_id],
                     skip_special_tokens=True)
                 eng.submit(name, row, max_new_tokens=args.max_new_tokens)
+            for name, toks in eng.pump(until_queue_below=args.max_slots):
+                _finish(name, toks)
 
-        results = {}
         for name, toks in eng.run():
-            pred = tok.decode(
-                [t for t in toks if t not in (pad_id, eos_id)],
-                skip_special_tokens=True)
-            results[name] = {"true": trues[name], "pred": pred}
+            _finish(name, toks)
     dt = time.time() - t0
 
     os.makedirs(args.output_dir, exist_ok=True)

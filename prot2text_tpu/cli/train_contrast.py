@@ -31,7 +31,7 @@ from ..models.qwen3 import Qwen3Config, init_qwen3_params
 from ..train.contrastive import ContrastiveConfig, make_contrastive_train_step
 from ..train.optim import TrainState, adamw_cosine_warmup
 from .common import (
-    add_common_args, place_batch, replicate_tree, setup_platform,
+    LossLogger, add_common_args, place_batch, replicate_tree, setup_platform,
     shard_model_params, text_tokenizer,
 )
 
@@ -218,7 +218,7 @@ def main(argv=None):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()
-            losses = []
+            log = LossLogger(args.log_every, positive_required=True)
             for batch in prefetch(iter(loader)):
                 micro = {
                     k: np.stack(np.split(
@@ -237,13 +237,10 @@ def main(argv=None):
                                         batch_dim=1)
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, micro, sub)
-                loss = float(loss)
-                if not np.isfinite(loss) or loss <= 0:
-                    print(f"WARNING: impossible loss {loss}", file=sys.stderr)
-                losses.append(loss)
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+                log.append(loss)          # device scalar; no per-step sync
+            mean_loss, n_steps = log.finish()
             print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
-                  f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+                  f"({time.time() - t0:.1f}s, {n_steps} steps)")
             if np.isnan(mean_loss):
                 print("NaN loss — aborting (reference train_contrast.py:477)",
                       file=sys.stderr)
@@ -252,13 +249,11 @@ def main(argv=None):
                 ekeys = ("protein_input_ids", "protein_attention_mask",
                          "description_input_ids",
                          "description_attention_mask")
-                elosses = [
-                    float(eval_fn(state.params, frozen, place_batch(
+                elog = LossLogger(args.log_every)
+                for b in eval_loader:
+                    elog.append(eval_fn(state.params, frozen, place_batch(
                         mesh, {k: b[k] for k in ekeys}, args.batch_size)))
-                    for b in eval_loader
-                ]
-                print(f"epoch {epoch}: eval_loss="
-                      f"{float(np.mean(elosses)):.4f}")
+                print(f"epoch {epoch}: eval_loss={elog.finish()[0]:.4f}")
             if (epoch == 1 or epoch == args.num_epochs
                     or epoch % args.save_every_epochs == 0):
                 save_checkpoint(ckpt_dir, int(state.step), {

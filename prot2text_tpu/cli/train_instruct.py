@@ -25,7 +25,7 @@ from ..models.lora import LoraConfig, init_lora_params
 from ..train.optim import TrainState, adamw_cosine_warmup
 from ..train.sft import SFTConfig, make_sft_train_step
 from .common import (
-    add_common_args, place_batch, replicate_tree, setup_platform,
+    LossLogger, add_common_args, place_batch, replicate_tree, setup_platform,
     shard_model_params, text_tokenizer,
 )
 from .train_contrast import build_models
@@ -175,7 +175,7 @@ def main(argv=None):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()
-            losses = []
+            log = LossLogger(args.log_every)
             for batch in prefetch(iter(loader)):
                 micro = {
                     k: np.stack(np.split(
@@ -190,21 +190,19 @@ def main(argv=None):
                                         batch_dim=1)
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, micro, sub)
-                losses.append(float(loss))
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+                log.append(loss)   # device scalar; no per-step sync
+            mean_loss, n_steps = log.finish()
             print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
-                  f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+                  f"({time.time() - t0:.1f}s, {n_steps} steps)")
             if np.isnan(mean_loss):
                 print("NaN loss — aborting", file=sys.stderr)
                 break
             if eval_loader is not None:
-                elosses = [
-                    float(eval_fn(state.params, frozen, place_batch(
+                elog = LossLogger(args.log_every)
+                for b in eval_loader:
+                    elog.append(eval_fn(state.params, frozen, place_batch(
                         mesh, {k: b[k] for k in keys}, args.batch_size)))
-                    for b in eval_loader
-                ]
-                print(f"epoch {epoch}: eval_loss="
-                      f"{float(np.mean(elosses)):.4f}")
+                print(f"epoch {epoch}: eval_loss={elog.finish()[0]:.4f}")
             if (epoch == 1 or epoch == args.num_epochs
                     or epoch % args.save_every_epochs == 0):
                 save_checkpoint(ckpt_dir, int(state.step), {

@@ -27,7 +27,7 @@ from ..models.llama import LlamaConfig
 from ..train.legacy import make_legacy_train_step
 from ..train.optim import TrainState, step_lr
 from .common import (
-    add_common_args, place_batch, setup_platform, shard_model_params,
+    LossLogger, add_common_args, place_batch, setup_platform, shard_model_params,
     text_tokenizer,
 )
 
@@ -153,7 +153,7 @@ def main(argv=None):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()
-            losses = []
+            log = LossLogger(args.log_every)
             for batch in prefetch(iter(loader)):
                 b = {k: batch[k] for k in keys}
                 if args.gradient_accumulation_steps > 1:
@@ -166,10 +166,10 @@ def main(argv=None):
                 else:
                     b = place_batch(mesh, b, args.batch_size)
                 state, loss = step_fn(state, b)
-                losses.append(float(loss))
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+                log.append(loss)   # device scalar; no per-step sync
+            mean_loss, n_steps = log.finish()
             print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
-                  f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+                  f"({time.time() - t0:.1f}s, {n_steps} steps)")
             if np.isnan(mean_loss):
                 print("NaN loss — aborting", file=sys.stderr)
                 break

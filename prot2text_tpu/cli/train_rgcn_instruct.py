@@ -29,7 +29,7 @@ from ..models.lora import LoraConfig, init_lora_params
 from ..train.graph_instruct import GraphSFTConfig, make_graph_sft_train_step
 from ..train.optim import TrainState, adamw_cosine_warmup
 from .common import (
-    add_common_args, place_batch, replicate_tree, setup_platform,
+    LossLogger, add_common_args, place_batch, replicate_tree, setup_platform,
     shard_model_params, text_tokenizer,
 )
 
@@ -151,7 +151,7 @@ def main(argv=None):
         for epoch in range(1, args.num_epochs + 1):
             loader.set_epoch(epoch)
             t0 = time.time()
-            losses = []
+            log = LossLogger(args.log_every)
             for batch, records in prefetch(iter(loader)):
                 S = batch["protein_input_ids"].shape[1]
                 g = collate_graphs(records, S, args.edge_budget)
@@ -175,10 +175,10 @@ def main(argv=None):
                                     "graph_edge_mask"))
                 rng, sub = jax.random.split(rng)
                 state, loss = step_fn(state, frozen, b, sub)
-                losses.append(float(loss))
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+                log.append(loss)   # device scalar; no per-step sync
+            mean_loss, n_steps = log.finish()
             print(f"epoch {epoch}: train_loss={mean_loss:.4f} "
-                  f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+                  f"({time.time() - t0:.1f}s, {n_steps} steps)")
             if np.isnan(mean_loss):
                 print("NaN loss — aborting", file=sys.stderr)
                 break

@@ -50,8 +50,8 @@ class ShardedSampler:
         return idx[self.shard_index::self.num_shards]
 
 
-# worker-process globals, installed by _pool_init via fork-context initargs
-# (the dataset/collator are passed ONCE at pool start, not pickled per task —
+# worker-process globals, installed by _pool_init via initargs (the
+# dataset/collator are passed ONCE at pool start, not pickled per task —
 # torch DataLoader's worker model, train_contrast.py:584-609 num_workers=4)
 _W_DATASET = None
 _W_COLLATE = None
@@ -76,12 +76,20 @@ class DataLoader:
 
     `num_workers=0` (default) fetches+collates inline — collation is cheap
     numpy work and the TPU step overlaps with the next batch's host prep via
-    async dispatch.  `num_workers>0` runs fetch+collate in a fork-context
-    process pool with `prefetch_factor` batches in flight per worker,
-    preserving batch order — the role of the reference's torch
-    `num_workers=4` loader processes (train_contrast.py:584-609); relevant
-    here when PDB-graph featurization or tokenization runs online.  Workers
-    must not touch JAX (they do pure numpy/tokenizer work)."""
+    async dispatch.  `num_workers>0` runs fetch+collate in a
+    FORKSERVER-context process pool with `prefetch_factor` batches in
+    flight per worker, preserving batch order — the role of the reference's
+    torch `num_workers=4` loader processes (train_contrast.py:584-609);
+    relevant here when PDB-graph featurization or tokenization runs online.
+    Workers must not touch JAX (they do pure numpy/tokenizer work).
+
+    forkserver rather than fork: the pool is created lazily at first
+    __iter__, i.e. AFTER the JAX/TPU client (and the remote-execution
+    tunnel) have spawned threads — fork()ing a multi-threaded process can
+    deadlock a long run non-deterministically (Python 3.12 warns about
+    exactly this).  The tradeoff is that `dataset` and `collate_fn` must be
+    picklable (module-level classes, no lambdas/closures); every collator
+    in data/collate*.py is."""
 
     dataset: Any
     collate_fn: Callable[[list], Any]
@@ -121,7 +129,7 @@ class DataLoader:
 
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
-                mp_context=mp.get_context("fork"),
+                mp_context=mp.get_context("forkserver"),
                 initializer=_pool_init,
                 initargs=(self.dataset, self.collate_fn))
         return self._pool

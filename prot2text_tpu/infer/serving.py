@@ -146,14 +146,19 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
             state["k"].dtype)
         bias = _bias_from_kv_mask(state["kv_mask"], 1)
         pos = (state["pos"] + 1)[:, None]
+        # decoder_decode_step writes k/v for EVERY row; inactive rows are
+        # redirected to the scratch column (last cache column, kv_mask
+        # permanently 0 there) so they never corrupt a live column — a
+        # finished slot's cache stays intact until its refill
+        scratch = state["kv_mask"].shape[1] - 1
+        write_idx = jnp.where(state["active"], state["next_slot"], scratch)
         h, cache = decoder_decode_step(
             cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
             kv_cache={"k": state["k"], "v": state["v"]},
-            cache_index=state["next_slot"])
+            cache_index=write_idx)
         state["k"], state["v"] = cache["k"], cache["v"]
-        state["kv_mask"] = state["kv_mask"].at[bidx, state["next_slot"]].set(
-            jnp.where(state["active"], 1,
-                      state["kv_mask"][bidx, state["next_slot"]]))
+        state["kv_mask"] = state["kv_mask"].at[bidx, write_idx].set(
+            jnp.where(state["active"], 1, state["kv_mask"][bidx, write_idx]))
         logits = decoder_logits(cfg, params, h)[:, 0]
         if gen_cfg is not None and gen_cfg.do_sample:
             from .generate import filter_logits
@@ -214,10 +219,14 @@ class ContinuousBatcher:
         # the only mode with exact generate() token parity)
         self.gen_cfg = gen_cfg
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        cache = init_kv_cache(cfg, max_slots, max_len, cache_dtype)
+        # +1 scratch column (index max_len): inactive rows' per-step kv
+        # writes are redirected there (_decode_all) so a finished slot's
+        # real columns are never overwritten; kv_mask at the scratch column
+        # stays 0 forever, so it never enters attention
+        cache = init_kv_cache(cfg, max_slots, max_len + 1, cache_dtype)
         self.state = {
             "k": cache["k"], "v": cache["v"],
-            "kv_mask": jnp.zeros((max_slots, max_len), jnp.int32),
+            "kv_mask": jnp.zeros((max_slots, max_len + 1), jnp.int32),
             "pos": jnp.zeros((max_slots,), jnp.int32),
             "next_slot": jnp.zeros((max_slots,), jnp.int32),
             "active": jnp.zeros((max_slots,), bool),
@@ -279,6 +288,42 @@ class ContinuousBatcher:
                 self._slot_req[slot] = req
                 self._slot_toks[slot] = [t0]
 
+    def _decode_round(self) -> Iterator[tuple]:
+        """One decode round (sync_every tokens for every active slot),
+        yielding (request_id, [tokens...]) for requests that finish."""
+        self._rng, key = jax.random.split(self._rng)
+        self.state, packed = _decode_all(
+            self.cfg, self.state, self.params, key,
+            eos_token_id=self.eos_token_id, chunk=self.sync_every,
+            gen_cfg=self.gen_cfg)
+        self.steps += self.sync_every
+        packed = np.asarray(packed)        # ONE transfer per round
+        tok_h, fin_h, adv_h = packed[0], packed[1], packed[2]
+        for c in range(tok_h.shape[0]):
+            for slot in range(self.max_slots):
+                if self._slot_req[slot] is None or not adv_h[c, slot]:
+                    continue
+                self._slot_toks[slot].append(int(tok_h[c, slot]))
+                if fin_h[c, slot]:
+                    req = self._slot_req[slot]
+                    toks = self._slot_toks[slot]
+                    self._slot_req[slot] = None
+                    self._slot_toks[slot] = []
+                    yield req.request_id, toks
+
+    def pump(self, until_queue_below: int = 1) -> Iterator[tuple]:
+        """Backpressure for STREAMING submission: drive decode rounds only
+        until the pending queue is shorter than `until_queue_below`, then
+        return control to the caller (who can encode + submit the next
+        requests).  Interleaving submit/pump bounds host memory to
+        O(until_queue_below) undispatched prompt embeddings instead of the
+        whole workload (cli/serve.py uses this per loader batch)."""
+        while True:
+            yield from self._fill_free_slots()
+            if len(self.queue) < until_queue_below:
+                return
+            yield from self._decode_round()
+
     def run(self) -> Iterator[tuple]:
         """Drives the loop until the queue and all slots drain, yielding
         (request_id, [tokens...]) as each request finishes."""
@@ -288,22 +333,4 @@ class ContinuousBatcher:
                 if not self.queue:
                     return
                 continue
-            self._rng, key = jax.random.split(self._rng)
-            self.state, packed = _decode_all(
-                self.cfg, self.state, self.params, key,
-                eos_token_id=self.eos_token_id, chunk=self.sync_every,
-                gen_cfg=self.gen_cfg)
-            self.steps += self.sync_every
-            packed = np.asarray(packed)        # ONE transfer per round
-            tok_h, fin_h, adv_h = packed[0], packed[1], packed[2]
-            for c in range(tok_h.shape[0]):
-                for slot in range(self.max_slots):
-                    if self._slot_req[slot] is None or not adv_h[c, slot]:
-                        continue
-                    self._slot_toks[slot].append(int(tok_h[c, slot]))
-                    if fin_h[c, slot]:
-                        req = self._slot_req[slot]
-                        toks = self._slot_toks[slot]
-                        self._slot_req[slot] = None
-                        self._slot_toks[slot] = []
-                        yield req.request_id, toks
+            yield from self._decode_round()

@@ -74,13 +74,23 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
         from .ring_attention import ring_attention
 
         mesh = jax.sharding.get_abstract_mesh()
-        axes = set(mesh.shape) if mesh is not None else set()
+        axes = dict(mesh.shape) if mesh is not None else {}
         kv_start, kv_len, causal = lengths
+        # shard the batch only over axes that divide B: fsdp is a WEIGHT
+        # sharding axis — replicating the batch over it is valid, and the
+        # instruct default batch_size=1 with fsdp>1 would otherwise fail at
+        # trace time with an opaque shard_map divisibility error
+        batch_axis, rem = [], q.shape[0]
+        for a in ("dp", "fsdp"):
+            n = axes.get(a, 1)
+            if n > 1 and rem % n == 0:
+                batch_axis.append(a)
+                rem //= n
         return ring_attention(
             q, k, v, kv_start=jnp.asarray(kv_start, jnp.int32),
             kv_len=jnp.asarray(kv_len, jnp.int32), causal=causal,
             scale=1.0,  # callers pre-scale q (models/decoder.py)
-            batch_axis=tuple(a for a in ("dp", "fsdp") if a in axes) or None,
+            batch_axis=tuple(batch_axis) or None,
             head_axis="tp" if "tp" in axes else None)
     if impl in ("flash", "auto") and lengths is not None:
         kv_start, kv_len, causal = lengths

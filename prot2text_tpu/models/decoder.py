@@ -163,13 +163,32 @@ def decoder_forward(
     lora_scale: float = 1.0,
     attn_lengths=None,      # optional (kv_start, kv_len) contiguous-mask
                             # assertion → masked flash under attn_impl="auto"
+    num_layers: Optional[int] = None,  # run only the first N layers
+    final_norm: bool = True,           # skip for HF hidden_states[N] parity
 ):
     """Returns (hidden_states, new_kv_cache).
 
     With `lora`, targeted projections compute the low-rank side path
     y = xW + scale·(xA)B instead of materializing merged weights — O(r)
-    memory for 14B-scale frozen bases (SURVEY.md §7 hard part #5)."""
+    memory for 14B-scale frozen bases (SURVEY.md §7 hard part #5).
+
+    `num_layers=N` + `final_norm=False` reproduces HF's
+    `output_hidden_states=True` → `hidden_states[N]` (pre-final-norm)
+    while scanning ONLY the first N stacked layer params — the contrastive
+    text tower (reference train_contrast.py:284-310 runs the full 40-layer
+    Qwen and throws away layers 17..40; here it is ~60% less compute)."""
     from .transformer import linear_lora
+
+    if num_layers is not None:
+        if kv_cache is not None:
+            raise ValueError("num_layers override is uncached-path only")
+        params = dict(params,
+                      layers=jax.tree_util.tree_map(
+                          lambda a: a[:num_layers], params["layers"]))
+        if lora is not None:
+            lora = dict(lora,
+                        layers=jax.tree_util.tree_map(
+                            lambda a: a[:num_layers], lora["layers"]))
 
     if attn_impl == "ring":
         # ring = training/uncached path only; cached prefill (generation)
@@ -279,7 +298,8 @@ def decoder_forward(
         h, _ = jax.lax.scan(step, h, (params["layers"], lora_layers))
         new_kv = None
 
-    h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+    if final_norm:
+        h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, new_kv
 
 

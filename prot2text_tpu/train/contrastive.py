@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from ..models.adapters import ModalityAdapterConfig, modality_adapter
 from ..models.decoder import DecoderConfig, causal_bias_from_mask
 from ..models.esmc import ESMCConfig, esmc_encode
-from ..models.transformer import rms_norm
 from .optim import TrainState, apply_updates
 
 
@@ -93,53 +92,23 @@ def segmented_infonce_loss(seg_z1, batch_z2, labels, temperature: float = 0.05):
 def text_hidden_at_layer(core: DecoderConfig, decoder_params, input_ids,
                          attention_mask, layer: int, attn_impl: str = "xla"):
     """Exact HF `hidden_states[layer]` (pre-final-norm) running ONLY the first
-    `layer` layers: scan the truncated layer stack without the final norm."""
+    `layer` layers — one shared block implementation (decoder_forward with
+    `num_layers`/`final_norm` overrides), so decoder numerics can never
+    drift from this path."""
+    from ..models.decoder import contiguous_lengths, decoder_forward
+
     emb = decoder_params["embed_tokens"][input_ids]
     bias = causal_bias_from_mask(attention_mask)
-    from ..models.decoder import contiguous_lengths
-
-    attn_lengths = contiguous_lengths(attention_mask)
     B, S = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    layers_k = jax.tree_util.tree_map(
-        lambda a: a[:layer], decoder_params["layers"])
-    cfg_k = dataclasses.replace(core, num_layers=layer)
-
-    from ..models.decoder import decoder_rope_cos_sin
-    from ..models.transformer import apply_rope, attention, linear, repeat_kv
-
-    H, Hkv, D_ = cfg_k.num_heads, cfg_k.num_kv_heads, cfg_k.head_dim
-    cos, sin = decoder_rope_cos_sin(cfg_k, positions)
-    n_rep = H // Hkv
-    scaling = D_ ** -0.5
-
-    def _block(lp, x):
-        xn = rms_norm(lp["input_ln"], x, cfg_k.rms_norm_eps)
-        q = linear(lp["q_proj"], xn).reshape(B, S, H, D_).transpose(0, 2, 1, 3)
-        k = linear(lp["k_proj"], xn).reshape(B, S, Hkv, D_).transpose(0, 2, 1, 3)
-        v = linear(lp["v_proj"], xn).reshape(B, S, Hkv, D_).transpose(0, 2, 1, 3)
-        if cfg_k.qk_norm:
-            q = rms_norm(lp["q_norm"], q, cfg_k.rms_norm_eps)
-            k = rms_norm(lp["k_norm"], k, cfg_k.rms_norm_eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
-        # frozen text tower runs under stop_gradient → forward-only: force
-        # flash where eligible (wins at every causal S)
-        a = attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), bias,
-                      impl="flash" if attn_impl == "auto" else attn_impl,
-                      lengths=(attn_lengths[0], attn_lengths[1], True))
-        a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D_)
-        x = x + linear(lp["o_proj"], a)
-        xn = rms_norm(lp["post_attn_ln"], x, cfg_k.rms_norm_eps)
-        gate = jax.nn.silu(linear(lp["gate_proj"], xn).astype(jnp.float32))
-        up = linear(lp["up_proj"], xn).astype(jnp.float32)
-        return x + linear(lp["down_proj"], (gate * up).astype(xn.dtype))
-
-    def scan_step(c, lp):
-        return _block(lp, c), None
-
-    h, _ = jax.lax.scan(scan_step, emb, layers_k)
+    # frozen text tower runs under stop_gradient → forward-only: force
+    # flash where eligible (wins at every causal S)
+    h, _ = decoder_forward(
+        core, decoder_params, inputs_embeds=emb, bias=bias,
+        positions=positions,
+        attn_impl="flash" if attn_impl == "auto" else attn_impl,
+        attn_lengths=contiguous_lengths(attention_mask),
+        num_layers=layer, final_norm=False)
     return h
 
 
