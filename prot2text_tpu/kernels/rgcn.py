@@ -24,12 +24,26 @@ def rgcn_conv(
     edge_type,      # (E,) int32 in [0, R)
     edge_mask,      # (E,) 0/1
     *,
-    rel_kernel,     # (R, D, D)
+    rel_kernel,     # (R, D, D) full | (B, D, D) basis | (R, nb, d, e) block
     root_kernel,    # (D, D)
     bias,           # (D,)
     node_mask=None,  # (N,) bool — rows to treat as real nodes
+    comp=None,      # (R, B) basis-decomposition coefficients: the per-
+                    # relation weight is Σ_b comp[r, b] · rel_kernel[b]
+                    # (torch_geometric RGCNConv num_bases; reference
+                    # modeling_esm2rgcn2llama_instruct.py:85-89)
 ):
+    """Full RGCNConv dispatch incl. the basis and block-diagonal
+    decompositions (reference :85-100).  Block-diagonal is selected by a
+    4-D `rel_kernel` (R, num_blocks, D/nb, D/nb) — per-relation weights are
+    block-diagonal, and since mean aggregation commutes with the linear
+    map, the blocks apply to the aggregated features directly."""
     N, D = x.shape
+    if comp is not None:
+        # materializing (R, D, D) here matches PyG's einsum
+        # ('abc,dbc->dac' in RGCNConv.forward) and keeps one matmul path
+        rel_kernel = jnp.einsum(
+            "rb,bde->rde", comp.astype(x.dtype), rel_kernel.astype(x.dtype))
     R = rel_kernel.shape[0]
     src, dst = edge_index[0], edge_index[1]
     emask = edge_mask.astype(x.dtype)  # (E,)
@@ -50,10 +64,21 @@ def rgcn_conv(
         aggs.append(s / jnp.maximum(cnt, 1.0)[:, None])
     agg = jnp.stack(aggs)  # (R, N, D)
 
-    rel_out = jnp.einsum(
-        "rnd,rde->ne", agg, rel_kernel.astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if rel_kernel.ndim == 4:
+        # block-diagonal decomposition (PyG num_blocks; reference :90-100):
+        # rel_kernel (R, nb, D/nb, E/nb); aggregated features reshaped into
+        # blocks, one batched block-matmul over (relation, block)
+        _, nb, din_b, dout_b = rel_kernel.shape
+        agg_b = agg.reshape(R, N, nb, din_b)
+        rel_out = jnp.einsum(
+            "rnbd,rbde->nbe", agg_b, rel_kernel.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(N, nb * dout_b).astype(x.dtype)
+    else:
+        rel_out = jnp.einsum(
+            "rnd,rde->ne", agg, rel_kernel.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
 
     out = rel_out + jnp.matmul(
         x, root_kernel.astype(x.dtype), preferred_element_type=jnp.float32

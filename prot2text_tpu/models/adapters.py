@@ -127,6 +127,12 @@ class RgcnAdapterConfig:
     n_relations: int = 7
     n_layers: int = 6
     dropout_rate: float = 0.2
+    # optional RGCNConv weight decompositions (reference RgcnConvLayer
+    # carries the full torch_geometric dispatch,
+    # modeling_esm2rgcn2llama_instruct.py:85-100; no reference config
+    # enables them — completeness, at most one may be set)
+    num_bases: Optional[int] = None
+    num_blocks: Optional[int] = None
 
 
 def init_rgcn_adapter_params(cfg: RgcnAdapterConfig, key, dtype=jnp.float32):
@@ -140,15 +146,33 @@ def init_rgcn_adapter_params(cfg: RgcnAdapterConfig, key, dtype=jnp.float32):
 
     d = cfg.intermediate_dim
 
+    if cfg.num_bases is not None and cfg.num_blocks is not None:
+        raise ValueError("num_bases and num_blocks are mutually exclusive "
+                         "(torch_geometric RGCNConv contract)")
+    if cfg.num_blocks is not None and d % cfg.num_blocks:
+        raise ValueError(f"intermediate_dim {d} not divisible by "
+                         f"num_blocks {cfg.num_blocks}")
+
     def rgcn_layer(kk):
-        return {
-            # (R, D, D) per-relation weights + root weight + bias
-            "rel_kernel": jax.random.normal(
-                kk, (cfg.n_relations, d, d), dtype) * 0.02,
-            "root_kernel": jax.random.normal(
-                jax.random.fold_in(kk, 1), (d, d), dtype) * 0.02,
-            "bias": jnp.zeros((d,), dtype),
-        }
+        if cfg.num_bases is not None:
+            # basis decomposition: (B, D, D) shared bases + (R, B) coeffs
+            p = {"rel_kernel": jax.random.normal(
+                     kk, (cfg.num_bases, d, d), dtype) * 0.02,
+                 "comp": jax.random.normal(
+                     jax.random.fold_in(kk, 2),
+                     (cfg.n_relations, cfg.num_bases), dtype) * 0.02}
+        elif cfg.num_blocks is not None:
+            nb = cfg.num_blocks
+            p = {"rel_kernel": jax.random.normal(
+                kk, (cfg.n_relations, nb, d // nb, d // nb), dtype) * 0.02}
+        else:
+            # (R, D, D) per-relation weights
+            p = {"rel_kernel": jax.random.normal(
+                kk, (cfg.n_relations, d, d), dtype) * 0.02}
+        p["root_kernel"] = jax.random.normal(
+            jax.random.fold_in(kk, 1), (d, d), dtype) * 0.02
+        p["bias"] = jnp.zeros((d,), dtype)
+        return p
 
     layers = [rgcn_layer(keys[i]) for i in range(cfg.n_layers)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
@@ -208,6 +232,7 @@ def rgcn_adapter(
             x, edge_index, edge_type, edge_mask,
             rel_kernel=lp["rel_kernel"], root_kernel=lp["root_kernel"],
             bias=lp["bias"], node_mask=nmask.reshape(-1),
+            comp=lp.get("comp"),
         )
         y = _gelu_erf(y)
         if not deterministic:

@@ -82,3 +82,83 @@ def test_rgcn_adapter_shapes_and_norm():
     # every token L2-normalized
     norms = np.linalg.norm(out, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_rgcn_conv_basis_decomposition_matches_oracle():
+    """num_bases: W_r = sum_b comp[r, b] * basis[b]
+    (reference modeling_esm2rgcn2llama_instruct.py:85-89)."""
+    rng = np.random.default_rng(2)
+    N, D, R, B, E = 12, 8, 3, 2, 40
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E))
+    et = rng.integers(0, R, (E,))
+    em = (rng.random(E) > 0.3).astype(np.int32)
+    basis = rng.standard_normal((B, D, D)).astype(np.float32) * 0.1
+    comp = rng.standard_normal((R, B)).astype(np.float32)
+    Wroot = rng.standard_normal((D, D)).astype(np.float32) * 0.1
+    b = rng.standard_normal((D,)).astype(np.float32) * 0.1
+
+    out = rgcn_conv(
+        jnp.asarray(x), jnp.asarray(ei), jnp.asarray(et), jnp.asarray(em),
+        rel_kernel=jnp.asarray(basis), root_kernel=jnp.asarray(Wroot),
+        bias=jnp.asarray(b), comp=jnp.asarray(comp))
+    Wr = np.einsum("rb,bde->rde", comp, basis)
+    ref = _oracle(x.astype(np.float64), ei, et, em,
+                  Wr.astype(np.float64), Wroot.astype(np.float64),
+                  b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_rgcn_conv_block_diagonal_matches_oracle():
+    """num_blocks: W_r block-diagonal (R, nb, D/nb, D/nb)
+    (reference modeling_esm2rgcn2llama_instruct.py:90-100)."""
+    rng = np.random.default_rng(3)
+    N, D, R, nb, E = 12, 8, 3, 2, 40
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ei = rng.integers(0, N, (2, E))
+    et = rng.integers(0, R, (E,))
+    em = (rng.random(E) > 0.3).astype(np.int32)
+    blocks = rng.standard_normal((R, nb, D // nb, D // nb)).astype(
+        np.float32) * 0.1
+    Wroot = rng.standard_normal((D, D)).astype(np.float32) * 0.1
+    b = rng.standard_normal((D,)).astype(np.float32) * 0.1
+
+    out = rgcn_conv(
+        jnp.asarray(x), jnp.asarray(ei), jnp.asarray(et), jnp.asarray(em),
+        rel_kernel=jnp.asarray(blocks), root_kernel=jnp.asarray(Wroot),
+        bias=jnp.asarray(b))
+    # oracle: materialize the block-diagonal (R, D, D) weights
+    Wr = np.zeros((R, D, D), np.float64)
+    d = D // nb
+    for r in range(R):
+        for k in range(nb):
+            Wr[r, k * d:(k + 1) * d, k * d:(k + 1) * d] = blocks[r, k]
+    ref = _oracle(x.astype(np.float64), ei, et, em, Wr,
+                  Wroot.astype(np.float64), b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_rgcn_adapter_decomposition_configs():
+    """Adapter init + forward under num_bases / num_blocks configs."""
+    rng = np.random.default_rng(4)
+    B, S, E = 2, 10, 30
+    for kw in ({"num_bases": 2}, {"num_blocks": 4}):
+        cfg = RgcnAdapterConfig(input_dim=16, intermediate_dim=24,
+                                output_dim=8, n_relations=3, n_layers=2, **kw)
+        params = init_rgcn_adapter_params(cfg, jax.random.PRNGKey(0))
+        h = jnp.asarray(rng.standard_normal((B, S, 16)), jnp.float32)
+        mask = jnp.ones((B, S), jnp.int32)
+        ei = jnp.asarray(rng.integers(0, B * S, (2, E)), jnp.int32)
+        et = jnp.asarray(rng.integers(0, 3, (E,)), jnp.int32)
+        em = jnp.ones((E,), jnp.int32)
+        out = rgcn_adapter(cfg, params, h, mask, ei, et, em)
+        assert out.shape == (B, S, 8)
+        norms = np.linalg.norm(np.asarray(out), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        init_rgcn_adapter_params(
+            RgcnAdapterConfig(16, 24, 8, num_bases=2, num_blocks=2),
+            jax.random.PRNGKey(0))
