@@ -189,6 +189,11 @@ def esmc_params_from_torch(sd, num_layers: int, dtype=jnp.float32):
 
     def ln(prefix):
         p = {"scale": jnp.asarray(_np(sd[prefix + ".weight"]), dtype)}
+        # real esm-package checkpoints carry biases on layernorm_qkv.0 and
+        # ffn.0 (plain nn.LayerNorm defaults); q_ln/k_ln/transformer.norm
+        # are constructed with bias=False (esm layers/attention.py)
+        if prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype)
         return p
 
     layers = []

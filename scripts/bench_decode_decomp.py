@@ -3,7 +3,10 @@ cache vs cache write vs the full shipped decoder_decode_step.  All amortized
 over STEPS inside one jit.  Every run_* returns SMALL arrays only — the
 remote-execution tunnel makes host transfers of big buffers look like
 kernel time (a full-cache np.asarray costs ~60s)."""
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax, jax.numpy as jnp
@@ -151,8 +154,6 @@ del ck, cv
 
 # 4. full shipped decode loop at the same scale: generate() on the 8B int8
 # config (the bench.py configuration, B=128) but timed per decode step
-import sys                                                  # noqa: E402
-sys.path.insert(0, "/root/repo")
 from bench import _init_quantized_random                    # noqa: E402
 from prot2text_tpu.models.llama import LlamaConfig          # noqa: E402
 from prot2text_tpu.infer.generate import (                  # noqa: E402

@@ -32,10 +32,11 @@ torch.manual_seed(0)
 
 # ---------------------------------------------------------------- oracle --
 
-def _ln(x, w, eps):
+def _ln(x, w, eps, b=None):
     mu = x.mean(-1, keepdim=True)
     var = x.var(-1, unbiased=False, keepdim=True)
-    return (x - mu) / torch.sqrt(var + eps) * w
+    y = (x - mu) / torch.sqrt(var + eps) * w
+    return y if b is None else y + b
 
 
 def _rotary(x, theta):
@@ -63,7 +64,8 @@ def esmc_oracle(sd, cfg: ESMCConfig, ids, mask, collect_layers=False):
     for i in range(cfg.n_layers):
         p = f"transformer.blocks.{i}"
         # --- attention sublayer
-        xn = _ln(x, sd[f"{p}.attn.layernorm_qkv.0.weight"], eps)
+        xn = _ln(x, sd[f"{p}.attn.layernorm_qkv.0.weight"], eps,
+                 sd.get(f"{p}.attn.layernorm_qkv.0.bias"))
         qkv = xn @ sd[f"{p}.attn.layernorm_qkv.1.weight"].T
         q, k, v = qkv.chunk(3, dim=-1)
         q = _ln(q, sd[f"{p}.attn.q_ln.weight"], eps)
@@ -78,7 +80,8 @@ def esmc_oracle(sd, cfg: ESMCConfig, ids, mask, collect_layers=False):
         a = a.permute(0, 2, 1, 3).reshape(B, S, H * D)
         x = x + (a @ sd[f"{p}.attn.out_proj.weight"].T) / scaling
         # --- SwiGLU feed-forward sublayer
-        xn = _ln(x, sd[f"{p}.ffn.0.weight"], eps)
+        xn = _ln(x, sd[f"{p}.ffn.0.weight"], eps,
+                 sd.get(f"{p}.ffn.0.bias"))
         g = xn @ sd[f"{p}.ffn.1.weight"].T
         g1, g2 = g.chunk(2, dim=-1)
         y = torch.nn.functional.silu(g1) * g2
@@ -94,12 +97,20 @@ def esmc_oracle(sd, cfg: ESMCConfig, ids, mask, collect_layers=False):
 CFG = ESMCConfig(vocab_size=64, d_model=64, n_layers=3, n_heads=4)
 
 
-def _random_sd(cfg: ESMCConfig):
+def _random_sd(cfg: ESMCConfig, full_keys=False):
+    """full_keys=True fabricates the COMPLETE esm-package ESMC state-dict
+    layout: LayerNorm biases on layernorm_qkv.0 / ffn.0 (plain nn.LayerNorm
+    defaults in esm layers/attention.py + layers/ffn.py; q_ln/k_ln and
+    transformer.norm are bias=False) plus the sequence_head the encoder
+    path ignores."""
     d, f = cfg.d_model, cfg.ffn_dim
     sd = {"embed.weight": torch.randn(cfg.vocab_size, d) * 0.5}
     for i in range(cfg.n_layers):
         p = f"transformer.blocks.{i}"
         sd[f"{p}.attn.layernorm_qkv.0.weight"] = 1 + 0.1 * torch.randn(d)
+        if full_keys:
+            sd[f"{p}.attn.layernorm_qkv.0.bias"] = 0.1 * torch.randn(d)
+            sd[f"{p}.ffn.0.bias"] = 0.1 * torch.randn(d)
         sd[f"{p}.attn.layernorm_qkv.1.weight"] = torch.randn(3 * d, d) * 0.1
         sd[f"{p}.attn.q_ln.weight"] = 1 + 0.1 * torch.randn(d)
         sd[f"{p}.attn.k_ln.weight"] = 1 + 0.1 * torch.randn(d)
@@ -108,6 +119,13 @@ def _random_sd(cfg: ESMCConfig):
         sd[f"{p}.ffn.1.weight"] = torch.randn(2 * f, d) * 0.1
         sd[f"{p}.ffn.3.weight"] = torch.randn(d, f) * 0.1
     sd["transformer.norm.weight"] = 1 + 0.1 * torch.randn(d)
+    if full_keys:
+        sd["sequence_head.0.weight"] = torch.randn(d, d) * 0.1
+        sd["sequence_head.0.bias"] = torch.zeros(d)
+        sd["sequence_head.2.weight"] = torch.ones(d)
+        sd["sequence_head.2.bias"] = torch.zeros(d)
+        sd["sequence_head.3.weight"] = torch.randn(cfg.vocab_size, d) * 0.1
+        sd["sequence_head.3.bias"] = torch.zeros(cfg.vocab_size)
     return sd
 
 
@@ -183,3 +201,23 @@ def test_esmc_padding_invariance():
     valid = mask.astype(bool)
     np.testing.assert_allclose(out2[:, :9][valid], out1[valid],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_esmc_full_esm_package_layout_with_biases():
+    """VERDICT r2 #4: esmc_params_from_torch against an esm-package-layout
+    state dict with EVERY key present — incl. the LayerNorm biases real
+    checkpoints carry on layernorm_qkv.0 / ffn.0 (silently dropped before
+    round 3) and the sequence_head keys the encoder path must ignore."""
+    sd = _random_sd(CFG, full_keys=True)
+    ids, mask = _batch()
+    want = esmc_oracle(sd, CFG, torch.as_tensor(ids), torch.as_tensor(mask))
+    params = esmc_params_from_torch(sd, CFG.n_layers, jnp.float32)
+    # the conversion must carry the biases
+    assert "bias" in params["layers"]["attn_ln"]
+    assert "bias" in params["layers"]["ffn_ln"]
+    assert "bias" not in params["layers"]["q_ln"]
+    got = np.asarray(esmc_encode(CFG, params, jnp.asarray(ids),
+                                 jnp.asarray(mask)))
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want.numpy()[valid],
+                               atol=2e-4, rtol=2e-4)
