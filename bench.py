@@ -331,6 +331,180 @@ def bench_serving_continuous():
           requests=len(budgets), useful_tokens=useful)
 
 
+def bench_sft_flagship():
+    """FLAGSHIP-scale stage-2 SFT (VERDICT r2 #5a): QLoRA over the frozen
+    instruct flagship — esmc_600m (bf16) + Llama-3.1-8B (int8 weight-only,
+    README.md:17-19 scale) with LoRA r=32 on the reference target set and
+    the trainable adapter, one jitted step at the reference stage-2 shape
+    (batch 1/device, train_instruct.py:59-69; grad-accum shortened 32→4 to
+    keep the metric inside the bench budget — time is linear in accum)."""
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, init_modality_adapter_params)
+    from prot2text_tpu.models.esmc import ESMCConfig, init_esmc_params
+    from prot2text_tpu.models.llama import LlamaConfig
+    from prot2text_tpu.models.lora import LoraConfig, init_lora_params
+    from prot2text_tpu.train.optim import TrainState, adamw_constant
+    from prot2text_tpu.train.sft import SFTConfig, make_sft_train_step
+
+    enc_cfg = ESMCConfig.esmc_600m()
+    dec_cfg = LlamaConfig.llama_3_1_8b().core()
+    PLACEHOLDER = 128003
+    ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, dec_cfg.hidden_size)
+    frozen = {
+        "esm_encoder": init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
+                                        jnp.bfloat16),
+        "llm_decoder": _init_quantized_random(dec_cfg, bits=8),
+        "adapter": init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(1),
+                                                jnp.bfloat16),
+    }
+    lora_cfg = LoraConfig(r=32, alpha=64)
+    trainable = {
+        "lora_esm": init_lora_params(lora_cfg, frozen["esm_encoder"],
+                                     jax.random.PRNGKey(2), jnp.bfloat16),
+        "lora_llm": init_lora_params(lora_cfg, frozen["llm_decoder"],
+                                     jax.random.PRNGKey(3), jnp.bfloat16),
+        "adapter": frozen["adapter"],
+    }
+    tx = adamw_constant(2e-4)
+    state = TrainState.create(trainable, tx)
+    step = jax.jit(make_sft_train_step(
+        esm_config=enc_cfg, adapter_config=ad_cfg, decoder_core=dec_cfg,
+        cfg=SFTConfig(lora=lora_cfg, placeholder_id=PLACEHOLDER, remat=True),
+        tx=tx, grad_accum=4), donate_argnums=(0,))
+
+    B, GA, PROT, S = 1, 4, 510, 1024
+    rng = np.random.default_rng(0)
+    ids = np.full((GA, B, S), 11, np.int64)
+    labels = np.full((GA, B, S), -100, np.int64)
+    # chat layout: [prompt 448 ‖ placeholders 512 ‖ description 64...]
+    ids[:, :, 448:448 + PROT + 2] = PLACEHOLDER
+    desc = rng.integers(0, 128000, (GA, B, S - (448 + PROT + 2)))
+    ids[:, :, 448 + PROT + 2:] = desc
+    labels[:, :, 448 + PROT + 2:] = desc
+    batch = {
+        "protein_input_ids": jnp.asarray(
+            rng.integers(4, 24, (GA, B, PROT + 2)), jnp.int32),
+        "protein_attention_mask": jnp.ones((GA, B, PROT + 2), jnp.int32),
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((GA, B, S), jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+    def run():
+        nonlocal state
+        state, loss = step(state, frozen, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    dt = _time(run)
+    n_params = _param_count(frozen["llm_decoder"])
+    tokens = B * GA * S
+    # frozen-base LoRA: ~2P fwd + 2P dx-bwd + 2P remat-replay per token
+    mfu = 6.0 * n_params * tokens / dt / V5E_BF16_PEAK_FLOPS
+    _emit("sft_train_tokens_per_sec_qlora_esmc600m_llama8b_int8",
+          tokens / dt, "tokens/s", mfu=round(mfu, 4),
+          step_ms=round(dt * 1e3, 1), params_m=round(n_params / 1e6, 1),
+          batch=B, grad_accum=GA, seq_len=S, lora_r=32)
+
+
+def bench_contrastive_flagship():
+    """FLAGSHIP-scale stage-1 contrastive (VERDICT r2 #5b): the reference's
+    actual config — esmc_600m + Qwen3-14B text tower truncated at layer 16
+    (train_contrast.py:117-195, :288).  Only the 16 scanned layers exist on
+    device (int8 weight-only ≈ 5.3 GB + bf16 embeddings), matching the
+    truncated-tower design; B=8, grad-accum shortened 8→2 for the bench
+    budget (time is linear in accum)."""
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, init_modality_adapter_params)
+    from prot2text_tpu.models.esmc import ESMCConfig, init_esmc_params
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+    from prot2text_tpu.train.contrastive import (
+        ContrastiveConfig, make_contrastive_train_step)
+    from prot2text_tpu.train.optim import adamw_constant
+    from prot2text_tpu.train.sft import TrainState
+
+    enc_cfg = ESMCConfig.esmc_600m()
+    full = Qwen3Config.qwen3_14b()
+    tower = type(full.core())(**{**full.core().__dict__, "num_layers": 16})
+    ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, tower.hidden_size)
+    frozen = {
+        "esm_encoder": init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
+                                        jnp.bfloat16),
+        "llm_decoder": _init_quantized_random(tower, bits=8),
+    }
+    adapter = init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(2),
+                                           jnp.bfloat16)
+    tx = adamw_constant(2e-4)
+    state = TrainState.create(adapter, tx)
+    ccfg = ContrastiveConfig(output_llm_layer=16)
+    B, GA, PROT, DESC = 8, 2, 512, 256
+    rng = np.random.default_rng(0)
+    batch = {
+        "protein_input_ids": jnp.asarray(
+            rng.integers(4, 24, (GA, B, PROT)), jnp.int32),
+        "protein_attention_mask": jnp.ones((GA, B, PROT), jnp.int32),
+        "description_input_ids": jnp.asarray(
+            rng.integers(0, 151000, (GA, B, DESC)), jnp.int32),
+        "description_attention_mask": jnp.ones((GA, B, DESC), jnp.int32),
+    }
+    step = jax.jit(make_contrastive_train_step(
+        esm_config=enc_cfg, adapter_config=ad_cfg, decoder_core=tower,
+        cfg=ccfg, tx=tx, grad_accum=GA, deterministic=True),
+        donate_argnums=(0,))
+
+    def run():
+        nonlocal state
+        state, loss = step(state, frozen, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    dt = _time(run)
+    _emit("contrastive_pairs_per_sec_esmc600m_qwen3_14b_l16_int8",
+          B * GA / dt, "pairs/s", step_ms=round(dt * 1e3, 1), batch=B,
+          grad_accum=GA, protein_len=PROT, desc_len=DESC, tower_layers=16)
+
+
+def bench_serving_flagship():
+    """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
+    one-chip serving config under a PRODUCTION workload shape — ragged
+    prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
+    budget), prompt_pad buckets (512, 1664), ragged decode budgets."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_1_8b().core()
+    params = _init_quantized_random(cfg, bits=8)
+    SLOTS = 8
+    BUCKETS = (512, 1664)
+    MAXNEW = 192
+    rng = np.random.default_rng(0)
+    plens = [300 + (i * 331) % 1300 for i in range(12)]      # 300..1600
+    budgets = [64 + 32 * (i % 5) for i in range(12)]         # 64..192
+    prompts = [rng.standard_normal((p, cfg.hidden_size)).astype(np.float32)
+               for p in plens]
+
+    def serve(n):
+        eng = ContinuousBatcher(cfg, params, max_slots=SLOTS,
+                                max_len=BUCKETS[-1] + MAXNEW,
+                                prompt_pad=BUCKETS, eos_token_id=-1,
+                                sync_every=16)
+        for i in range(n):
+            eng.submit(i, prompts[i], max_new_tokens=budgets[i])
+        out = dict(eng.run())
+        return eng.steps, sum(len(v) for v in out.values())
+
+    serve(2)                                  # compile both buckets
+    t0 = time.perf_counter()
+    steps, useful = serve(len(plens))
+    dt = time.perf_counter() - t0
+    lockstep_steps = sum(
+        max(budgets[i:i + SLOTS]) for i in range(0, len(budgets), SLOTS))
+    _emit("serving_continuous_tokens_per_sec_int8_llama31_8b_8slots_1664ctx",
+          useful / dt, "tokens/s", decode_steps=steps,
+          lockstep_steps=lockstep_steps,
+          step_reduction=round(1 - steps / lockstep_steps, 3),
+          requests=len(plens), useful_tokens=useful,
+          prompt_buckets=list(BUCKETS))
+
+
 def bench_contrastive_step():
     """BASELINE.json named metric: contrastive pairs/sec/chip.  Stage-1
     alignment step (frozen esmc_300m + frozen Llama-1B layer-16 text tower
@@ -450,6 +624,9 @@ METRICS = (
     "bench_descriptions_per_hour",    # BASELINE: north-star proxy
     # -- flagship-scale secondary metrics ---------------------------------
     "bench_decode_14b_int4",
+    "bench_contrastive_flagship",
+    "bench_sft_flagship",
+    "bench_serving_flagship",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----

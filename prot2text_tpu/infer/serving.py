@@ -195,22 +195,29 @@ class ContinuousBatcher:
 
     cfg/params: the decoder core + its params (quantized or bf16).
     max_slots: concurrent sequences (the static batch width).
-    max_len: cache width per slot (prompt_pad + longest answer).
-    prompt_pad: static prefill width (prompts are left-padded to this).
+    max_len: cache width per slot (largest prompt_pad + longest answer).
+    prompt_pad: static prefill width(s).  An int gives one width; a tuple
+        gives LENGTH BUCKETS — each request prefills at the smallest bucket
+        >= its prompt length (one jit compilation per bucket), so a ragged
+        workload (the real chat prompt is ~1.6k tokens while short ones are
+        a few hundred) doesn't pay the longest width on every prefill.
     sync_every: decode tokens per host round-trip (latency amortization).
     """
 
     def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
-                 max_len: int, prompt_pad: int = 64,
+                 max_len: int, prompt_pad=64,
                  eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
                  sync_every: int = 1, gen_cfg=None, rng=None):
-        if prompt_pad >= max_len:
+        buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
+                   else tuple(sorted(prompt_pad)))
+        if not buckets or buckets[-1] >= max_len:
             raise ValueError("prompt_pad must leave room for new tokens")
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
         self.max_len = max_len
-        self.prompt_pad = prompt_pad
+        self.prompt_buckets = buckets
+        self.prompt_pad = buckets[-1]
         self.eos_token_id = eos_token_id
         self.dtype = cache_dtype
         self.sync_every = max(1, sync_every)
@@ -238,19 +245,25 @@ class ContinuousBatcher:
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]
         self.steps = 0
 
+    def _bucket_for(self, length: int) -> int:
+        for b in self.prompt_buckets:
+            if length <= b:
+                return b
+        raise ValueError(
+            f"prompt length {length} > largest prompt_pad bucket "
+            f"{self.prompt_buckets[-1]}")
+
     def submit(self, request_id, prompt_embeds, *, max_new_tokens: int = 64):
-        """prompt_embeds: (P, H) with P <= prompt_pad."""
+        """prompt_embeds: (P, H) with P <= max(prompt_pad buckets)."""
         emb = np.asarray(prompt_embeds)
-        if emb.shape[0] > self.prompt_pad:
-            raise ValueError(
-                f"prompt length {emb.shape[0]} > prompt_pad={self.prompt_pad}")
+        self._bucket_for(emb.shape[0])      # validate length
         if max_new_tokens > self.max_len - self.prompt_pad:
             raise ValueError("max_new_tokens exceeds the slot cache width")
         self.queue.append(_Request(request_id, emb, max_new_tokens))
 
     def _fill_free_slots(self) -> Iterator[tuple]:
-        """Install queued requests into ALL free slots with ONE pool-wide
-        prefill dispatch (dummy rows masked out)."""
+        """Install queued requests into ALL free slots — one pool-wide
+        prefill dispatch PER LENGTH BUCKET present (dummy rows masked)."""
         installs = {}                       # slot -> request
         for slot in range(self.max_slots):
             if not self.queue:
@@ -259,16 +272,24 @@ class ContinuousBatcher:
                 installs[slot] = self.queue.popleft()
         if not installs:
             return
+        by_bucket: dict = {}
+        for slot, req in installs.items():
+            by_bucket.setdefault(
+                self._bucket_for(req.embeds.shape[0]), {})[slot] = req
+        for pad, group in sorted(by_bucket.items()):
+            yield from self._install_group(group, pad)
+
+    def _install_group(self, installs: dict, pad: int) -> Iterator[tuple]:
         K, Hd = self.max_slots, installs[next(iter(installs))].embeds.shape[1]
-        emb = np.zeros((K, self.prompt_pad, Hd), np.float32)
-        mask = np.zeros((K, self.prompt_pad), np.int32)
+        emb = np.zeros((K, pad, Hd), np.float32)
+        mask = np.zeros((K, pad), np.int32)
         inst = np.zeros((K,), bool)
         plens = np.ones((K,), np.int32)
         budgets = np.ones((K,), np.int32)
         for slot, req in installs.items():
             P = req.embeds.shape[0]
-            emb[slot, self.prompt_pad - P:] = req.embeds   # left-pad
-            mask[slot, self.prompt_pad - P:] = 1
+            emb[slot, pad - P:] = req.embeds   # left-pad
+            mask[slot, pad - P:] = 1
             inst[slot] = True
             plens[slot] = P
             budgets[slot] = req.max_new_tokens
@@ -277,7 +298,7 @@ class ContinuousBatcher:
             self.cfg, self.state, self.params,
             jnp.asarray(emb, self.dtype), jnp.asarray(mask),
             jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
-            key, prompt_pad=self.prompt_pad,
+            key, prompt_pad=pad,
             eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg)
         tok0 = np.asarray(tok0)
         for slot, req in installs.items():

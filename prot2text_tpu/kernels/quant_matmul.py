@@ -281,6 +281,98 @@ def quant_matmul_int4_stacked(x, w_packed_all, scale_all, layer, *,
     return out[:R]
 
 
+def pack_int4_planes(q):
+    """q: (..., K, N) ints in [-8, 7] → (..., K/8, N) int32 'nibble-plane'
+    words: nibble j of word [k8, n] holds q[k8 + j*K/8, n].  The kernel
+    loads NATIVE i32 tiles — no i8→i32 widening (Mosaic legalizes only i32
+    vector shifts) — and unpacks 8 values per word with 16 shifts + 8
+    converts (probe: scripts/bench_int4_planes.py)."""
+    K = q.shape[-2]
+    assert K % 8 == 0, "pack_int4_planes needs K % 8 == 0"
+    qs = jnp.asarray(q, jnp.int32) & 0xF
+    out = jnp.zeros(q.shape[:-2] + (K // 8, q.shape[-1]), jnp.int32)
+    for j in range(8):
+        plane = qs[..., j * (K // 8):(j + 1) * (K // 8), :]
+        out = out | jax.lax.shift_left(plane, 4 * j)
+    return out
+
+
+def unpack_int4_planes(packed):
+    """Inverse of pack_int4_planes: (..., K/8, N) i32 → (..., K, N) int8."""
+    outs = []
+    for j in range(8):
+        v = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(packed, 28 - 4 * j), 28)
+        outs.append(v.astype(jnp.int8))
+    return jnp.concatenate(outs, axis=-2)
+
+
+def _mm_i4p_stacked_kernel(idx_ref, x_ref, wp_ref, s_ref, o_ref, acc_ref, *,
+                           nk: int, k8: int):
+    del idx_ref
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = wp_ref[0]                                    # (bk8, bn) i32
+    for j in range(8):
+        plane = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(w, 28 - 4 * j), 28).astype(jnp.bfloat16)
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:, j * k8:(j + 1) * k8], plane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k8", "block_n"))
+def quant_matmul_int4_planes_stacked(x, w_planes_all, scale_all, layer, *,
+                                     out_dtype=jnp.bfloat16,
+                                     interpret: bool = False,
+                                     block_k8: int = 0, block_n: int = 0):
+    """x: (R, K) bf16; w_planes_all: (L, K/8, N) int32 (pack_int4_planes);
+    scale_all: (L, 1, N) f32; layer: scalar int32 — scalar-prefetch layer
+    indexing, native-i32 nibble-plane unpack."""
+    L, K8, N = w_planes_all.shape
+    K = K8 * 8
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk8 = block_k8 or _pick_block(K8, (256, 128, 64, 32, 16, 8))
+    nk = K8 // bk8
+    # rearrange x so the kernel's static slice [j*bk8:(j+1)*bk8] within the
+    # k-th block is plane j's rows for that block
+    xt = x.reshape(Rp, 8, nk, bk8).transpose(0, 2, 1, 3).reshape(Rp, K)
+    scale_all = scale_all.reshape(L, 1, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, 8 * bk8), lambda n, k, idx: (0, k)),
+            pl.BlockSpec((1, bk8, bn), lambda n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda n, k, idx: (idx[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k, idx: (0, n)),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_i4p_stacked_kernel, nk=nk, k8=bk8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, xt, w_planes_all, scale_all)
+    return out[:R]
+
+
 def _mm_i8_stacked_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                           nk: int):
     del idx_ref

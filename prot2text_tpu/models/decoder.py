@@ -214,7 +214,9 @@ def decoder_forward(
             if ll is not None:
                 sub = ll.get(name)
                 if isinstance(sub, dict):
-                    lo = sub.get("kernel")   # {"A","B"} at the kernel leaf
+                    # {"A","B"} at the kernel leaf (kernel_q for an int8
+                    # weight-only frozen base — QLoRA-style side path)
+                    lo = sub.get("kernel") or sub.get("kernel_q")
             return linear_lora(lp[name], lo, x_, lora_scale)
 
         xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)

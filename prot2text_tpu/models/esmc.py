@@ -137,7 +137,7 @@ def esmc_encode(
             if ll is not None:
                 sub = ll.get(name)
                 if isinstance(sub, dict):
-                    lo = sub.get("kernel")
+                    lo = sub.get("kernel") or sub.get("kernel_q")
             return linear_lora(lp[name], lo, x_, lora_scale)
 
         xn = layer_norm(lp["attn_ln"], x, cfg.layer_norm_eps)

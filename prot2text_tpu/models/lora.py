@@ -28,10 +28,15 @@ import jax.numpy as jnp
 class LoraConfig:
     r: int = 32
     alpha: int = 64           # reference: lora_alpha = 2 * r
-    # regexes over tree paths (joined with '/')
+    # regexes over tree paths (joined with '/').  kernel_q (int8
+    # weight-only) is a valid LoRA base — the side path trains in bf16 over
+    # the frozen quantized matmul (QLoRA-style); kernel_q4 is deliberately
+    # NOT matched (its leading dim is nibble-packed K/2, and training-shape
+    # calls take the XLA unpack path anyway — quantize int8 for QLoRA).
     target_patterns: Sequence[str] = (
-        r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)/kernel$",
-        r"(qkv|out_proj|ffn_in|ffn_out)/kernel$",
+        r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)"
+        r"/kernel(_q)?$",
+        r"(qkv|out_proj|ffn_in|ffn_out)/kernel(_q)?$",
     )
 
     @property

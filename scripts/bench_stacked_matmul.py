@@ -73,3 +73,49 @@ if __name__ == "__main__":
     print("stacked vs sliced max err:", err, flush=True)
     timed(lambda: run_xs(x0, wp, sc), "scan-xs slices  ")
     timed(lambda: run_stacked(x0, wp, sc), "stacked indexed ")
+    extra()
+
+
+def extra():
+    """Round-3 additions: stacked nibble-plane int4 vs stacked int8 (the
+    2x-bytes bandwidth reference) in the same chained-scan harness."""
+    from prot2text_tpu.kernels.quant_matmul import (
+        pack_int4_planes, quant_matmul_int4_planes_stacked,
+        quant_matmul_int8_stacked, unpack_int4)
+
+    # plane-packed copy of the SAME logical weights
+    logical = unpack_int4(np.asarray(wp))          # (L, K, N) int8 in [-8,7]
+    wpp = jax.jit(pack_int4_planes)(jnp.asarray(logical))
+    a = quant_matmul_int4_stacked(x0, wp, sc, 3)
+    b = quant_matmul_int4_planes_stacked(x0, wpp, sc, 3)
+    err = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+    print("planes-stacked vs shipped-stacked max err:", err, flush=True)
+
+    @jax.jit
+    def run_planes(x, wpp, sc):
+        def outer(x, _):
+            def body(c, li):
+                y = quant_matmul_int4_planes_stacked(c, wpp, sc, li)
+                return (y[:, :K] * 0.01 + c).astype(jnp.bfloat16), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(L))
+            return x, None
+        x, _ = jax.lax.scan(outer, x, None, length=REP)
+        return x
+
+    timed(lambda: run_planes(x0, wpp, sc), "planes stacked  ")
+
+    w8 = jnp.asarray(logical)                       # int8, 2x packed bytes
+    s8 = jnp.full((L, 1, N), 0.01, jnp.float32)
+
+    @jax.jit
+    def run_i8(x, w8, s8):
+        def outer(x, _):
+            def body(c, li):
+                y = quant_matmul_int8_stacked(c, w8, s8, li)
+                return (y[:, :K] * 0.01 + c).astype(jnp.bfloat16), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(L))
+            return x, None
+        x, _ = jax.lax.scan(outer, x, None, length=REP)
+        return x
+
+    timed(lambda: run_i8(x0, w8, s8), "int8 stacked(2x)")

@@ -97,3 +97,68 @@ def test_int4_quantization():
     rel = np.abs(np.asarray(h4) - np.asarray(hf_)).max() / (
         np.abs(np.asarray(hf_)).max() + 1e-9)
     assert rel < 0.3, rel
+
+
+def test_qlora_sft_step_on_int8_base():
+    """QLoRA-style: LoRA side paths train over an int8 weight-only frozen
+    base (kernel_q leaves are valid LoRA targets; gradients flow through
+    the mixed-dtype dot).  Loss finite, LoRA grads nonzero."""
+    import jax
+    import numpy as np
+
+    from prot2text_tpu.models.adapters import ModalityAdapterConfig
+    from prot2text_tpu.models.composed import ESMCQwen, ESMCQwenConfig
+    from prot2text_tpu.models.esmc import ESMCConfig
+    from prot2text_tpu.models.lora import LoraConfig, init_lora_params
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+    from prot2text_tpu.models.quant import quantize_params
+    from prot2text_tpu.train.optim import TrainState, adamw_constant
+    from prot2text_tpu.train.sft import SFTConfig, make_sft_train_step
+
+    cfg = ESMCQwenConfig(
+        esm_config=ESMCConfig(d_model=64, n_layers=2, n_heads=4),
+        adapter_config=ModalityAdapterConfig(64, 64, 64),
+        llm_config=Qwen3Config(
+            vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16, intermediate_size=128),
+        placeholder_id=99)
+    model = ESMCQwen(cfg)
+    frozen = {
+        "esm_encoder": quantize_params(model.params["esm_encoder"], bits=8),
+        "llm_decoder": quantize_params(model.params["llm_decoder"], bits=8),
+        "adapter": model.params["adapter"],
+    }
+    lora_cfg = LoraConfig(r=4, alpha=8)
+    lora_llm = init_lora_params(lora_cfg, frozen["llm_decoder"],
+                                jax.random.PRNGKey(1))
+    # int8 leaves must actually be targeted
+    n_adapted = sum(
+        1 for leaf in jax.tree_util.tree_leaves(
+            lora_llm, is_leaf=lambda x: isinstance(x, dict)
+            and "A" in x)
+        if isinstance(leaf, dict))
+    assert n_adapted > 0, "no LoRA targets found on the quantized base"
+    trainable = {
+        "lora_esm": init_lora_params(lora_cfg, frozen["esm_encoder"],
+                                     jax.random.PRNGKey(2)),
+        "lora_llm": lora_llm,
+        "adapter": model.params["adapter"],
+    }
+    tx = adamw_constant(1e-3)
+    state = TrainState.create(trainable, tx)
+    step = jax.jit(make_sft_train_step(
+        esm_config=cfg.esm_config, adapter_config=cfg.adapter_config,
+        decoder_core=cfg.llm_config.core(),
+        cfg=SFTConfig(lora=lora_cfg, placeholder_id=99, remat=False), tx=tx))
+
+    import __graft_entry__
+
+    batch = __graft_entry__._batch(B=4)
+    state2, loss = step(state, frozen, batch, jax.random.PRNGKey(0))
+    loss = float(loss)
+    assert np.isfinite(loss), loss
+    # B matrices start at zero; after one adamw step they must move
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        state2.params["lora_llm"], 0.0)
+    assert moved > 0.0
