@@ -23,6 +23,13 @@ def build_parser():
     p.add_argument("--evaluate_bert_score", type=str2bool, default=False)
     p.add_argument("--bert_model_dir", type=str, default=None,
                    help="local HF checkpoint for BERTScore embeddings")
+    p.add_argument("--bert_num_layers", type=int, default=None,
+                   help="use hidden_states[N] like the bert_score package "
+                        "(reference passes 24 for biobert-large; default = "
+                        "last layer)")
+    p.add_argument("--bert_idf", type=str2bool, default=False,
+                   help="reference-corpus idf weighting "
+                        "(bert_score idf=True)")
     p.add_argument("--verbose", type=str2bool, default=True)
     return p
 
@@ -50,32 +57,21 @@ def main(argv=None):
         print(f"{len(preds)} pairs from {len(paths)} files")
 
     bert_fns = None
+    bert_kwargs = {}
     if args.evaluate_bert_score and args.bert_model_dir:
-        import numpy as np
-        import torch
-        from transformers import AutoModel, AutoTokenizer
+        from ..eval_metrics.metrics import make_hf_bert_embed_fn
 
-        tok = AutoTokenizer.from_pretrained(args.bert_model_dir)
-        model = AutoModel.from_pretrained(args.bert_model_dir).eval()
-
-        def embed(texts):
-            out = []
-            with torch.no_grad():
-                for t in texts:
-                    enc = tok(t, truncation=True, max_length=495,
-                              return_tensors="pt")
-                    h = model(**enc).last_hidden_state[0]
-                    out.append(h.numpy())
-            return out
-
+        tok, embed = make_hf_bert_embed_fn(
+            args.bert_model_dir, num_layers=args.bert_num_layers)
         bert_fns = {os.path.basename(args.bert_model_dir): embed}
+        bert_kwargs = {"tokenizer": tok, "idf": args.bert_idf}
 
     metrics = compute_metrics(
         preds, refs,
         evaluate_exact_match=args.evaluate_exact_match,
         evaluate_bleu=args.evaluate_bleu,
         evaluate_rouge=args.evaluate_rouge,
-        bert_embed_fns=bert_fns)
+        bert_embed_fns=bert_fns, bert_kwargs=bert_kwargs)
     print(json.dumps(metrics, indent=2))
     return metrics
 

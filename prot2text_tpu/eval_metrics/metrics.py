@@ -141,6 +141,9 @@ def bert_score_from_embeddings(
     algorithm, as invoked at benchmark.py:77-105)."""
     ps, rs, fs = [], [], []
     for bi, (pe, re_) in enumerate(zip(pred_embs, ref_embs)):
+        if pe.shape[0] == 0 or re_.shape[0] == 0:
+            ps.append(0.0), rs.append(0.0), fs.append(0.0)
+            continue
         pe = pe / np.maximum(
             np.linalg.norm(pe, axis=-1, keepdims=True), 1e-12)
         re_ = re_ / np.maximum(
@@ -150,8 +153,8 @@ def bert_score_from_embeddings(
                else np.ones(pe.shape[0]))
         w_r = (ref_idf[bi] if ref_idf is not None
                else np.ones(re_.shape[0]))
-        p = float((sim.max(axis=1) * w_p).sum() / w_p.sum())
-        r = float((sim.max(axis=0) * w_r).sum() / w_r.sum())
+        p = float((sim.max(axis=1) * w_p).sum() / max(w_p.sum(), 1e-12))
+        r = float((sim.max(axis=0) * w_r).sum() / max(w_r.sum(), 1e-12))
         f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
         ps.append(p)
         rs.append(r)
@@ -160,20 +163,130 @@ def bert_score_from_embeddings(
             "f1": float(np.mean(fs))}
 
 
+def idf_dict_from_references(
+    tokenized_refs: Sequence[Sequence[int]],
+    zero_ids: Sequence[int] = (),
+) -> Dict[int, float]:
+    """`bert_score.utils.get_idf_dict` formula: idf(w) = log((N+1)/(df+1))
+    over the REFERENCE corpus (df = #ref sentences containing w);
+    `zero_ids` (CLS/SEP) are forced to 0 — they still participate as match
+    candidates, only their weight in the P/R averages is zero (the package
+    does the same even with idf=False)."""
+    import math
+
+    n = len(tokenized_refs)
+    df: Dict[int, int] = {}
+    for toks in tokenized_refs:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    default = math.log((n + 1) / 1.0)
+    idf = {t: math.log((n + 1) / (c + 1)) for t, c in df.items()}
+    out: Dict[int, float] = dict(idf)
+    for z in zero_ids:
+        out[z] = 0.0
+    out["__default__"] = default
+    return out
+
+
+def truncate_via_tokenizer(texts: Sequence[str], tokenizer,
+                           max_tokens: int = 495) -> list:
+    """The reference's pre-truncation contract (benchmark.py:60-105):
+    tokenize each text with the SCORER's tokenizer at max_length=495, then
+    batch-decode back to text with special tokens skipped, so the scorer
+    itself never sees > 495 tokens (biobert max_position_embeddings=512)."""
+    enc = tokenizer(list(texts), truncation=True, max_length=max_tokens)
+    return tokenizer.batch_decode(enc["input_ids"],
+                                  skip_special_tokens=True)
+
+
 def compute_bert_score(
     predictions: Sequence[str],
     references: Sequence[str],
     embed_fn: Callable[[Sequence[str]], Sequence[np.ndarray]],
     max_tokens: int = 495,
+    *,
+    tokenizer=None,
+    idf: bool = False,
 ) -> Dict[str, float]:
     """BERTScore with a caller-provided contextual embedding function
-    (e.g. a local roberta-large/biobert checkpoint run through this repo's
-    encoder, or an HF torch model).  `embed_fn` must already apply the
-    495-token truncation convention of the reference."""
-    del max_tokens  # embed_fn's responsibility; kept for API clarity
-    pe = embed_fn(list(predictions))
-    re_ = embed_fn(list(references))
-    return bert_score_from_embeddings(pe, re_)
+    (a local roberta-large/biobert checkpoint — cli/benchmark.py builds one
+    from --bert_model_dir with the package's hidden_states[num_layers]
+    convention).
+
+    With `tokenizer` given, full reference parity: the 495-token
+    round-trip truncation runs here, per-token weights are 1 with CLS/SEP
+    zeroed (the package's idf=False convention), and `idf=True` switches
+    to reference-corpus idf weights (idf_dict_from_references).
+    `embed_fn(texts) -> (embs, token_ids)` may return token ids alongside
+    embeddings; without them (plain `embed_fn(texts) -> embs`) weights
+    default to all-ones as before."""
+    predictions = list(predictions)
+    references = list(references)
+    if tokenizer is not None:
+        predictions = truncate_via_tokenizer(predictions, tokenizer,
+                                             max_tokens)
+        references = truncate_via_tokenizer(references, tokenizer,
+                                            max_tokens)
+    out = embed_fn(predictions)
+    out_r = embed_fn(references)
+    if isinstance(out, tuple):
+        pe, pt = out
+        re_, rt = out_r
+    else:
+        pe, pt = out, None
+        re_, rt = out_r, None
+    pw = rw = None
+    if tokenizer is not None and pt is not None:
+        zero = tuple(t for t in (tokenizer.cls_token_id,
+                                 tokenizer.sep_token_id,
+                                 getattr(tokenizer, "bos_token_id", None),
+                                 getattr(tokenizer, "eos_token_id", None))
+                     if t is not None)
+        if idf:
+            idf_d = idf_dict_from_references(rt, zero_ids=zero)
+            default = idf_d["__default__"]
+
+            def w(toks):
+                return np.asarray([idf_d.get(t, default) for t in toks],
+                                  np.float64)
+        else:
+            def w(toks):
+                return np.asarray([0.0 if t in zero else 1.0 for t in toks],
+                                  np.float64)
+        pw = [w(t) for t in pt]
+        rw = [w(t) for t in rt]
+    return bert_score_from_embeddings(pe, re_, pred_idf=pw, ref_idf=rw)
+
+
+def make_hf_bert_embed_fn(model_dir: str, num_layers: Optional[int] = None):
+    """Build the bert_score-package embedding convention from a local HF
+    checkpoint: `hidden_states[num_layers]` (embedding output is index 0;
+    the package's model2layers picks e.g. 17 for roberta-large, and the
+    reference passes 24 for biobert — benchmark.py:98-99), special tokens
+    INCLUDED (their P/R weight is zeroed downstream).  Returns
+    (tokenizer, embed_fn) where embed_fn(texts) -> (embs, token_ids)."""
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_dir)
+    model = AutoModel.from_pretrained(model_dir).eval()
+
+    def embed(texts):
+        embs, toks = [], []
+        with torch.no_grad():
+            for t in texts:
+                enc = tok(t, truncation=True,
+                          max_length=min(getattr(tok, "model_max_length",
+                                                 512), 512),
+                          return_tensors="pt")
+                out = model(**enc, output_hidden_states=True)
+                layer = (num_layers if num_layers is not None
+                         else len(out.hidden_states) - 1)
+                embs.append(out.hidden_states[layer][0].numpy())
+                toks.append(enc["input_ids"][0].tolist())
+        return embs, toks
+
+    return tok, embed
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +300,7 @@ def compute_metrics(
     evaluate_bleu: bool = True,
     evaluate_rouge: bool = True,
     bert_embed_fns: Optional[Dict[str, Callable]] = None,
+    bert_kwargs: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Reference compute_metrics flag surface (benchmark.py:108-141)."""
     out: Dict[str, Any] = {}
@@ -199,7 +313,8 @@ def compute_metrics(
         out["rouge"] = compute_rouge(predictions, references)
     if bert_embed_fns:
         out["bert_score"] = {
-            name: compute_bert_score(predictions, references, fn)
+            name: compute_bert_score(predictions, references, fn,
+                                     **(bert_kwargs or {}))
             for name, fn in bert_embed_fns.items()
         }
     return out
