@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from ..models.decoder import (
     DecoderConfig, decoder_decode_step, decoder_forward, decoder_logits,
 )
-from .generate import GenerationConfig, _bias_from_kv_mask, _prefill_bias
+from .generate import (
+    GenerationConfig, _bias_from_kv_mask, _prefill_bias, filter_logits,
+)
 from .kvcache import init_kv_cache
 
 NEG_INF = -1.0e7
@@ -35,6 +37,25 @@ NEG_INF = -1.0e7
 def _expand_beams(x, K):
     """(B, ...) → (B*K, ...) by repeat."""
     return jnp.repeat(x, K, axis=0)
+
+
+def _select_candidates(cand_flat, n, gen_cfg: GenerationConfig, key):
+    """Top-n candidate selection over the flat (B, K*V) scores.
+
+    Greedy beams: plain top_k.  Beam-SAMPLE (HF `_beam_sample`,
+    do_sample=True with num_beams>1): the HF warper pipeline (temperature →
+    top-k → top-p, the same filter_logits generate() uses) runs over the
+    flat beam×vocab scores, n candidates are drawn WITHOUT replacement from
+    softmax(warped) — realized exactly by Gumbel-top-k — and each keeps its
+    UNWARPED score for beam bookkeeping (HF gathers from the pre-warp
+    scores too)."""
+    if not gen_cfg.do_sample:
+        return jax.lax.top_k(cand_flat, n)
+    warped = filter_logits(cand_flat, gen_cfg)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, warped.shape, minval=1e-20, maxval=1.0)))
+    _, idx = jax.lax.top_k(warped + gumbel, n)
+    return jnp.take_along_axis(cand_flat, idx, axis=1), idx
 
 
 @functools.partial(
@@ -53,6 +74,7 @@ def beam_search(
     early_stopping: bool = False,
     attn_impl: str = "xla",
     cache_dtype=None,
+    rng: Optional[jax.Array] = None,
 ):
     """Returns (B, max_new_tokens) int32 best-beam tokens (new tokens only,
     pad-filled after EOS)."""
@@ -91,8 +113,13 @@ def beam_search(
         [kv_mask, jnp.zeros((B * K, NEW), jnp.int32)], axis=1)
     last_pos_k = _expand_beams(last_pos, K)          # (B*K,)
 
-    # step 0: top-K tokens of the prompt distribution seed the beams
-    top0_scores, top0_tokens = jax.lax.top_k(logp0, K)     # (B, K)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng, key0 = jax.random.split(rng)
+
+    # step 0: top-K (or, under do_sample, K sampled without replacement)
+    # tokens of the prompt distribution seed the beams
+    top0_scores, top0_tokens = _select_candidates(logp0, K, gen_cfg, key0)
     alive_tokens = jnp.full((B, K, NEW), pad, jnp.int32)
     alive_tokens = alive_tokens.at[:, :, 0].set(top0_tokens)
     alive_scores = top0_scores                              # (B, K)
@@ -110,7 +137,7 @@ def beam_search(
 
     def body(t, state):
         (alive_tokens, alive_scores, finished_tokens, finished_scores,
-         cache, kv_mask) = state
+         cache, kv_mask, rng) = state
         # HF BeamHypotheses.is_done with early_stopping=True: a batch row
         # stops accepting hypotheses once K are banked (checked BEFORE the
         # step's candidates are processed)
@@ -131,7 +158,9 @@ def beam_search(
 
         cand = alive_scores[:, :, None] + logp                 # (B, K, V)
         cand_flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(cand_flat, 2 * K)  # (B, 2K)
+        rng, key_t = jax.random.split(rng)
+        top_scores, top_idx = _select_candidates(
+            cand_flat, 2 * K, gen_cfg, key_t)                  # (B, 2K)
         top_beam = top_idx // V
         top_token = top_idx % V
         is_eos = top_token == eos
@@ -178,10 +207,10 @@ def beam_search(
             new_fin_scores = jnp.where(d1, finished_scores, new_fin_scores)
 
         return (new_alive_tokens, new_alive_scores, new_fin_tokens,
-                new_fin_scores, cache, kv_mask)
+                new_fin_scores, cache, kv_mask, rng)
 
     state = (alive_tokens, alive_scores, finished_tokens, finished_scores,
-             cache, kv_mask)
+             cache, kv_mask, rng)
     if early_stopping:
         # stop the whole decode once every batch row banked K hypotheses
         def cond(carry):
@@ -197,7 +226,7 @@ def beam_search(
     else:
         state = jax.lax.fori_loop(1, NEW, body, state)
     (alive_tokens, alive_scores, finished_tokens, finished_scores,
-     _, _) = state
+     _, _, _) = state
 
     # HF finalize: alive beams join the pool (normalized at full length)
     # ONLY for rows that are not done (with early_stopping a done row's

@@ -130,7 +130,7 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
             num_beams=gen_cfg.num_beams,
             length_penalty=gen_cfg.length_penalty,
             early_stopping=gen_cfg.early_stopping,
-            attn_impl=attn_impl, cache_dtype=cache_dtype)
+            attn_impl=attn_impl, cache_dtype=cache_dtype, rng=rng)
     return generate(cfg, params, inputs_embeds=inputs_embeds,
                     attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,
                     attn_impl=attn_impl, cache_dtype=cache_dtype)

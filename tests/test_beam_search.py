@@ -150,3 +150,49 @@ def test_generation_config_kwarg_accepted(hf_llama):
     assert got2.max_new_tokens == 3 and got2.num_beams == 2
     flat = resolve_generation_config(11, 22, {"max_new_tokens": 4})
     assert flat.eos_token_id == 11 and flat.pad_token_id == 22
+
+
+def test_beam_sample_mechanics():
+    """Beam-SAMPLE (HF _beam_sample semantics: warpers over flat beam×vocab
+    scores, 2K drawn without replacement, unwarped score bookkeeping).
+    Stochastic path — pinned mechanically: deterministic per key, differs
+    across keys, and the temperature→0 limit recovers greedy beam search."""
+    import jax
+
+    from prot2text_tpu.infer.generate import GenerationConfig
+    from prot2text_tpu.infer.beam_search import beam_search
+
+    from prot2text_tpu.models.decoder import (
+        DecoderConfig, init_decoder_params)
+
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, head_dim=16,
+        rope_theta=10000.0)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(5))
+    nprng = np.random.default_rng(8)
+    emb = jnp.asarray(nprng.standard_normal((2, 5, 64)), jnp.float32)
+    mask = jnp.ones((2, 5), jnp.int32)
+    kw = dict(inputs_embeds=emb, attention_mask=mask, num_beams=3,
+              attn_impl="xla", cache_dtype=jnp.float32)
+    greedy_cfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                  pad_token_id=0)
+    greedy = np.asarray(beam_search(cfg, params, gen_cfg=greedy_cfg, **kw))
+
+    warm = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                            pad_token_id=0, do_sample=True, temperature=5.0)
+    s1 = np.asarray(beam_search(cfg, params, gen_cfg=warm,
+                                rng=jax.random.PRNGKey(1), **kw))
+    s1b = np.asarray(beam_search(cfg, params, gen_cfg=warm,
+                                 rng=jax.random.PRNGKey(1), **kw))
+    s2 = np.asarray(beam_search(cfg, params, gen_cfg=warm,
+                                rng=jax.random.PRNGKey(2), **kw))
+    np.testing.assert_array_equal(s1, s1b)       # deterministic per key
+    assert not np.array_equal(s1, s2)            # keys matter at T=5
+
+    cold = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                            pad_token_id=0, do_sample=True,
+                            temperature=1e-4)
+    c = np.asarray(beam_search(cfg, params, gen_cfg=cold,
+                               rng=jax.random.PRNGKey(3), **kw))
+    np.testing.assert_array_equal(c, greedy)     # T→0 limit = greedy beams
