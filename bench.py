@@ -49,12 +49,15 @@ def _time(fn, iters=3):
 
 
 def _param_count(params):
-    # int4-packed leaves (kernel_q4) store two weights per int8 byte
+    # int4-packed leaves: kernel_q4 = two weights per int8 byte;
+    # kernel_q4p = eight weights per int32 word
     total = 0
     for path, p in jax.tree_util.tree_leaves_with_path(params):
         n = int(np.prod(p.shape))
         if any(getattr(k, "key", None) == "kernel_q4" for k in path):
             n *= 2
+        elif any(getattr(k, "key", None) == "kernel_q4p" for k in path):
+            n *= 8
         total += n
     return total
 
@@ -119,7 +122,7 @@ def bench_sft_step():
           params_m=round(n_params / 1e6, 1))
 
 
-def _init_quantized_random(cfg, bits=8):
+def _init_quantized_random(cfg, bits=8, int4_format="bytes"):
     """Random decoder params DIRECTLY in quantized form (an 8B bf16 init
     would not fit the chip before quantization; throughput does not depend
     on the values).  Every int8 layer leaf is independently random —
@@ -130,20 +133,21 @@ def _init_quantized_random(cfg, bits=8):
     tiny = type(cfg)(**{**cfg.__dict__, "num_layers": 1})
     one = quantize_params(
         init_decoder_params(tiny, jax.random.PRNGKey(0), jnp.bfloat16),
-        bits=bits)
+        bits=bits, int4_format=int4_format)
     L = cfg.num_layers
     key = jax.random.PRNGKey(7)
 
     def grow(a):
         nonlocal key
         shape = (L,) + a.shape[1:]
-        if a.dtype in (jnp.int8, jnp.int4):
+        if a.dtype in (jnp.int8, jnp.int4, jnp.int32):
             key, k = jax.random.split(key)
             # random.bits avoids randint's int32 intermediate (4x the
             # target bytes — a 7 GB transient at 14B scale that OOMs when
             # other towers are already resident)
+            bits_dtype = jnp.uint32 if a.dtype == jnp.int32 else jnp.uint8
             return jax.jit(lambda kk: jax.random.bits(
-                kk, shape, jnp.uint8).astype(a.dtype))(k)
+                kk, shape, bits_dtype).astype(a.dtype))(k)
         return jnp.full(shape, 0.01, a.dtype)  # fp32 scales
 
     out = dict(one)

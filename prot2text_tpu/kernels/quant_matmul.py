@@ -81,6 +81,12 @@ def supports_quant_matmul(K: int, N: int, bits: int = 8) -> bool:
             is not None)
 
 
+def supports_quant_matmul_planes(K: int, N: int) -> bool:
+    return (K % 8 == 0
+            and _pick_block(N, (1024, 512, 256, 128)) is not None
+            and _pick_block(K // 8, (256, 128, 64, 32, 16, 8)) is not None)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
                                               "block_k", "block_n"))
 def quant_matmul_int8(x, w_q, scale, *, out_dtype=jnp.bfloat16,
@@ -305,6 +311,70 @@ def unpack_int4_planes(packed):
             jax.lax.shift_left(packed, 28 - 4 * j), 28)
         outs.append(v.astype(jnp.int8))
     return jnp.concatenate(outs, axis=-2)
+
+
+def _mm_i4p_kernel(x_ref, wp_ref, s_ref, o_ref, acc_ref, *, nk: int,
+                   k8: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = wp_ref[:]                                    # (bk8, bn) i32
+    for j in range(8):
+        plane = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(w, 28 - 4 * j), 28).astype(jnp.bfloat16)
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:, j * k8:(j + 1) * k8], plane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "block_k8", "block_n"))
+def quant_matmul_int4_planes(x, w_planes, scale, *, out_dtype=jnp.bfloat16,
+                             interpret: bool = False, block_k8: int = 0,
+                             block_n: int = 0):
+    """x: (R, K) bf16; w_planes: (K/8, N) int32 (pack_int4_planes);
+    scale: (1|, N) f32 — the non-stacked variant (lm_head etc.)."""
+    K8, N = w_planes.shape
+    K = K8 * 8
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk8 = block_k8 or _pick_block(K8, (256, 128, 64, 32, 16, 8))
+    nk = K8 // bk8
+    xt = x.reshape(Rp, 8, nk, bk8).transpose(0, 2, 1, 3).reshape(Rp, K)
+    out = pl.pallas_call(
+        functools.partial(_mm_i4p_kernel, nk=nk, k8=bk8),
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, 8 * bk8), lambda n, k: (0, k)),
+            pl.BlockSpec((bk8, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xt, w_planes, scale.reshape(1, N))
+    return out[:R]
+
+
+def quant_matmul_int4_planes_xla(x, w_planes, scale, out_dtype=jnp.bfloat16):
+    """XLA fallback (CPU / prefill shapes): unpack planes + one dot."""
+    w = unpack_int4_planes(w_planes)                 # (K, N) int8
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * scale.reshape(-1)).astype(out_dtype)
 
 
 def _mm_i4p_stacked_kernel(idx_ref, x_ref, wp_ref, s_ref, o_ref, acc_ref, *,

@@ -344,6 +344,20 @@ def decoder_decode_step(
 
     layers = params["layers"]
     on_tpu_q4 = jax.default_backend() == "tpu"
+    # Pallas grouped decode attention streams the layer's cache tiles
+    # straight from the STACKED buffer (scalar-prefetch layer index — the
+    # dynamic_index slice the einsum path reads through can cost a copy)
+    # with the masked softmax fused in VMEM (kernels/decode_attention.py)
+    from ..kernels.decode_attention import (
+        decode_attention_stacked, supports_decode_attention,
+    )
+
+    import os
+
+    use_pallas_attn = (on_tpu_q4 and layout == "bktd"
+                       and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+                       and supports_decode_attention(cfg, ck_all.shape))
+    kv_mask01 = (bias_o[:, 0, 0, :] >= -1e30).astype(jnp.int32)  # (B, T)
 
     def fetch(sub, li):
         """Per-layer view of a stacked leaf dict (norms, small projections)."""
@@ -362,6 +376,27 @@ def decoder_decode_step(
         dot_general operand read (the 8B int8 decode measures at the HBM
         floor, scripts/bench_decode_gap.py)."""
         sub = layers[name]
+        if "kernel_q4p" in sub:
+            from ..kernels.quant_matmul import (
+                quant_matmul_int4_planes_stacked,
+                supports_quant_matmul_planes,
+            )
+
+            wp = sub["kernel_q4p"]                 # (L, K/8, N) i32 planes
+            rows = 1
+            for d in x_.shape[:-1]:
+                rows *= d
+            if (on_tpu_q4 and rows <= 256
+                    and supports_quant_matmul_planes(wp.shape[1] * 8,
+                                                     wp.shape[2])):
+                lead = x_.shape[:-1]
+                y = quant_matmul_int4_planes_stacked(
+                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                    out_dtype=x_.dtype)
+                if "bias" in sub:
+                    y = y + jax.lax.dynamic_index_in_dim(
+                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+                return y.reshape(*lead, wp.shape[-1])
         if "kernel_q4" in sub:
             from ..kernels.quant_matmul import (
                 quant_matmul_int4_stacked, supports_quant_matmul,
@@ -397,26 +432,32 @@ def decoder_decode_step(
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
         qg = q.reshape(B, Hkv, rep, D)
 
-        ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        # grouped-head attention over the stale cache + the current token —
-        # einsum subscripts follow the layout so no operand transposes are
-        # ever materialized
-        ck_sub = "bktd" if layout == "bktd" else "tbkd"
-        logits_old = jnp.einsum(
-            f"bkrd,{ck_sub}->bkrt", qg, ck,
-            preferred_element_type=jnp.float32) + bias_o
-        logit_new = jnp.einsum(
-            "bkrd,bkd->bkr", qg, k.astype(qg.dtype),
-            preferred_element_type=jnp.float32)[..., None]
-        logits = jnp.concatenate([logits_old, logit_new], axis=-1)
-        w = jax.nn.softmax(logits, axis=-1)
-        w_old = w[..., :T].astype(cv.dtype)
-        w_new = w[..., T:].astype(v.dtype)
-        a = jnp.einsum(f"bkrt,{ck_sub}->bkrd", w_old, cv,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
-                 ).astype(x.dtype)
+        if use_pallas_attn:
+            a = decode_attention_stacked(
+                qg, ck_all, cv_all, kv_mask01, k.astype(qg.dtype),
+                v.astype(qg.dtype), li).astype(x.dtype)
+        else:
+            ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+            # grouped-head attention over the stale cache + the current
+            # token — einsum subscripts follow the layout so no operand
+            # transposes are ever materialized
+            ck_sub = "bktd" if layout == "bktd" else "tbkd"
+            logits_old = jnp.einsum(
+                f"bkrd,{ck_sub}->bkrt", qg, ck,
+                preferred_element_type=jnp.float32) + bias_o
+            logit_new = jnp.einsum(
+                "bkrd,bkd->bkr", qg, k.astype(qg.dtype),
+                preferred_element_type=jnp.float32)[..., None]
+            logits = jnp.concatenate([logits_old, logit_new], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            w_old = w[..., :T].astype(cv.dtype)
+            w_new = w[..., T:].astype(v.dtype)
+            a = jnp.einsum(f"bkrt,{ck_sub}->bkrd", w_old, cv,
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+            a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
+                     ).astype(x.dtype)
         a = a.reshape(B, 1, H * D)
         x = x + proj("o_proj", li, a)
         xn = rms_norm(fetch(layers["post_attn_ln"], li), x, cfg.rms_norm_eps)

@@ -62,10 +62,12 @@ def quantize_leaf(w, bits: int = 8):
 
 def quantize_params(params: Any,
                     target_patterns: Sequence[str] = DEFAULT_TARGETS,
-                    bits: int = 8) -> Any:
+                    bits: int = 8, int4_format: str = "bytes") -> Any:
     """Returns a tree where targeted kernels are {kernel_q, scale} (bits=8)
-    or {kernel_q4, scale} (bits=4, nibble-packed along din — quarter the
-    bf16 weight bytes)."""
+    or, for bits=4, {kernel_q4, scale} (int4_format="bytes": split-half
+    nibble bytes, kernels/quant_matmul.pack_int4) / {kernel_q4p, scale}
+    (int4_format="planes": i32 nibble-plane words, pack_int4_planes — the
+    kernel loads native i32 tiles, no i8 widening)."""
     pats = [re.compile(p) for p in target_patterns]
 
     def walk(node, prefix):
@@ -75,7 +77,12 @@ def quantize_params(params: Any,
                     and node["kernel"].ndim >= 2
                     and any(p.search(prefix + "/kernel") for p in pats)):
                 q, scale = quantize_leaf(node["kernel"], bits)
-                if bits == 4 and q.shape[-2] % 2 == 0:
+                if (bits == 4 and int4_format == "planes"
+                        and q.shape[-2] % 8 == 0):
+                    from ..kernels.quant_matmul import pack_int4_planes
+
+                    new = {"kernel_q4p": pack_int4_planes(q), "scale": scale}
+                elif bits == 4 and q.shape[-2] % 2 == 0:
                     from ..kernels.quant_matmul import pack_int4
 
                     new = {"kernel_q4": pack_int4(q), "scale": scale}

@@ -22,7 +22,31 @@ from ..kernels.attention import dot_product_attention
 
 
 def linear(p, x, precision=None):
-    if "kernel_q4" in p:
+    if "kernel_q4p" in p:
+        # int4 nibble-PLANE path (models/quant.py int4_format="planes"):
+        # i32 words hold 8 k-planes; the kernel loads native i32 tiles
+        # (no i8 widening — Mosaic legalizes only i32 vector shifts)
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4_planes, quant_matmul_int4_planes_xla,
+            supports_quant_matmul_planes,
+        )
+
+        wp = p["kernel_q4p"]
+        scale = p["scale"][..., 0, :]
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if (wp.ndim == 2 and rows <= 256
+                and jax.default_backend() == "tpu"
+                and supports_quant_matmul_planes(wp.shape[0] * 8,
+                                                 wp.shape[1])):
+            lead = x.shape[:-1]
+            y = quant_matmul_int4_planes(
+                x.reshape(-1, x.shape[-1]), wp, scale, out_dtype=x.dtype)
+            y = y.reshape(*lead, wp.shape[-1])
+        else:
+            y = quant_matmul_int4_planes_xla(x, wp, scale, out_dtype=x.dtype)
+    elif "kernel_q4" in p:
         # int4 weight-only path (models/quant.py bits=4): nibble-packed
         # weights stream through the Pallas fused dequant-matmul on TPU —
         # XLA cannot keep the unpack out of HBM (kernels/quant_matmul.py).

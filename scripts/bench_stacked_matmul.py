@@ -65,17 +65,6 @@ def run_stacked(x, wp, sc):
     return x
 
 
-if __name__ == "__main__":
-    # correctness first (on-chip, small tolerance vs per-layer kernel)
-    a = quant_matmul_int4(x0, wp[3], sc[3])
-    b = quant_matmul_int4_stacked(x0, wp, sc, 3)
-    err = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
-    print("stacked vs sliced max err:", err, flush=True)
-    timed(lambda: run_xs(x0, wp, sc), "scan-xs slices  ")
-    timed(lambda: run_stacked(x0, wp, sc), "stacked indexed ")
-    extra()
-
-
 def extra():
     """Round-3 additions: stacked nibble-plane int4 vs stacked int8 (the
     2x-bytes bandwidth reference) in the same chained-scan harness."""
@@ -119,3 +108,17 @@ def extra():
         return x
 
     timed(lambda: run_i8(x0, w8, s8), "int8 stacked(2x)")
+
+
+if __name__ == "__main__":
+    # correctness first (on-chip, small tolerance vs per-layer kernel)
+    a = quant_matmul_int4(x0, wp[3], sc[3])
+    b = quant_matmul_int4_stacked(x0, wp, sc, 3)
+    err = float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max())
+    print("stacked vs sliced max err:", err, flush=True)
+    timed(lambda: run_xs(x0, wp, sc), "scan-xs slices  ")
+    timed(lambda: run_stacked(x0, wp, sc), "stacked indexed ")
+    extra()
+
+
+

@@ -1,0 +1,46 @@
+"""Pallas grouped decode-attention kernel vs the decode step's XLA einsum
+chain (kernels/decode_attention.py; interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prot2text_tpu.kernels.decode_attention import (
+    decode_attention_stacked, supports_decode_attention,
+)
+
+
+@pytest.mark.parametrize("rep", [1, 4])
+def test_matches_xla_einsum_chain(rep):
+    rng = np.random.default_rng(0)
+    L, B, Hkv, T, D = 3, 4, 2, 16, 128
+    ck = jnp.asarray(rng.standard_normal((L, B, Hkv, T, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, Hkv, T, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, rep, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, D)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.int32)
+    mask = mask.at[:, 0].set(1)          # at least one valid slot per row
+    for li in (0, 2):
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0,
+                         jnp.finfo(jnp.float32).min)
+        lo = jnp.einsum("bkrd,bktd->bkrt", q, ck[li]) + bias
+        ln = jnp.einsum("bkrd,bkd->bkr", q, kn)[..., None]
+        w = jax.nn.softmax(jnp.concatenate([lo, ln], -1), axis=-1)
+        ref = (jnp.einsum("bkrt,bktd->bkrd", w[..., :T], cv[li])
+               + w[..., T:] * vn[:, :, None, :])
+        got = decode_attention_stacked(q, ck, cv, mask, kn, vn, li,
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_supports_gate():
+    class C:
+        pass
+
+    assert supports_decode_attention(C(), (32, 16, 8, 192, 128))
+    assert not supports_decode_attention(C(), (32, 16, 8, 193, 128))  # T%8
+    assert not supports_decode_attention(C(), (32, 16, 8, 192, 64))   # D

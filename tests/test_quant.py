@@ -162,3 +162,41 @@ def test_qlora_sft_step_on_int8_base():
         lambda acc, x: acc + float(jnp.abs(x).sum()),
         state2.params["lora_llm"], 0.0)
     assert moved > 0.0
+
+
+def test_int4_plane_format_matches_byte_format():
+    """int4_format='planes' (i32 nibble-plane words) holds the SAME logical
+    weights as the split-half byte format — greedy generation identical."""
+    import jax
+    import numpy as np
+
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
+    from prot2text_tpu.models.quant import quantize_params
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, head_dim=16,
+        rope_theta=10000.0)
+    base = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qb = quantize_params(base, bits=4, int4_format="bytes")
+    qp = quantize_params(base, bits=4, int4_format="planes")
+    assert "kernel_q4p" in qp["layers"]["q_proj"]
+
+    from prot2text_tpu.kernels.quant_matmul import (
+        unpack_int4, unpack_int4_planes)
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(qb["layers"]["q_proj"]["kernel_q4"])),
+        np.asarray(unpack_int4_planes(qp["layers"]["q_proj"]["kernel_q4p"])))
+
+    rng = np.random.default_rng(0)
+    emb = jax.numpy.asarray(rng.standard_normal((2, 6, 64)),
+                            jax.numpy.float32)
+    mask = jax.numpy.ones((2, 6), jax.numpy.int32)
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    tb = np.asarray(generate(cfg, qb, inputs_embeds=emb, attention_mask=mask,
+                             gen_cfg=gc, cache_dtype=jax.numpy.float32))
+    tp = np.asarray(generate(cfg, qp, inputs_embeds=emb, attention_mask=mask,
+                             gen_cfg=gc, cache_dtype=jax.numpy.float32))
+    np.testing.assert_array_equal(tb, tp)
