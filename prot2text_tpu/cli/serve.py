@@ -55,9 +55,11 @@ def build_parser():
                    help="concurrent sequences in the serving pool")
     p.add_argument("--sync_every", type=int, default=8,
                    help="decode tokens per host round-trip")
-    p.add_argument("--prompt_pad", type=int, default=1024,
-                   help="static prefill width; longer prompts are skipped "
-                        "with a warning")
+    p.add_argument("--prompt_pad", type=str, default="1024",
+                   help="static prefill width, or comma-separated LENGTH "
+                        "BUCKETS (e.g. 512,1024,1664): each request "
+                        "prefills at the smallest bucket that fits; "
+                        "longer prompts are skipped with a warning")
     p.add_argument("--num_workers", type=int, default=0,
                    help="loader worker processes (reference torch num_workers)")
     p.add_argument("--max_new_tokens", type=int, default=256)
@@ -130,10 +132,12 @@ def main(argv=None):
         gen_cfg = GenerationConfig(
             do_sample=True, temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, eos_token_id=eos_id, pad_token_id=pad_id)
+    buckets = tuple(int(b) for b in str(args.prompt_pad).split(","))
     eng = ContinuousBatcher(
         llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
-        max_len=args.prompt_pad + args.max_new_tokens,
-        prompt_pad=args.prompt_pad, eos_token_id=eos_id,
+        max_len=max(buckets) + args.max_new_tokens,
+        prompt_pad=buckets if len(buckets) > 1 else buckets[0],
+        eos_token_id=eos_id,
         cache_dtype=args.model_dtype, sync_every=args.sync_every,
         gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed))
 
@@ -164,9 +168,9 @@ def main(argv=None):
             attn = np.asarray(attn)
             for i, name in enumerate(batch["name"]):
                 row = embeds[i][attn[i] == 1]
-                if row.shape[0] > args.prompt_pad:
+                if row.shape[0] > max(buckets):
                     print(f"[serve] skipping {name}: prompt "
-                          f"{row.shape[0]} > --prompt_pad {args.prompt_pad}")
+                          f"{row.shape[0]} > --prompt_pad {max(buckets)}")
                     continue
                 trues[name] = tok.decode(
                     [t for t in batch["description_input_ids"][i].tolist()

@@ -1,27 +1,44 @@
 """ctypes bindings for the C++ featurization kernels (native/libfeaturize.so).
 
-Build with `make -C native` (g++ -O3 -fopenmp).  Falls back to the numpy
-implementations in pdb_graph.py when the library is absent — import errors
-here are expected and handled by callers.
+Build with `make -C native` (g++ -O3 -fopenmp) — or let the first use
+AUTO-BUILD it (one `make` subprocess when the .so is absent and a compiler
+exists).  Falls back to the numpy implementations in pdb_graph.py when the
+library can't be built — OSError here is expected and handled by callers.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import shutil
+import subprocess
 
 import numpy as np
 
 _LIB = None
 
 
+def _ensure_built(native_dir: str, path: str):
+    if os.path.exists(path):
+        return
+    if shutil.which("make") is None or shutil.which(
+            os.environ.get("CXX", "g++")) is None:
+        raise OSError("libfeaturize.so not built and no toolchain found")
+    r = subprocess.run(["make", "-C", native_dir], capture_output=True,
+                       text=True, timeout=120)
+    if r.returncode != 0 or not os.path.exists(path):
+        raise OSError(f"native build failed: {r.stderr[-500:]}")
+
+
 def _lib():
     global _LIB
     if _LIB is None:
-        path = os.path.join(
+        native_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))),
-            "native", "libfeaturize.so")
+            "native")
+        path = os.path.join(native_dir, "libfeaturize.so")
+        _ensure_built(native_dir, path)
         lib = ctypes.CDLL(path)
         lib.shrake_rupley.restype = None
         lib.shrake_rupley.argtypes = [

@@ -32,20 +32,25 @@ NEG = float(jnp.finfo(jnp.float32).min)
 
 def _kernel(idx_ref, q_ref, kn_ref, vn_ref, mask_ref, ck_ref, cv_ref, o_ref,
             *, rep: int):
-    # blocks: q (1, Hkv, rep, D); kn/vn (1, Hkv, D); mask (1, T);
+    # blocks: q (1, Hkv, rep, D); kn/vn (1, Hkv, D); mask FULL (B, T) (a
+    # (1, T) block would put 1 in the sublane dim — Mosaic-illegal; the
+    # whole mask is tiny, the program row-selects it);
     # ck/cv (1, 1, Hkv, T, D) for layer idx; out (1, Hkv, rep, D)
     del idx_ref
+    b = pl.program_id(0)
     ck = ck_ref[0, 0]                                   # (Hkv, T, D)
     cv = cv_ref[0, 0]
     q = q_ref[0]                                        # (Hkv, rep, D)
     logits = jax.lax.dot_general(
         q, ck, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)             # (Hkv, rep, T)
-    mask = mask_ref[0]                                  # (T,)
+    mask = mask_ref[b]                                  # (T,)
     logits = jnp.where(mask[None, None, :] > 0, logits, NEG)
-    ln = jax.lax.dot_general(
-        q, kn_ref[0].astype(q.dtype), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # (Hkv, rep)
+    # new-token logit as a multiply-reduce (Mosaic's tpu.matmul requires a
+    # vector-like rhs for this shape; the VPU lane reduce is trivial here)
+    ln = jnp.sum(q.astype(jnp.float32)
+                 * kn_ref[0].astype(jnp.float32)[:, None, :],
+                 axis=-1)                               # (Hkv, rep)
     m = jnp.maximum(jnp.max(logits, axis=-1), ln)       # (Hkv, rep)
     el = jnp.exp(logits - m[..., None])                 # (Hkv, rep, T)
     en = jnp.exp(ln - m)                                # (Hkv, rep)
@@ -74,7 +79,7 @@ def decode_attention_stacked(qg, ck_all, cv_all, kv_mask, k_new, v_new,
             pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
             pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
             pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
-            pl.BlockSpec((1, T), lambda b, idx: (b, 0)),
+            pl.BlockSpec((B, T), lambda b, idx: (0, 0)),
             pl.BlockSpec((1, 1, Hkv, T, D),
                          lambda b, idx: (idx[0], b, 0, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, T, D),

@@ -170,10 +170,25 @@ gen_cfg = GenerationConfig(max_new_tokens=NEW, eos_token_id=-1,
                            pad_token_id=0)
 
 
-def run_full():
+def run_full(new_tokens):
+    gc = GenerationConfig(max_new_tokens=new_tokens, eos_token_id=-1,
+                          pad_token_id=0)
     return np.asarray(generate(
         cfg, params, inputs_embeds=emb, attention_mask=mask,
-        gen_cfg=gen_cfg, attn_impl="xla", cache_dtype=jnp.bfloat16))
+        gen_cfg=gc, attn_impl="xla", cache_dtype=jnp.bfloat16))
 
 
-timeit(run_full, "full decode step ", steps=NEW)
+# two-point measurement — a single generate() call conflates the prefill
+# (~1.5 s at this scale) with the decode loop; round-3 lesson: the old
+# one-point number (43.8 ms/step) overstated the true 19.6 ms/step
+for n in (NEW // 2, NEW):
+    run_full(n)
+t = {}
+for n in (NEW // 2, NEW):
+    t0 = time.perf_counter()
+    for _ in range(3):
+        run_full(n)
+    t[n] = (time.perf_counter() - t0) / 3
+dt = (t[NEW] - t[NEW // 2]) / (NEW - NEW // 2)
+print(f"full decode step : {dt*1e3:8.2f} ms/step (two-point; prefill "
+      f"{max(t[NEW//2] - NEW//2*dt, 0):.2f} s)", flush=True)
