@@ -226,14 +226,18 @@ class ContinuousBatcher:
         # the only mode with exact generate() token parity)
         self.gen_cfg = gen_cfg
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # +1 scratch column (index max_len): inactive rows' per-step kv
-        # writes are redirected there (_decode_all) so a finished slot's
-        # real columns are never overwritten; kv_mask at the scratch column
-        # stays 0 forever, so it never enters attention
-        cache = init_kv_cache(cfg, max_slots, max_len + 1, cache_dtype)
+        # +1 scratch column: inactive rows' per-step kv writes are
+        # redirected to the LAST column (_decode_all) so a finished slot's
+        # real columns are never overwritten; kv_mask there stays 0
+        # forever, so it never enters attention.  Width rounds up to a
+        # multiple of 8 so the cache keeps Mosaic-tileable T and the
+        # Pallas grouped decode-attention kernel stays eligible
+        # (kernels/decode_attention.supports_decode_attention).
+        T_cache = -(-(max_len + 1) // 8) * 8
+        cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype)
         self.state = {
             "k": cache["k"], "v": cache["v"],
-            "kv_mask": jnp.zeros((max_slots, max_len + 1), jnp.int32),
+            "kv_mask": jnp.zeros((max_slots, T_cache), jnp.int32),
             "pos": jnp.zeros((max_slots,), jnp.int32),
             "next_slot": jnp.zeros((max_slots,), jnp.int32),
             "active": jnp.zeros((max_slots,), bool),
