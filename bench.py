@@ -122,7 +122,7 @@ def bench_sft_step():
           params_m=round(n_params / 1e6, 1))
 
 
-def _init_quantized_random(cfg, bits=8, int4_format="bytes"):
+def _init_quantized_random(cfg, bits=8, int4_format="planes"):
     """Random decoder params DIRECTLY in quantized form (an 8B bf16 init
     would not fit the chip before quantization; throughput does not depend
     on the values).  Every int8 layer leaf is independently random —

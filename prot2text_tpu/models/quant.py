@@ -62,12 +62,14 @@ def quantize_leaf(w, bits: int = 8):
 
 def quantize_params(params: Any,
                     target_patterns: Sequence[str] = DEFAULT_TARGETS,
-                    bits: int = 8, int4_format: str = "bytes") -> Any:
+                    bits: int = 8, int4_format: str = "planes") -> Any:
     """Returns a tree where targeted kernels are {kernel_q, scale} (bits=8)
-    or, for bits=4, {kernel_q4, scale} (int4_format="bytes": split-half
-    nibble bytes, kernels/quant_matmul.pack_int4) / {kernel_q4p, scale}
-    (int4_format="planes": i32 nibble-plane words, pack_int4_planes — the
-    kernel loads native i32 tiles, no i8 widening)."""
+    or, for bits=4, {kernel_q4p, scale} (int4_format="planes", the
+    default: i32 nibble-plane words, pack_int4_planes — the kernel loads
+    native i32 tiles, no i8 widening; measured +7% on the 14B one-chip
+    decode, scripts/bench_int4_formats.py) / {kernel_q4, scale}
+    (int4_format="bytes": split-half nibble bytes, pack_int4 — also the
+    automatic fallback when the contraction dim isn't divisible by 8)."""
     pats = [re.compile(p) for p in target_patterns]
 
     def walk(node, prefix):

@@ -79,10 +79,14 @@ def test_int4_quantization():
     cfg = LlamaConfig.tiny(vocab_size=128)
     params = init_decoder_params(cfg.core(), jax.random.PRNGKey(0))
     q4 = quantize_params(params, bits=4)
-    # nibble-packed along din: half the rows, int8 storage
-    kq4 = q4["layers"]["q_proj"]["kernel_q4"]
-    assert kq4.dtype == jnp.int8
-    assert kq4.shape[-2] == params["layers"]["q_proj"]["kernel"].shape[-2] // 2
+    # default format = nibble-PLANE i32 words: K/8 rows (round 3)
+    kq4 = q4["layers"]["q_proj"]["kernel_q4p"]
+    assert kq4.dtype == jnp.int32
+    assert kq4.shape[-2] == params["layers"]["q_proj"]["kernel"].shape[-2] // 8
+    # byte format still available and equivalent (see
+    # test_int4_plane_format_matches_byte_format)
+    qb = quantize_params(params, bits=4, int4_format="bytes")
+    assert qb["layers"]["q_proj"]["kernel_q4"].dtype == jnp.int8
 
     ids = np.random.default_rng(1).integers(0, 128, (2, 8))
     mask = np.ones((2, 8), np.int64)
