@@ -79,9 +79,13 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     causal = idx[None, :] <= idx[:, None]
     ok = jnp.logical_and(causal[None, None], mask[:, None, None, :] > 0)
     bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+    # forward-only prefill: masked flash where eligible — at the real
+    # ~1.6k-token chat prompts the XLA einsum path materializes the
+    # (B, H, P, P) fp32 logits (~3 GB at 8 slots x 1664 on the 8B), which
+    # both costs bandwidth and pressures XLA compilation at pool scale
     h, cache = decoder_forward(
         cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
-        kv_cache=cache, cache_index=0, attn_impl="xla",
+        kv_cache=cache, cache_index=0, attn_impl="flash",
         attn_lengths=contiguous_lengths(mask))
     logits = decoder_logits(cfg, params, h[:, -1:])[:, 0]
     if gen_cfg is not None and gen_cfg.do_sample:
