@@ -68,6 +68,11 @@ def build_parser():
                         "decoder (the draft sees the raw prompt tokens, not "
                         "the protein fusion — a weaker draft only costs "
                         "acceptance rate, never correctness)")
+    p.add_argument("--self_speculative_layers", type=int, default=0,
+                   help="with --speculative_gamma: draft with the TARGET's "
+                        "own first N layers + lm_head (early-exit / "
+                        "LayerSkip-style) instead of a separate draft "
+                        "model — no extra weights resident")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="light")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -135,7 +140,10 @@ def main(argv=None):
     if args.speculative_gamma > 0:
         if args.do_sample or args.num_beams > 1:
             raise SystemExit("speculative decoding is greedy-only")
-        if args.debug_tiny_model:
+        if args.self_speculative_layers > 0:
+            draft = "self"
+            draft_cfg = draft_params = None
+        elif args.debug_tiny_model:
             from ..models.qwen3 import init_qwen3_params
 
             draft_cfg = type(llm_cfg)(**{**llm_cfg.__dict__})
@@ -155,7 +163,8 @@ def main(argv=None):
             draft_params = qwen3_params_from_hf(
                 load_state_dict_dir(args.draft_checkpoint_dir),
                 draft_cfg.num_layers, args.model_dtype)
-        draft = (draft_cfg, draft_params)
+        if draft != "self":
+            draft = (draft_cfg, draft_params)
 
     results = {}
     t0 = time.time()
@@ -182,7 +191,16 @@ def main(argv=None):
                 input_ids=placed["input_ids"],
                 attention_mask=placed["attention_mask"],
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
-            if draft is not None:
+            if draft == "self":
+                from ..infer.speculative import self_speculative_generate
+
+                toks, _ = self_speculative_generate(
+                    llm_cfg.core(), params["llm_decoder"],
+                    inputs_embeds=embeds, attention_mask=attn,
+                    gen_cfg=gen_cfg,
+                    draft_layers=args.self_speculative_layers,
+                    gamma=args.speculative_gamma, attn_impl=args.attn_impl)
+            elif draft is not None:
                 from ..infer.speculative import speculative_generate
 
                 draft_cfg, draft_params = draft

@@ -58,7 +58,7 @@ def _chunk_bias(kv_mask, G: int, chunk_start, dtype=jnp.float32):
 @functools.partial(
     jax.jit,
     static_argnames=("target_cfg", "draft_cfg", "gen_cfg", "gamma",
-                     "attn_impl", "cache_dtype"),
+                     "attn_impl", "cache_dtype", "draft_num_layers"),
 )
 def speculative_generate(
     target_cfg: DecoderConfig,
@@ -73,9 +73,19 @@ def speculative_generate(
     gamma: int = 4,
     attn_impl: str = "xla",
     cache_dtype=None,
+    draft_num_layers: Optional[int] = None,
 ):
     """Returns (tokens (B, max_new), n_target_forwards scalar).  Greedy only
-    (gen_cfg.do_sample/num_beams must be off)."""
+    (gen_cfg.do_sample/num_beams must be off).
+
+    draft_num_layers=N turns on SELF-speculative (early-exit / LayerSkip
+    style) drafting: draft_cfg/draft_params must be the target's own — the
+    draft runs only the target's first N layers (no weight copies: the
+    layer scan indexes the full stacked params) and reads the target's own
+    final norm + lm_head on the layer-N hidden state.  The draft prefill is
+    FREE: layers 0..N-1 of the target's prompt cache are identical to what
+    an N-layer prefill would write (same weights, same inputs), so the
+    draft cache starts as a slice of the target cache."""
     B, P, _ = inputs_embeds.shape
     NEW = gen_cfg.max_new_tokens
     G = gamma + 1
@@ -100,7 +110,13 @@ def speculative_generate(
         return decoder_logits(cfg, params, h[:, -1:])[:, 0], cache
 
     tgt_logits0, tgt_cache = prefill(target_cfg, target_params, inputs_embeds)
-    _, drf_cache = prefill(draft_cfg, draft_params, draft_inputs_embeds)
+    if draft_num_layers is not None:
+        # self-draft: the first N layers of the target cache ARE the draft
+        # prefill (identical weights + inputs) — slice instead of recompute
+        drf_cache = {"k": tgt_cache["k"][:draft_num_layers],
+                     "v": tgt_cache["v"][:draft_num_layers]}
+    else:
+        _, drf_cache = prefill(draft_cfg, draft_params, draft_inputs_embeds)
 
     tok0 = jnp.argmax(tgt_logits0, axis=-1).astype(jnp.int32)
     tokens = jnp.full((B, NEW + G), pad, jnp.int32)
@@ -143,7 +159,8 @@ def speculative_generate(
                 draft_cfg, draft_params, token_embeds=emb_of(
                     draft_params, prev)[:, None, :],
                 bias_old=bias, positions=(pos_base + j)[:, None],
-                kv_cache=drf_cache, cache_index=base + j)
+                kv_cache=drf_cache, cache_index=base + j,
+                num_layers=draft_num_layers)
             kv_m = jax.lax.dynamic_update_slice(
                 kv_m, jnp.ones((B, 1), jnp.int32), (0, base + j))
             d = jnp.argmax(
@@ -217,3 +234,37 @@ def speculative_generate(
              kv_mask0, finished0, jnp.asarray(1, jnp.int32))
     (t, tokens, _, _, _, _, n_fwd) = jax.lax.while_loop(cond, body, state)
     return tokens[:, :NEW], n_fwd
+
+
+def self_speculative_generate(
+    cfg: DecoderConfig,
+    params,
+    *,
+    inputs_embeds,
+    attention_mask,
+    gen_cfg: GenerationConfig,
+    draft_layers: int,
+    gamma: int = 4,
+    attn_impl: str = "xla",
+    cache_dtype=None,
+):
+    """Self-speculative (early-exit) decoding: the draft is the target's own
+    first `draft_layers` layers + its final norm/lm_head — no second model,
+    no extra weights resident (LayerSkip/draft-and-verify family; beyond the
+    reference, which decodes one token per forward via HF GenerationMixin).
+
+    Same exactness guarantee as speculative_generate: greedy output is
+    token-identical to plain greedy generate() for ANY draft_layers; the
+    draft quality only changes how many target forwards it takes.  A draft
+    step costs ~draft_layers/num_layers of a full decode step (decode is
+    weight-read-bound), so the break-even acceptance rate is low.
+
+    Returns (tokens (B, max_new), n_target_forwards)."""
+    if not 0 < draft_layers < cfg.num_layers:
+        raise ValueError("draft_layers must be in (0, num_layers)")
+    return speculative_generate(
+        cfg, params, cfg, params,
+        inputs_embeds=inputs_embeds, draft_inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask, gen_cfg=gen_cfg, gamma=gamma,
+        attn_impl=attn_impl, cache_dtype=cache_dtype,
+        draft_num_layers=draft_layers)

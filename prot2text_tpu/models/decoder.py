@@ -180,8 +180,11 @@ def decoder_forward(
     from .transformer import linear_lora
 
     if num_layers is not None:
-        if kv_cache is not None:
-            raise ValueError("num_layers override is uncached-path only")
+        # cached use (self-speculative draft prefill) requires the caller's
+        # kv_cache leading dim to equal num_layers — the layer scan zips
+        # the sliced params with the cache
+        if kv_cache is not None and kv_cache["k"].shape[0] != num_layers:
+            raise ValueError("num_layers must match the kv_cache layer dim")
         params = dict(params,
                       layers=jax.tree_util.tree_map(
                           lambda a: a[:num_layers], params["layers"]))
@@ -316,6 +319,11 @@ def decoder_decode_step(
     cache_index,         # int32 slot for the current token's kv: scalar
                          # (lockstep generate) or (B,) per-row (continuous
                          # batching — every slot decodes at its own length)
+    num_layers: Optional[int] = None,  # run only the first N layers against
+                         # an N-layer cache (self-speculative draft: the
+                         # stacked params stay FULL — the layer scan and the
+                         # scalar-prefetch kernels just index li < N, so no
+                         # weight slice/copy ever materializes)
 ):
     """Single-token decode step optimized from profiler evidence: the
     generic scan-over-(params, cache) path spends ~45% of decode time
@@ -334,7 +342,7 @@ def decoder_decode_step(
     rep = H // Hkv
     layout = kv_cache_layout(cfg)
     T = kv_cache["k"].shape[3 if layout == "bktd" else 1]
-    L = cfg.num_layers
+    L = num_layers if num_layers is not None else cfg.num_layers
 
     cos, sin = decoder_rope_cos_sin(cfg, positions)   # (B, 1, D)
     scaling = D ** -0.5

@@ -106,3 +106,55 @@ def test_spec_decode_batch_one_smaller_draft():
         draft_inputs_embeds=demb, attention_mask=mask, gen_cfg=gen_cfg,
         gamma=3)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("draft_layers,gamma", [(1, 2), (1, 4)])
+def test_self_speculative_exact(draft_layers, gamma):
+    """Self-draft (first-N layers + target lm_head) keeps greedy parity."""
+    from prot2text_tpu.infer.speculative import self_speculative_generate
+
+    cfg, target, emb, mask = _setup()
+    gen_cfg = GenerationConfig(max_new_tokens=11, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, n_fwd = self_speculative_generate(
+        cfg, target, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=gen_cfg, draft_layers=draft_layers, gamma=gamma)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(n_fwd) <= 1 + 11   # never worse than one verify per token
+
+
+def test_self_speculative_deeper_stack():
+    """4-layer target, 2-layer self-draft: cache slice + num_layers scan."""
+    from prot2text_tpu.infer.speculative import self_speculative_generate
+
+    cfg = DecoderConfig(vocab_size=96, hidden_size=64, num_layers=4,
+                        num_heads=4, num_kv_heads=2, intermediate_size=128,
+                        head_dim=16, rope_theta=1e4)
+    target = init_decoder_params(cfg, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(8)
+    emb = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32))
+    mask = np.ones((2, 5), np.int64)
+    mask[1, 0] = 0
+    gen_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=jnp.asarray(mask),
+                               gen_cfg=gen_cfg))
+    got, _ = self_speculative_generate(
+        cfg, target, inputs_embeds=emb, attention_mask=jnp.asarray(mask),
+        gen_cfg=gen_cfg, draft_layers=2, gamma=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_self_speculative_validates_draft_layers():
+    from prot2text_tpu.infer.speculative import self_speculative_generate
+
+    cfg, target, emb, mask = _setup()
+    gen_cfg = GenerationConfig(max_new_tokens=4, eos_token_id=9999,
+                               pad_token_id=95)
+    with pytest.raises(ValueError):
+        self_speculative_generate(cfg, target, inputs_embeds=emb,
+                                  attention_mask=mask, gen_cfg=gen_cfg,
+                                  draft_layers=cfg.num_layers, gamma=2)
