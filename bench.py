@@ -660,6 +660,27 @@ def main():
     t_start = time.monotonic()
     headline_line = None
 
+    # Pre-flight tunnel probe: a wedged remote-execution tunnel (observed
+    # lasting tens of minutes, not just the usual minutes-long windows)
+    # would otherwise burn every metric's full timeout×retries budget.  A
+    # 75 s probe subprocess is ~6× cheaper per attempt than a metric, so
+    # wait the wedge out here — up to 25% of the budget — before starting
+    # the expensive work.  If the tunnel never answers, proceed anyway:
+    # the per-metric retries remain the last line of defense.
+    while time.monotonic() - t_start < 0.25 * budget:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", __file__, "--probe"],
+                capture_output=True, text=True, timeout=75)
+            if r.returncode == 0 and "probe ok" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[bench] tunnel probe failed at "
+              f"{time.monotonic() - t_start:.0f}s; waiting out the wedge",
+              file=sys.stderr)
+        time.sleep(20)
+
     def emit_line(line):
         # one atomic write; headline re-emitted so it is ALWAYS last
         nonlocal headline_line
@@ -705,6 +726,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        x = jnp.ones((256, 256), jnp.bfloat16)
+        print("probe ok", float(jnp.sum(x @ x)))
+        sys.exit(0)
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         try:
             globals()[sys.argv[2]]()

@@ -102,3 +102,127 @@ def supports_decode_attention(cfg, cache_shape) -> bool:
     L, B, Hkv, T, D = cache_shape
     tile_bytes = 2 * Hkv * T * D * 2
     return D % 128 == 0 and T % 8 == 0 and tile_bytes <= 24 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# fused attention + cache slot write
+#
+# The standalone slot-write kernels (kernels/cache_update.py) read-modify-
+# write one (8, D) tile group per (layer, batch, head) AGAIN from HBM —
+# ~0.9 ms/step at the 8B B=128 flagship on top of the attention read.  But
+# this kernel already has the full (Hkv, T, D) layer tile in VMEM, so the
+# new slot's tile group can be written back through an ALIASED full-cache
+# output whose block is just that (Hkv, 8, D) group: the RMW's read half is
+# free and only the store bytes remain.  Slots are per-row (a (B,) vector,
+# scalar-prefetched and indexed by the grid id inside the index_map — the
+# paged-attention trick), so lockstep decode (all rows share one slot) and
+# the serving engine's per-row slots go through the same kernel.
+
+
+def _kernel_write(idx_ref, q_ref, kn_ref, vn_ref, mask_ref, ck_ref, cv_ref,
+                  o_ref, cko_ref, cvo_ref, *, rep: int):
+    b = pl.program_id(0)
+    Hkv, T, D = ck_ref.shape[2], ck_ref.shape[3], ck_ref.shape[4]
+    ck = ck_ref[0, 0]                                   # (Hkv, T, D)
+    cv = cv_ref[0, 0]
+    q = q_ref[0]                                        # (Hkv, rep, D)
+    kn = kn_ref[0]                                      # (Hkv, D)
+    vn = vn_ref[0]
+    logits = jax.lax.dot_general(
+        q, ck, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, T)
+    mask = mask_ref[b]                                  # (T,)
+    logits = jnp.where(mask[None, None, :] > 0, logits, NEG)
+    ln = jnp.sum(q.astype(jnp.float32)
+                 * kn.astype(jnp.float32)[:, None, :],
+                 axis=-1)                               # (Hkv, rep)
+    m = jnp.maximum(jnp.max(logits, axis=-1), ln)
+    el = jnp.exp(logits - m[..., None])
+    en = jnp.exp(ln - m)
+    denom = jnp.sum(el, axis=-1) + en
+    a = jax.lax.dot_general(
+        el.astype(cv.dtype), cv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    a = a + en[..., None] * vn.astype(jnp.float32)[:, None, :]
+    o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
+
+    # -- write the new slot's (Hkv, 8, D) tile group back -------------------
+    # The stale group is extracted from the tile ALREADY IN VMEM with a
+    # one-hot MXU contraction (a dynamic sublane slice is Mosaic-hostile;
+    # the 8×T one-hot matmul is ~0.1 µs and exact: bf16 · {0,1} with fp32
+    # accumulation round-trips bit-identically).
+    slot = idx_ref[1 + b]
+    tg = slot // 8
+    r = slot - tg * 8
+    tt = jax.lax.broadcasted_iota(jnp.int32, (8, T), 1)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0)
+    sel = (tt == tg * 8 + ss).astype(jnp.float32)       # (8, T) one-hot
+    selb = jnp.broadcast_to(sel[None], (Hkv, 8, T))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 8, D), 1)
+    old_k = jax.lax.dot_general(
+        selb, ck.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, 8, D)
+    old_v = jax.lax.dot_general(
+        selb, cv.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    cko_ref[0, 0] = jnp.where(
+        rows == r, kn.astype(jnp.float32)[:, None, :], old_k
+    ).astype(cko_ref.dtype)
+    cvo_ref[0, 0] = jnp.where(
+        rows == r, vn.astype(jnp.float32)[:, None, :], old_v
+    ).astype(cvo_ref.dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_write(qg, ck_all, cv_all, kv_mask, k_new, v_new,
+                                   layer, slots, *, interpret: bool = False):
+    """Fused decode attention + in-place KV slot write.
+
+    qg: (B, Hkv, rep, D) pre-scaled; ck_all/cv_all: (L, B, Hkv, T, D),
+    DONATED and updated in place; kv_mask: (B, T) 0/1 over already-written
+    slots (the slot being written this step must be 0 — the current token's
+    k/v ride in as the extra logit column); k_new/v_new: (B, Hkv, D);
+    layer: scalar int32; slots: scalar or (B,) int32 cache slot per row.
+    Returns (attn (B, Hkv, rep, D), ck_all, cv_all)."""
+    L, B, Hkv, T, D = ck_all.shape
+    rep = qg.shape[2]
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((B, T), lambda b, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 8, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0)),
+            pl.BlockSpec((1, 1, Hkv, 8, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_write, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, ck_all.dtype),
+            jax.ShapeDtypeStruct(cv_all.shape, cv_all.dtype),
+        ],
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg, k_new, v_new, kv_mask.astype(jnp.int32), ck_all, cv_all)

@@ -427,7 +427,7 @@ def decoder_decode_step(
                 return y.reshape(*lead, wp.shape[-1])
         return linear(fetch(sub, li), x_)
 
-    def block(x, li):
+    def qkv(x, li):
         xn = rms_norm(fetch(layers["input_ln"], li), x, cfg.rms_norm_eps)
         q = proj("q_proj", li, xn).reshape(B, H, D)
         k = proj("k_proj", li, xn).reshape(B, Hkv, D)
@@ -438,7 +438,49 @@ def decoder_decode_step(
         q = apply_rope(q[:, :, None, :], cos, sin).reshape(B, H, D)
         k = apply_rope(k.reshape(B, Hkv, 1, D), cos, sin).reshape(B, Hkv, D)
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
-        qg = q.reshape(B, Hkv, rep, D)
+        return q.reshape(B, Hkv, rep, D), k, v
+
+    def post_attn(x, a, li):
+        a = a.reshape(B, 1, H * D)
+        x = x + proj("o_proj", li, a)
+        xn = rms_norm(fetch(layers["post_attn_ln"], li), x, cfg.rms_norm_eps)
+        gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
+        up = proj("up_proj", li, xn).astype(jnp.float32)
+        return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+
+    # Fused attention + slot write (kernels/decode_attention.py
+    # decode_attention_stacked_write): the attention kernel already holds
+    # the layer's full cache tile in VMEM, so the new slot's (8, D) tile
+    # group is written back through an aliased output — the standalone
+    # RMW write kernels' read half (and their dispatches) disappear.  The
+    # cache rides in the scan CARRY; the per-layer aliased writes keep it
+    # in place.  MEASURED (scripts/bench_decode_fused.py, 8B int8): the
+    # scan-carried cache costs MORE than the fused RMW saves — 18.76 vs
+    # 18.61 ms/step at B=128 and 11.63 vs 11.30 at B=16 (greedy tokens
+    # identical) — so fusion is OPT-IN (P2T_FUSED_CACHE_WRITE=1), kept for
+    # per-row-slot experiments, not the default dispatch.
+    use_fused_write = (use_pallas_attn
+                       and bool(os.environ.get("P2T_FUSED_CACHE_WRITE")))
+    if use_fused_write:
+        from ..kernels.decode_attention import decode_attention_stacked_write
+
+        slots = jnp.asarray(cache_index, jnp.int32)
+
+        def block_fused(carry, li):
+            x, ck_a, cv_a = carry
+            qg, k, v = qkv(x, li)
+            a, ck_a, cv_a = decode_attention_stacked_write(
+                qg, ck_a, cv_a, kv_mask01, k.astype(qg.dtype),
+                v.astype(qg.dtype), li, slots)
+            return (post_attn(x, a.astype(x.dtype), li), ck_a, cv_a), None
+
+        (h, ck_all, cv_all), _ = jax.lax.scan(
+            block_fused, (token_embeds, ck_all, cv_all), jnp.arange(L))
+        h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+        return h, {"k": ck_all, "v": cv_all}
+
+    def block(x, li):
+        qg, k, v = qkv(x, li)
 
         if use_pallas_attn:
             a = decode_attention_stacked(
@@ -466,12 +508,7 @@ def decoder_decode_step(
                            ).astype(x.dtype)
             a = a + (w_new * v[:, :, None, :].astype(w_new.dtype)
                      ).astype(x.dtype)
-        a = a.reshape(B, 1, H * D)
-        x = x + proj("o_proj", li, a)
-        xn = rms_norm(fetch(layers["post_attn_ln"], li), x, cfg.rms_norm_eps)
-        gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
-        up = proj("up_proj", li, xn).astype(jnp.float32)
-        x = x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+        x = post_attn(x, a, li)
         # cache stays READ-ONLY inside the scan; new kv returned as ys and
         # written with ONE small dynamic_update_slice below — keeping the
         # cache out of scan carries/ys is what lets XLA update it in place
