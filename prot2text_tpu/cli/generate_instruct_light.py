@@ -73,6 +73,13 @@ def build_parser():
                         "own first N layers + lm_head (early-exit / "
                         "LayerSkip-style) instead of a separate draft "
                         "model — no extra weights resident")
+    p.add_argument("--prompt_lookup_tokens", type=int, default=0,
+                   help="draft this many tokens per verify by n-gram "
+                        "lookup over the text prompt + generated tokens "
+                        "(HF generate(prompt_lookup_num_tokens=...) "
+                        "equivalent; training-free, exact greedy outputs)")
+    p.add_argument("--prompt_lookup_ngram", type=int, default=2,
+                   help="match length for --prompt_lookup_tokens")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="light")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -137,6 +144,12 @@ def main(argv=None):
         early_stopping=args.early_stopping)
 
     draft = None
+    if args.prompt_lookup_tokens > 0 and args.speculative_gamma > 0:
+        raise SystemExit("--prompt_lookup_tokens and --speculative_gamma "
+                         "are mutually exclusive draft sources")
+    if args.prompt_lookup_tokens > 0 and (args.do_sample
+                                          or args.num_beams > 1):
+        raise SystemExit("speculative decoding is greedy-only")
     if args.speculative_gamma > 0:
         if args.do_sample or args.num_beams > 1:
             raise SystemExit("speculative decoding is greedy-only")
@@ -191,7 +204,19 @@ def main(argv=None):
                 input_ids=placed["input_ids"],
                 attention_mask=placed["attention_mask"],
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
-            if draft == "self":
+            if args.prompt_lookup_tokens > 0:
+                from ..infer.speculative import prompt_lookup_generate
+
+                toks, _ = prompt_lookup_generate(
+                    llm_cfg.core(), params["llm_decoder"],
+                    inputs_embeds=embeds, attention_mask=attn,
+                    gen_cfg=gen_cfg,
+                    prompt_ids=placed["input_ids"],
+                    prompt_ids_mask=placed["attention_mask"],
+                    gamma=args.prompt_lookup_tokens,
+                    ngram=args.prompt_lookup_ngram,
+                    attn_impl=args.attn_impl)
+            elif draft == "self":
                 from ..infer.speculative import self_speculative_generate
 
                 toks, _ = self_speculative_generate(

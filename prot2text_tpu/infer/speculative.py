@@ -55,6 +55,61 @@ def _chunk_bias(kv_mask, G: int, chunk_start, dtype=jnp.float32):
     return jnp.where(ok, jnp.zeros([], dtype), jnp.full([], neg, dtype))
 
 
+def _verify_accept(cfg, params, *, tokens, tgt_cache, kv_mask, finished,
+                   prev, drafts, t, base, pos_base, gamma, eos, pad,
+                   dtype, attn_impl):
+    """Target verification of a drafted chunk + the exact greedy acceptance
+    rule, shared by every speculative variant (model-draft, self-draft,
+    prompt-lookup): one G=gamma+1-token target forward over
+    [prev, drafts...], accept the longest prefix where draft == target
+    argmax, emit the target's own token at the first mismatch (bonus), and
+    advance the whole batch by the batch-minimum acceptance (lockstep —
+    every cache write stays a scalar-indexed static slab).
+
+    Returns (tokens, tgt_cache, kv_mask, finished, a) with `a` the scalar
+    accepted-draft count (0..gamma)."""
+    B, G = drafts.shape[0], gamma + 1
+    chunk_toks = jnp.concatenate([prev[:, None], drafts], axis=1)   # (B, G)
+    chunk_emb = params["embed_tokens"][chunk_toks].astype(dtype)
+    bias = _chunk_bias(kv_mask, G, base)
+    pos = pos_base[:, None] + jnp.arange(G)[None, :]
+    h, tgt_cache = decoder_forward(
+        cfg, params, inputs_embeds=chunk_emb, bias=bias,
+        positions=pos, kv_cache=tgt_cache, cache_index=base,
+        attn_impl=attn_impl)
+    tgt_greedy = jnp.argmax(
+        decoder_logits(cfg, params, h), axis=-1).astype(jnp.int32)  # (B, G)
+
+    match = drafts == tgt_greedy[:, :gamma]                   # (B, gamma)
+    acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    acc_eff = jnp.where(finished, gamma, acc)
+    a = jnp.min(acc_eff)                                      # scalar
+    out_chunk = jnp.concatenate(
+        [drafts, tgt_greedy[:, -1:]], axis=1)                 # (B, G)
+    bonus = jnp.take_along_axis(tgt_greedy, a[None].repeat(B)[:, None],
+                                axis=1)[:, 0]
+    out_chunk = jnp.where(
+        jnp.arange(G)[None, :] == a, bonus[:, None], out_chunk)
+    keep = jnp.arange(G)[None, :] <= a                        # (B, G)
+
+    eos_hit = jnp.logical_and(keep, out_chunk == eos)
+    after_eos = jnp.cumsum(
+        jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
+                         eos_hit.astype(jnp.int32)[:, :-1]], axis=1),
+        axis=1) > 0
+    emit = jnp.where(
+        jnp.logical_or(~keep, finished[:, None] | after_eos),
+        pad, out_chunk)
+    tokens = jax.lax.dynamic_update_slice(tokens, emit, (0, t))
+    finished = jnp.logical_or(finished, eos_hit.any(axis=1))
+
+    slot_idx = jnp.arange(kv_mask.shape[1])[None, :]
+    newly_valid = jnp.logical_and(
+        slot_idx >= base, slot_idx < base + 1 + a)
+    kv_mask = jnp.where(newly_valid, 1, kv_mask)
+    return tokens, tgt_cache, kv_mask, finished, a
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("target_cfg", "draft_cfg", "gen_cfg", "gamma",
@@ -177,55 +232,16 @@ def speculative_generate(
             0, gamma + 1, draft_step, (drf_cache, kv_mask, prev, drafts0))
         drafts = drafts_all[:, :gamma]
 
-        # --- target verifies the chunk [prev, drafts...] in ONE forward
-        chunk_toks = jnp.concatenate([prev[:, None], drafts], axis=1)  # (B,G)
-        chunk_emb = emb_of(target_params, chunk_toks)
-        bias = _chunk_bias(kv_mask, G, base)
-        pos = pos_base[:, None] + jnp.arange(G)[None, :]
-        h, tgt_cache = decoder_forward(
-            target_cfg, target_params, inputs_embeds=chunk_emb, bias=bias,
-            positions=pos, kv_cache=tgt_cache, cache_index=base,
-            attn_impl=attn_impl)
-        tgt_greedy = jnp.argmax(
-            decoder_logits(target_cfg, target_params, h),
-            axis=-1).astype(jnp.int32)                        # (B, G)
-
-        # --- acceptance: longest prefix where draft == target greedy, then
-        # the target's own token at the first mismatch (bonus token)
-        match = drafts == tgt_greedy[:, :gamma]               # (B, gamma)
-        acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
-        # lockstep: advance by the batch minimum (ignore finished rows)
-        acc_eff = jnp.where(finished, gamma, acc)
-        a = jnp.min(acc_eff)                                  # scalar 0..gamma
-        # accepted tokens: drafts[:, :a] then bonus tgt_greedy[:, a]
-        out_chunk = jnp.concatenate(
-            [drafts, tgt_greedy[:, -1:]], axis=1)             # (B, G)
-        bonus = jnp.take_along_axis(tgt_greedy, a[None].repeat(B)[:, None],
-                                    axis=1)[:, 0]
-        out_chunk = jnp.where(
-            jnp.arange(G)[None, :] == a, bonus[:, None], out_chunk)
-        keep = jnp.arange(G)[None, :] <= a                    # (B, G)
-
-        # eos / finished handling: pad after eos, stop rows at eos
-        eos_hit = jnp.logical_and(keep, out_chunk == eos)
-        after_eos = jnp.cumsum(
-            jnp.concatenate([jnp.zeros((B, 1), jnp.int32),
-                             eos_hit.astype(jnp.int32)[:, :-1]], axis=1),
-            axis=1) > 0
-        emit = jnp.where(
-            jnp.logical_or(~keep, finished[:, None] | after_eos),
-            pad, out_chunk)
-        tokens = jax.lax.dynamic_update_slice(tokens, emit, (0, t))
-        new_finished = jnp.logical_or(finished, eos_hit.any(axis=1))
-
-        # kv_mask: target chunk wrote slots [base, base+G); only the first
-        # a+1 of them (prev + accepted drafts) are valid going forward —
-        # INCLUDING slot base (token t-1 now has kv).  Note the bonus
-        # token's kv is NOT written yet (it is next iteration's `prev`).
-        slot_idx = jnp.arange(NEW + G + P)[None, :]
-        newly_valid = jnp.logical_and(
-            slot_idx >= base, slot_idx < base + 1 + a)
-        kv_mask = jnp.where(newly_valid, 1, kv_mask)
+        # --- target verifies [prev, drafts...] in ONE forward; exact greedy
+        # acceptance + eos/kv_mask bookkeeping shared with prompt-lookup.
+        # kv note: the chunk wrote slots [base, base+G); only the first a+1
+        # (prev + accepted drafts) become valid — the bonus token's kv is
+        # NOT written yet (it is next iteration's `prev`).
+        tokens, tgt_cache, kv_mask, new_finished, a = _verify_accept(
+            target_cfg, target_params, tokens=tokens, tgt_cache=tgt_cache,
+            kv_mask=kv_mask, finished=finished, prev=prev, drafts=drafts,
+            t=t, base=base, pos_base=pos_base, gamma=gamma, eos=eos,
+            pad=pad, dtype=dtype, attn_impl=attn_impl)
 
         return (t + 1 + a, tokens, tgt_cache, drf_cache, kv_mask,
                 new_finished, n_fwd + 1)
@@ -268,3 +284,151 @@ def self_speculative_generate(
         attention_mask=attention_mask, gen_cfg=gen_cfg, gamma=gamma,
         attn_impl=attn_impl, cache_dtype=cache_dtype,
         draft_num_layers=draft_layers)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_cfg", "gamma", "ngram", "attn_impl",
+                     "cache_dtype"),
+)
+def prompt_lookup_generate(
+    cfg: DecoderConfig,
+    params,
+    *,
+    inputs_embeds,          # (B, P, H) left-padded prompt embeddings
+    attention_mask,         # (B, P)
+    gen_cfg: GenerationConfig,
+    prompt_ids=None,        # optional (B, Pp) int32 token ids to match in
+    prompt_ids_mask=None,   # (B, Pp) 0/1 validity for prompt_ids
+    gamma: int = 4,
+    ngram: int = 2,
+    attn_impl: str = "xla",
+    cache_dtype=None,
+):
+    """Prompt-lookup (n-gram) speculative decoding — the reference's HF
+    `generate(prompt_lookup_num_tokens=...)` capability
+    (transformers PromptLookupCandidateGenerator; exposed to every
+    reference pipeline through GenerationMixin, e.g.
+    /root/reference/scripts/generate_instruct.py:72-87): drafts come from
+    matching the last `ngram` accepted tokens against the token history
+    and copying the `gamma` tokens that followed the MOST RECENT previous
+    occurrence.  Training-free, no draft model, no extra weights — the
+    only cost per iteration is the same G=gamma+1-token verify forward the
+    other speculative variants pay, which at the HBM-bound decode regime
+    costs about one plain step.
+
+    The history is the generated tokens so far plus (optionally)
+    `prompt_ids` — in the composed protein→text models most of the prompt
+    is protein EMBEDDINGS with no token ids, so unlike HF the text ids are
+    passed separately and the protein span simply never matches.  Rows
+    whose history has no match draft `pad` and advance by the bonus token
+    (exactly plain greedy).  Greedy-exact for ANY history by the shared
+    acceptance rule (_verify_accept).
+
+    Returns (tokens (B, max_new), n_target_forwards)."""
+    B, P, _ = inputs_embeds.shape
+    NEW = gen_cfg.max_new_tokens
+    G = gamma + 1
+    T = P + NEW + G
+    eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
+    dtype = cache_dtype or inputs_embeds.dtype
+
+    positions = jnp.clip(
+        jnp.cumsum(attention_mask, axis=1) - 1, 0, None).astype(jnp.int32)
+    last_pos = positions[:, -1]
+
+    cache = init_kv_cache(cfg, B, T, dtype)
+    bias = _prefill_bias(attention_mask, T)
+    h, tgt_cache = decoder_forward(
+        cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
+        positions=positions, kv_cache=cache, cache_index=0,
+        attn_impl=attn_impl)
+    tok0 = jnp.argmax(
+        decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1
+    ).astype(jnp.int32)
+    tokens = jnp.full((B, NEW + G), pad, jnp.int32)
+    tokens = tokens.at[:, 0].set(tok0)
+    finished0 = tok0 == eos
+    kv_mask0 = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.zeros((B, NEW + G), jnp.int32)], axis=1)         # (B, T)
+
+    # -- static history prefix: invalid positions get a -1 sentinel, which
+    # can never equal a real token id, so pads/protein spans never match
+    if prompt_ids is None:
+        Pp = 0
+        hist_prompt = jnp.zeros((B, 0), jnp.int32)
+    else:
+        Pp = prompt_ids.shape[1]
+        valid = (jnp.ones_like(prompt_ids) if prompt_ids_mask is None
+                 else prompt_ids_mask.astype(jnp.int32))
+        hist_prompt = jnp.where(valid > 0, prompt_ids.astype(jnp.int32), -1)
+    HL = Pp + NEW + G
+    W = HL - ngram + 1            # n-gram window starts
+
+    def cond(state):
+        (t, _, _, _, finished, _) = state
+        return jnp.logical_and(t < NEW, ~jnp.all(finished))
+
+    def body(state):
+        (t, tokens, tgt_cache, kv_mask, finished, n_fwd) = state
+        base = P + t - 1
+        pos_base = last_pos + t
+        prev = jnp.take_along_axis(
+            tokens, (t - 1)[None].repeat(B)[:, None], axis=1)[:, 0]
+
+        # --- n-gram lookup draft (pure array ops, no model, no cache).
+        # Drafted ONE token at a time, each appended to the history before
+        # the next match: a single gamma-token gather from the most recent
+        # match would run past the known tokens whenever the repetition
+        # period is < gamma (the continuation of the most recent
+        # occurrence IS the unknown future) — chasing the draft's own
+        # appended tokens handles any period.  gamma × (B × HL) integer
+        # compares: negligible next to the verify forward.
+        gen_valid = jnp.arange(NEW + G)[None, :] < t
+        histx = jnp.concatenate(
+            [hist_prompt, jnp.where(gen_valid, tokens, -1)], axis=1)
+
+        def draft_one(j, carry):
+            histx, drafts = carry
+            end = Pp + t + j          # history length incl. drafts so far
+            gram_pos = jnp.clip(
+                end - ngram + jnp.arange(ngram)[None, :], 0, HL - 1)
+            prevgram = jnp.take_along_axis(
+                histx, jnp.broadcast_to(gram_pos, (B, ngram)), axis=1)
+            mall = jnp.ones((B, W), bool)
+            for k in range(ngram):
+                mall = jnp.logical_and(
+                    mall, histx[:, k:W + k] == prevgram[:, k][:, None])
+            # start s matches gram [s, s+ngram); its continuation s+ngram
+            # must be a KNOWN position (< end, i.e. exclude the trailing
+            # gram itself); the full trailing gram must exist
+            svalid = jnp.arange(W)[None, :] < (end - ngram)
+            ok = jnp.logical_and(jnp.logical_and(mall, svalid),
+                                 t + j >= ngram)
+            score = jnp.where(ok, jnp.arange(W)[None, :], -1)
+            s_best = jnp.max(score, axis=1)                   # (B,)
+            nxt = jnp.take_along_axis(
+                histx, jnp.clip(s_best + ngram, 0, HL - 1)[:, None],
+                axis=1)[:, 0]
+            nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, pad), 0)
+            drafts = jax.lax.dynamic_update_slice(
+                drafts, nxt[:, None], (0, j))
+            histx = jax.lax.dynamic_update_slice(
+                histx, nxt[:, None], (0, end))
+            return histx, drafts
+
+        _, drafts = jax.lax.fori_loop(
+            0, gamma, draft_one, (histx, jnp.zeros((B, gamma), jnp.int32)))
+
+        tokens, tgt_cache, kv_mask, finished, a = _verify_accept(
+            cfg, params, tokens=tokens, tgt_cache=tgt_cache,
+            kv_mask=kv_mask, finished=finished, prev=prev, drafts=drafts,
+            t=t, base=base, pos_base=pos_base, gamma=gamma, eos=eos,
+            pad=pad, dtype=dtype, attn_impl=attn_impl)
+        return (t + 1 + a, tokens, tgt_cache, kv_mask, finished, n_fwd + 1)
+
+    state = (jnp.asarray(1, jnp.int32), tokens, tgt_cache, kv_mask0,
+             finished0, jnp.asarray(1, jnp.int32))
+    (t, tokens, _, _, _, n_fwd) = jax.lax.while_loop(cond, body, state)
+    return tokens[:, :NEW], n_fwd

@@ -6,7 +6,8 @@ The lockstep A/B (scripts/bench_decode_fused.py) showed fusion LOSES at
 scalar slots (the scan-carried cache costs more than the RMW write saves);
 per-row slots go through `.at[:, bidx, :, idx, :].set` — a batched scatter
 XLA may or may not keep in place — so it gets its own measurement at the
-serving flagship shape (8B int8, 16 slots, T=1728).
+serving flagship shape (8B int8, 8 slots, T=1728; 16 slots OOM-hangs the
+tunnel: params 9.5 GB + 4.5 GB cache + scatter temps exceed the 16 GB chip).
 
     P2T_FUSED_CACHE_WRITE=1 python scripts/bench_decode_perrow.py fused
     python scripts/bench_decode_perrow.py split              (default dispatch)
@@ -28,7 +29,12 @@ from prot2text_tpu.models.llama import LlamaConfig          # noqa: E402
 from prot2text_tpu.models.decoder import decoder_decode_step  # noqa: E402
 
 label = sys.argv[1] if len(sys.argv) > 1 else "?"
-B, T, STEPS = 16, 1728, 32
+# tiny first dispatch: the tunnel wedge hits at FIRST dispatch (CLAUDE.md)
+# and big first dispatches (the 8B init) appear to wedge far more often
+_w = jnp.ones((8, 8), jnp.bfloat16)
+jax.block_until_ready(_w @ _w)
+print(f"{label}: warm", flush=True)
+B, T, STEPS = 8, 1728, 32
 cfg = LlamaConfig.llama_3_1_8b().core()
 params = _init_quantized_random(cfg, bits=8)
 L, Hkv, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim

@@ -219,6 +219,22 @@ def test_generate_light_self_speculative_cli(csv_path, tmp_path):
     assert all("pred" in v for v in data.values())
 
 
+def test_generate_light_prompt_lookup_cli(csv_path, tmp_path):
+    """--prompt_lookup_tokens: n-gram lookup drafting, no draft model."""
+    from prot2text_tpu.cli.generate_instruct_light import main as gen_main
+
+    gen_main(["--test_csv", csv_path, "--debug_tiny_model", "true",
+              "--model_dtype", "fp32", "--attn_impl", "xla",
+              "--batch_size", "2", "--max_new_tokens", "4",
+              "--prompt_lookup_tokens", "3",
+              "--output_dir", str(tmp_path / "pld_res")])
+    out = glob.glob(str(tmp_path / "pld_res" / "*.json"))
+    assert out
+    data = json.load(open(out[0]))
+    assert len(data) == 4
+    assert all("pred" in v for v in data.values())
+
+
 def test_serve_cli_continuous(csv_path, tmp_path):
     """The continuous-batching serving CLI produces the reference output
     format; predictions must match the lockstep generator CLI's for the

@@ -158,3 +158,65 @@ def test_self_speculative_validates_draft_layers():
         self_speculative_generate(cfg, target, inputs_embeds=emb,
                                   attention_mask=mask, gen_cfg=gen_cfg,
                                   draft_layers=cfg.num_layers, gamma=2)
+
+
+@pytest.mark.parametrize("ngram,gamma", [(2, 3), (3, 4)])
+def test_prompt_lookup_exact(ngram, gamma):
+    """Prompt-lookup drafts (any history) keep greedy output identical."""
+    from prot2text_tpu.infer.speculative import prompt_lookup_generate
+    cfg, target, emb, mask = _setup()
+    gen_cfg = GenerationConfig(max_new_tokens=14, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    got, n_fwd = prompt_lookup_generate(
+        cfg, target, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=gen_cfg, gamma=gamma, ngram=ngram)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert 1 <= int(n_fwd) <= 14
+
+
+def test_prompt_lookup_accelerates_repetitive_output():
+    """Tiny random decoders degenerate into repeating tokens — exactly the
+    regime n-gram lookup exploits; the verify-forward count must drop well
+    below one-per-token."""
+    from prot2text_tpu.infer.speculative import prompt_lookup_generate
+    cfg, target, _, mask = _setup()
+    # prompt seed chosen so BOTH rows settle into short-period repetition
+    # early (row0 constant, row1 period 3 from ~index 10) — lockstep
+    # batch-min acceptance needs every row to repeat before it can jump
+    rng = np.random.default_rng(6)
+    emb = jnp.asarray(rng.standard_normal((2, 6, cfg.hidden_size))
+                      .astype(np.float32))
+    gen_cfg = GenerationConfig(max_new_tokens=24, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    # precondition for the acceleration claim: the tails actually repeat
+    assert (want[:, -1] == want[:, -4]).all()
+    assert (want[:, -2] == want[:, -5]).all()
+    got, n_fwd = prompt_lookup_generate(
+        cfg, target, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=gen_cfg, gamma=4, ngram=2)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # measured 16 verify forwards for 24 tokens; assert with slack
+    assert int(n_fwd) <= 20
+
+
+def test_prompt_lookup_with_prompt_ids():
+    """Matches may come from supplied prompt token ids (mask respected)."""
+    from prot2text_tpu.infer.speculative import prompt_lookup_generate
+    cfg, target, emb, mask = _setup()
+    gen_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg))
+    rng = np.random.default_rng(3)
+    pids = jnp.asarray(rng.integers(0, 96, (2, 8)), jnp.int32)
+    pmask = jnp.asarray([[0, 0, 1, 1, 1, 1, 1, 1],
+                         [1, 1, 1, 1, 1, 1, 1, 1]], jnp.int32)
+    got, _ = prompt_lookup_generate(
+        cfg, target, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=gen_cfg, prompt_ids=pids, prompt_ids_mask=pmask,
+        gamma=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(got), want)
