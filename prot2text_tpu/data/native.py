@@ -24,10 +24,24 @@ def _ensure_built(native_dir: str, path: str):
     if shutil.which("make") is None or shutil.which(
             os.environ.get("CXX", "g++")) is None:
         raise OSError("libfeaturize.so not built and no toolchain found")
-    r = subprocess.run(["make", "-C", native_dir], capture_output=True,
-                       text=True, timeout=120)
-    if r.returncode != 0 or not os.path.exists(path):
-        raise OSError(f"native build failed: {r.stderr[-500:]}")
+    # every failure mode must surface as OSError — that is the module's
+    # fallback contract (callers catch OSError and use the numpy path); a
+    # leaked TimeoutExpired/SubprocessError would crash the data pipeline.
+    # An flock serializes first-use races between forkserver loader workers
+    # (two parallel makes would clobber each other's .o files).
+    import fcntl
+
+    with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if os.path.exists(path):      # another worker built it meanwhile
+            return
+        try:
+            r = subprocess.run(["make", "-C", native_dir],
+                               capture_output=True, text=True, timeout=120)
+        except subprocess.SubprocessError as e:
+            raise OSError(f"native build did not complete: {e!r}") from e
+        if r.returncode != 0 or not os.path.exists(path):
+            raise OSError(f"native build failed: {r.stderr[-500:]}")
 
 
 def _lib():

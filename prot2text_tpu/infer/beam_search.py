@@ -39,23 +39,35 @@ def _expand_beams(x, K):
     return jnp.repeat(x, K, axis=0)
 
 
-def _select_candidates(cand_flat, n, gen_cfg: GenerationConfig, key):
-    """Top-n candidate selection over the flat (B, K*V) scores.
-
-    Greedy beams: plain top_k.  Beam-SAMPLE (HF `_beam_sample`,
-    do_sample=True with num_beams>1): the HF warper pipeline (temperature →
-    top-k → top-p, the same filter_logits generate() uses) runs over the
-    flat beam×vocab scores, n candidates are drawn WITHOUT replacement from
-    softmax(warped) — realized exactly by Gumbel-top-k — and each keeps its
-    UNWARPED score for beam bookkeeping (HF gathers from the pre-warp
-    scores too)."""
+def _warp_rows(logp, gen_cfg: GenerationConfig):
+    """Beam-sample warping, HF placement: transformers >=4.45 merges the
+    warpers (temperature → top-k → top-p) into the logits_processor list,
+    applied to each beam's (B*K, V) log-softmax row BEFORE the cumulative
+    beam scores are added (generation/utils.py:3283-3314 in 4.57) — so the
+    accumulated score is a SUM of warped per-token log-probs and never
+    explodes at small temperatures.  No-op for greedy beams."""
     if not gen_cfg.do_sample:
-        return jax.lax.top_k(cand_flat, n)
-    warped = filter_logits(cand_flat, gen_cfg)
+        return logp
+    return filter_logits(logp, gen_cfg)
+
+
+def _select_candidates(cand, n, gen_cfg: GenerationConfig, key):
+    """Top-n candidate selection over (B, K, V) accumulated scores (K=1
+    for the step-0 prompt distribution); returns ((B, n) scores, flat K*V
+    ids).  Greedy beams: plain top_k over the flat (B, K*V).  Beam-SAMPLE
+    (HF do_sample=True with num_beams>1): n candidates are drawn WITHOUT
+    replacement from softmax of the flat accumulated scores
+    (torch.multinomial in _get_top_k_continuations,
+    generation/utils.py:3012-3016 — realized exactly by Gumbel-top-k) and
+    keep their accumulated scores for beam bookkeeping."""
+    B, K, V = cand.shape
+    flat = cand.reshape(B, K * V)
+    if not gen_cfg.do_sample:
+        return jax.lax.top_k(flat, n)
     gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(key, warped.shape, minval=1e-20, maxval=1.0)))
-    _, idx = jax.lax.top_k(warped + gumbel, n)
-    return jnp.take_along_axis(cand_flat, idx, axis=1), idx
+        jax.random.uniform(key, flat.shape, minval=1e-20, maxval=1.0)))
+    _, idx = jax.lax.top_k(flat + gumbel, n)
+    return jnp.take_along_axis(flat, idx, axis=1), idx
 
 
 @functools.partial(
@@ -101,8 +113,9 @@ def beam_search(
         positions=positions, kv_cache=cache_b, cache_index=0,
         attn_impl="flash" if attn_impl == "auto" else attn_impl,
         attn_lengths=contiguous_lengths(attention_mask))
-    logp0 = jax.nn.log_softmax(
-        decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1)  # (B, V)
+    logp0 = _warp_rows(jax.nn.log_softmax(
+        decoder_logits(cfg, params, h[:, -1:])[:, 0], axis=-1),
+        gen_cfg)                                                # (B, V)
 
     from .kvcache import batch_axis
 
@@ -119,7 +132,8 @@ def beam_search(
 
     # step 0: top-K (or, under do_sample, K sampled without replacement)
     # tokens of the prompt distribution seed the beams
-    top0_scores, top0_tokens = _select_candidates(logp0, K, gen_cfg, key0)
+    top0_scores, top0_tokens = _select_candidates(
+        logp0[:, None, :], K, gen_cfg, key0)
     alive_tokens = jnp.full((B, K, NEW), pad, jnp.int32)
     alive_tokens = alive_tokens.at[:, :, 0].set(top0_tokens)
     alive_scores = top0_scores                              # (B, K)
@@ -152,15 +166,15 @@ def beam_search(
             kv_cache=cache, cache_index=P + t - 1)
         kv_mask = jax.lax.dynamic_update_slice(
             kv_mask, jnp.ones((B * K, 1), jnp.int32), (0, P + t - 1))
-        logp = jax.nn.log_softmax(
-            decoder_logits(cfg, params, h)[:, 0], axis=-1)     # (B*K, V)
+        logp = _warp_rows(jax.nn.log_softmax(
+            decoder_logits(cfg, params, h)[:, 0], axis=-1),
+            gen_cfg)                                           # (B*K, V)
         logp = logp.reshape(B, K, V)
 
         cand = alive_scores[:, :, None] + logp                 # (B, K, V)
-        cand_flat = cand.reshape(B, K * V)
         rng, key_t = jax.random.split(rng)
         top_scores, top_idx = _select_candidates(
-            cand_flat, 2 * K, gen_cfg, key_t)                  # (B, 2K)
+            cand, 2 * K, gen_cfg, key_t)                       # (B, 2K)
         top_beam = top_idx // V
         top_token = top_idx % V
         is_eos = top_token == eos

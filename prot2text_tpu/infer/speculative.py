@@ -402,10 +402,13 @@ def prompt_lookup_generate(
                     mall, histx[:, k:W + k] == prevgram[:, k][:, None])
             # start s matches gram [s, s+ngram); its continuation s+ngram
             # must be a KNOWN position (< end, i.e. exclude the trailing
-            # gram itself); the full trailing gram must exist
+            # gram itself).  Grams spanning the prompt/generated boundary
+            # are allowed (HF prompt-lookup matches over the full history);
+            # when end < ngram there is no full trailing gram and svalid
+            # is empty, so no extra guard is needed — prompt pad sentinels
+            # (-1) can sit inside the trailing gram and simply never match.
             svalid = jnp.arange(W)[None, :] < (end - ngram)
-            ok = jnp.logical_and(jnp.logical_and(mall, svalid),
-                                 t + j >= ngram)
+            ok = jnp.logical_and(mall, svalid)
             score = jnp.where(ok, jnp.arange(W)[None, :], -1)
             s_best = jnp.max(score, axis=1)                   # (B,)
             nxt = jnp.take_along_axis(

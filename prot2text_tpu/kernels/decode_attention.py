@@ -97,10 +97,11 @@ def decode_attention_stacked(qg, ck_all, cv_all, kv_mask, k_new, v_new,
     )(idx, qg, k_new, v_new, kv_mask.astype(jnp.int32), ck_all, cv_all)
 
 
-def supports_decode_attention(cfg, cache_shape) -> bool:
+def supports_decode_attention(cfg, cache_shape, cache_dtype=None) -> bool:
     """bktd layout (D=128 flagships), whole-head tile fits VMEM."""
     L, B, Hkv, T, D = cache_shape
-    tile_bytes = 2 * Hkv * T * D * 2
+    itemsize = 2 if cache_dtype is None else jnp.dtype(cache_dtype).itemsize
+    tile_bytes = 2 * Hkv * T * D * itemsize
     return D % 128 == 0 and T % 8 == 0 and tile_bytes <= 24 * 1024 * 1024
 
 

@@ -364,7 +364,8 @@ def decoder_decode_step(
 
     use_pallas_attn = (on_tpu_q4 and layout == "bktd"
                        and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
-                       and supports_decode_attention(cfg, ck_all.shape))
+                       and supports_decode_attention(cfg, ck_all.shape,
+                                                     ck_all.dtype))
     kv_mask01 = (bias_o[:, 0, 0, :] >= -1e30).astype(jnp.int32)  # (B, T)
 
     def fetch(sub, li):

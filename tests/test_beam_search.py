@@ -153,10 +153,12 @@ def test_generation_config_kwarg_accepted(hf_llama):
 
 
 def test_beam_sample_mechanics():
-    """Beam-SAMPLE (HF _beam_sample semantics: warpers over flat beam×vocab
-    scores, 2K drawn without replacement, unwarped score bookkeeping).
-    Stochastic path — pinned mechanically: deterministic per key, differs
-    across keys, and the temperature→0 limit recovers greedy beam search."""
+    """Beam-SAMPLE (transformers >=4.45 unified _beam_search semantics:
+    warpers per beam row BEFORE the beam scores are added, 2K drawn
+    without replacement from the flat accumulated scores, accumulated
+    score bookkeeping).  Stochastic path — pinned mechanically:
+    deterministic per key, differs across keys, and the temperature→0
+    limit recovers greedy beam search."""
     import jax
 
     from prot2text_tpu.infer.generate import GenerationConfig

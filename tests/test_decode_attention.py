@@ -45,6 +45,13 @@ def test_supports_gate():
     assert supports_decode_attention(C(), (32, 16, 8, 192, 128))
     assert not supports_decode_attention(C(), (32, 16, 8, 193, 128))  # T%8
     assert not supports_decode_attention(C(), (32, 16, 8, 192, 64))   # D
+    # VMEM bound respects the actual cache dtype (16.8 MB bf16 tile fits
+    # the 24 MB gate; the same shape in f32 is 33.5 MB and must not)
+    assert supports_decode_attention(C(), (2, 2, 8, 4096, 128))
+    assert supports_decode_attention(C(), (2, 2, 8, 4096, 128),
+                                     jnp.bfloat16)
+    assert not supports_decode_attention(C(), (2, 2, 8, 4096, 128),
+                                         jnp.float32)
 
 
 @pytest.mark.parametrize("per_row", [False, True])
