@@ -57,6 +57,11 @@ def build_parser():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--prompt_lookup_tokens", type=int, default=0,
+                   help="n-gram lookup speculative decoding (HF "
+                        "generate(prompt_lookup_num_tokens=...); exact "
+                        "greedy outputs, training-free)")
+    p.add_argument("--prompt_lookup_ngram", type=int, default=2)
     p.add_argument("--edge_budget", type=int, default=16384)
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="instruct")
@@ -133,7 +138,9 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, do_sample=args.do_sample,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         num_beams=args.num_beams, length_penalty=args.length_penalty,
-        early_stopping=args.early_stopping)
+        early_stopping=args.early_stopping,
+        prompt_lookup_tokens=args.prompt_lookup_tokens,
+        prompt_lookup_ngram=args.prompt_lookup_ngram)
     pad_id = llama_cfg.pad_token_id
 
     results = {}

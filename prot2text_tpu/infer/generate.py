@@ -43,6 +43,10 @@ class GenerationConfig:
     # (generate_instruct.py:43-48; HF BeamHypotheses semantics)
     length_penalty: float = 1.0
     early_stopping: bool = False
+    # HF generate(prompt_lookup_num_tokens=...): n-gram lookup speculative
+    # decoding (greedy-only, exact outputs; infer/speculative.py)
+    prompt_lookup_tokens: int = 0
+    prompt_lookup_ngram: int = 2
 
 
 def resolve_generation_config(eos_token_id, pad_token_id,
@@ -118,9 +122,15 @@ def _prefill_bias(attention_mask, max_len: int, dtype=jnp.float32):
 
 
 def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
-                   rng=None, attn_impl="xla", cache_dtype=None):
+                   rng=None, attn_impl="xla", cache_dtype=None,
+                   prompt_ids=None, prompt_ids_mask=None):
     """Dispatch greedy/sampling vs beam search on gen_cfg.num_beams
-    (reference --num_beams flag, generate_instruct.py:43)."""
+    (reference --num_beams flag, generate_instruct.py:43) vs prompt-lookup
+    speculative decoding on gen_cfg.prompt_lookup_tokens (HF
+    generate(prompt_lookup_num_tokens=...)).  prompt_ids/prompt_ids_mask:
+    optional text-token ids the n-gram lookup may match in (the composed
+    models pass their chat-prompt ids; the protein span is embeddings-only
+    and has no ids)."""
     if gen_cfg.num_beams > 1:
         from .beam_search import beam_search
 
@@ -131,6 +141,20 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
             length_penalty=gen_cfg.length_penalty,
             early_stopping=gen_cfg.early_stopping,
             attn_impl=attn_impl, cache_dtype=cache_dtype, rng=rng)
+    if gen_cfg.prompt_lookup_tokens > 0:
+        if gen_cfg.do_sample:
+            raise ValueError("prompt_lookup_tokens is greedy-only "
+                             "(speculative decoding)")
+        from .speculative import prompt_lookup_generate
+
+        toks, _ = prompt_lookup_generate(
+            cfg, params, inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, gen_cfg=gen_cfg,
+            prompt_ids=prompt_ids, prompt_ids_mask=prompt_ids_mask,
+            gamma=gen_cfg.prompt_lookup_tokens,
+            ngram=gen_cfg.prompt_lookup_ngram,
+            attn_impl=attn_impl, cache_dtype=cache_dtype)
+        return toks
     return generate(cfg, params, inputs_embeds=inputs_embeds,
                     attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,
                     attn_impl=attn_impl, cache_dtype=cache_dtype)

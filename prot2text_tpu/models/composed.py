@@ -141,6 +141,7 @@ class Esm2LlamaInstructForCausalLM:
                  **gen_kwargs):
         """Prompt-only inputs; output contains ONLY new tokens (reference
         modeling_esm2llama_instruct.py:229)."""
+        text_ids, text_mask = inputs, attention_mask
         inputs_embeds, attention_mask = self.apply(
             self.config, self.params,
             input_ids=inputs, attention_mask=attention_mask,
@@ -156,7 +157,8 @@ class Esm2LlamaInstructForCausalLM:
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl)
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            prompt_ids=text_ids, prompt_ids_mask=text_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -323,7 +325,8 @@ class Esm2LlamaForCausalLM:
         new_tokens = run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=full_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl)
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            prompt_ids=inputs, prompt_ids_mask=attention_mask)
         return jnp.concatenate([inputs, new_tokens], axis=1)
 
 
@@ -424,6 +427,7 @@ class Esm2Rgcn2LlamaInstructForCausalLM:
     def generate(self, inputs, attention_mask=None, protein_input_ids=None,
                  protein_attention_mask=None, graph_edge_index=None,
                  graph_edge_type=None, graph_edge_mask=None, **gen_kwargs):
+        text_ids, text_mask = inputs, attention_mask
         inputs_embeds, attention_mask = self.apply(
             self.config, self.params,
             input_ids=inputs, attention_mask=attention_mask,
@@ -441,7 +445,8 @@ class Esm2Rgcn2LlamaInstructForCausalLM:
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl)
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            prompt_ids=text_ids, prompt_ids_mask=text_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +575,7 @@ class ESMCQwen:
                  **gen_kwargs):
         if protein_sequences is None and protein_input_ids is None:
             raise ValueError("protein_sequences must be provided for generation")
+        text_ids, text_mask = input_ids, attention_mask
         inputs_embeds, attention_mask = self.forward(
             protein_sequences=protein_sequences,
             protein_input_ids=protein_input_ids,
@@ -584,4 +590,5 @@ class ESMCQwen:
         return run_generation(
             qc.core(), self.params["llm_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl)
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            prompt_ids=text_ids, prompt_ids_mask=text_mask)

@@ -137,6 +137,28 @@ def test_generate_instruct_cli_with_graph(instruct_root, csv_path, tmp_path):
     assert out and len(json.load(open(out[0]))) == 4
 
 
+def test_generate_instruct_cli_prompt_lookup_matches_plain(
+        instruct_root, csv_path, tmp_path):
+    """--prompt_lookup_tokens through the composed-model generate() surface
+    must reproduce plain greedy predictions exactly (same seeded model)."""
+    from prot2text_tpu.cli.generate_instruct import main as gen_main
+
+    common = ["--data_root", instruct_root, "--test_csv", csv_path,
+              "--debug_tiny_model", "true", "--model_dtype", "fp32",
+              "--attn_impl", "xla", "--batch_size", "2",
+              "--max_new_tokens", "6"]
+    gen_main(common + ["--output_dir", str(tmp_path / "plain")])
+    gen_main(common + ["--prompt_lookup_tokens", "3",
+                       "--output_dir", str(tmp_path / "pld")])
+    plain = json.load(open(glob.glob(
+        str(tmp_path / "plain" / "*instruct*.json"))[0]))
+    pld = json.load(open(glob.glob(
+        str(tmp_path / "pld" / "*instruct*.json"))[0]))
+    assert plain.keys() == pld.keys() and len(plain) == 4
+    for k in plain:
+        assert plain[k]["pred"] == pld[k]["pred"]
+
+
 def test_train_rgcn_instruct_cli(instruct_root, csv_path, tmp_path):
     from prot2text_tpu.cli.train_rgcn_instruct import main
 
