@@ -453,15 +453,23 @@ def decoder_decode_step(
     # decode_attention_stacked_write): the attention kernel already holds
     # the layer's full cache tile in VMEM, so the new slot's (8, D) tile
     # group is written back through an aliased output — the standalone
-    # RMW write kernels' read half (and their dispatches) disappear.  The
-    # cache rides in the scan CARRY; the per-layer aliased writes keep it
-    # in place.  MEASURED (scripts/bench_decode_fused.py, 8B int8): the
-    # scan-carried cache costs MORE than the fused RMW saves — 18.76 vs
-    # 18.61 ms/step at B=128 and 11.63 vs 11.30 at B=16 (greedy tokens
-    # identical) — so fusion is OPT-IN (P2T_FUSED_CACHE_WRITE=1), kept for
-    # per-row-slot experiments, not the default dispatch.
-    use_fused_write = (use_pallas_attn
-                       and bool(os.environ.get("P2T_FUSED_CACHE_WRITE")))
+    # write's read half (and its dispatches) disappear.  The cache rides
+    # in the scan CARRY; the per-layer aliased writes keep it in place.
+    # MEASURED dispatch policy (8B int8, scripts/bench_decode_fused.py +
+    # bench_decode_perrow.py, identical outputs in both):
+    #   * scalar slots (lockstep generate): fusion LOSES — the carried
+    #     cache costs more than the RMW write saves (18.76 vs 18.61
+    #     ms/step at B=128; 11.63 vs 11.30 at B=16) → split is default,
+    #     P2T_FUSED_CACHE_WRITE=1 opts in.
+    #   * per-row slots (continuous-batching serving): fusion WINS 1.75x
+    #     (13.98 vs 24.52 ms/step at B=8, T=1728) — the XLA batched
+    #     scatter `.at[:, bidx, :, idx, :].set` copies the whole cache —
+    #     → fused is default, P2T_NO_FUSED_CACHE_WRITE=1 opts out.
+    per_row_slots = getattr(cache_index, "ndim", 0) == 1
+    use_fused_write = use_pallas_attn and (
+        bool(os.environ.get("P2T_FUSED_CACHE_WRITE"))
+        or (per_row_slots
+            and not os.environ.get("P2T_NO_FUSED_CACHE_WRITE")))
     if use_fused_write:
         from ..kernels.decode_attention import decode_attention_stacked_write
 

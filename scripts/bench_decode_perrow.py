@@ -56,8 +56,12 @@ jax.block_until_ready(cache["v"])
 print(f"{label}: cache ready", flush=True)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def step(state):
+# params MUST be a jit argument: closing over them captures ~7 GB of
+# CONSTANTS into the lowered module (jax warns "large amount of constants
+# captured"), and the remote compile of that module never finishes — that,
+# not the tunnel, was this probe's original multi-attempt "hang".
+@functools.partial(jax.jit, donate_argnums=(1,))
+def step(params, state):
     cache, lengths, x = state
     tpos = jnp.arange(T)[None, :]
     bias = jnp.where(tpos < lengths[:, None], 0.0, -jnp.inf
@@ -70,13 +74,13 @@ def step(state):
 
 x0 = jnp.asarray(rng.standard_normal((B, 1, cfg.hidden_size)), jnp.bfloat16)
 state = (cache, lengths0, x0)
-state = step(state)
-jax.block_until_ready(state[2])
-print(f"{label}: compiled", flush=True)
-t0 = time.perf_counter()
+state = step(params, state)
+np.asarray(state[2])     # block_until_ready does NOT reliably block
+print(f"{label}: compiled", flush=True)   # through the remote tunnel —
+t0 = time.perf_counter()                  # force a host transfer instead
 for _ in range(STEPS):
-    state = step(state)
-jax.block_until_ready(state[2])
+    state = step(params, state)
+h_host = np.asarray(state[2])
 dt = (time.perf_counter() - t0) / STEPS
 print(f"{label} perrow B={B} T={T}: {dt*1e3:7.2f} ms/step  "
-      f"{B/dt:7.1f} tok/s  h00={float(state[2][0, 0, 0]):.4f}", flush=True)
+      f"{B/dt:7.1f} tok/s  h00={float(h_host[0, 0, 0]):.4f}", flush=True)
