@@ -156,7 +156,7 @@ def _init_quantized_random(cfg, bits=8, int4_format="planes"):
 
 
 def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
-                  quant_direct=False):
+                  quant_direct=False, kv_bits=None):
     """Two-point measurement (scripts/bench_decode_gap.py evidence): one
     generate() call conflates the prompt PREFILL (compute-bound, ~1.5 s at
     8B B=128 P=128) with the decode loop (bandwidth-bound, at the HBM
@@ -190,7 +190,8 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
         def run():
             toks = generate(cfg, params, inputs_embeds=emb,
                             attention_mask=mask, gen_cfg=gen_cfg,
-                            attn_impl="xla", cache_dtype=dtype)
+                            attn_impl="xla", cache_dtype=dtype,
+                            kv_bits=kv_bits)
             return np.asarray(toks)
 
         return run
@@ -206,8 +207,9 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
     weight_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
         if hasattr(x, "dtype"))
+    cache_itemsize = 1 if kv_bits else 2     # int8 KV halves the cache read
     cache_bytes = (2 * cfg.num_layers * (P + NEW / 2) * B
-                   * cfg.num_kv_heads * cfg.head_dim * 2)
+                   * cfg.num_kv_heads * cfg.head_dim * cache_itemsize)
     gbps = (weight_bytes + cache_bytes) / decode_dt / 1e9
     _emit(name, toks_per_sec, "tokens/s",
           hbm_gbps=round(gbps, 1),
@@ -286,6 +288,21 @@ def bench_decode_8b_int8_b128():
     cfg = LlamaConfig.llama_3_1_8b().core()
     _bench_decode(cfg, "decode_tokens_per_sec_int8_llama31_8b_b128_one_chip",
                   quant_bits=8, quant_direct=True, B=128, NEW=64)
+
+
+def bench_decode_8b_int8_kv8_b128():
+    """Headline configuration + int8 KV cache (kv_bits=8): the B=128 decode
+    step is weights (MXU floor) + attention cache read (HBM floor) — the
+    int8 cache halves the read bytes of the second term (~4 ms of the
+    18.7 ms step at T=192) and the fused Pallas kernel
+    (decode_attention_stacked_write_q) folds the dequant + the quantized
+    slot write in.  ~0.4% logit RMS error (tests/test_kv_quant.py)."""
+    from prot2text_tpu.models.llama import LlamaConfig
+
+    cfg = LlamaConfig.llama_3_1_8b().core()
+    _bench_decode(cfg,
+                  "decode_tokens_per_sec_int8_kv8_llama31_8b_b128_one_chip",
+                  quant_bits=8, quant_direct=True, B=128, NEW=64, kv_bits=8)
 
 
 def bench_serving_continuous():
@@ -627,6 +644,7 @@ METRICS = (
     "bench_decode_8b_int8",           # BASELINE: decode tokens/s
     "bench_descriptions_per_hour",    # BASELINE: north-star proxy
     # -- flagship-scale secondary metrics ---------------------------------
+    "bench_decode_8b_int8_kv8_b128",
     "bench_decode_14b_int4",
     "bench_contrastive_flagship",
     "bench_sft_flagship",

@@ -62,6 +62,9 @@ def build_parser():
                         "generate(prompt_lookup_num_tokens=...); exact "
                         "greedy outputs, training-free)")
     p.add_argument("--prompt_lookup_ngram", type=int, default=2)
+    p.add_argument("--kv_bits", type=int, default=None,
+                   help="8 = int8 KV cache (half the decode-attention HBM "
+                        "bytes; ~0.4%% logit RMS error)")
     p.add_argument("--edge_budget", type=int, default=16384)
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="instruct")
@@ -140,7 +143,8 @@ def main(argv=None):
         num_beams=args.num_beams, length_penalty=args.length_penalty,
         early_stopping=args.early_stopping,
         prompt_lookup_tokens=args.prompt_lookup_tokens,
-        prompt_lookup_ngram=args.prompt_lookup_ngram)
+        prompt_lookup_ngram=args.prompt_lookup_ngram,
+        kv_bits=args.kv_bits)
     pad_id = llama_cfg.pad_token_id
 
     results = {}

@@ -68,6 +68,9 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--kv_bits", type=int, default=None,
+                   help="8 = int8 KV cache pool (half the decode-attention "
+                        "HBM bytes per slot; ~0.4%% logit RMS error)")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="serve")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -139,7 +142,8 @@ def main(argv=None):
         prompt_pad=buckets if len(buckets) > 1 else buckets[0],
         eos_token_id=eos_id,
         cache_dtype=args.model_dtype, sync_every=args.sync_every,
-        gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed))
+        gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed),
+        kv_bits=args.kv_bits)
 
     trues = {}
     results = {}

@@ -123,7 +123,7 @@ def _prefill_bias(attention_mask, max_len: int, dtype=jnp.float32):
 
 def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
                    rng=None, attn_impl="xla", cache_dtype=None,
-                   prompt_ids=None, prompt_ids_mask=None):
+                   prompt_ids=None, prompt_ids_mask=None, kv_bits=None):
     """Dispatch greedy/sampling vs beam search on gen_cfg.num_beams
     (reference --num_beams flag, generate_instruct.py:43) vs prompt-lookup
     speculative decoding on gen_cfg.prompt_lookup_tokens (HF
@@ -131,6 +131,10 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
     optional text-token ids the n-gram lookup may match in (the composed
     models pass their chat-prompt ids; the protein span is embeddings-only
     and has no ids)."""
+    if kv_bits is not None and (gen_cfg.num_beams > 1
+                                or gen_cfg.prompt_lookup_tokens > 0):
+        raise ValueError("kv_bits quantized KV cache supports plain "
+                         "greedy/sampling generate() only")
     if gen_cfg.num_beams > 1:
         from .beam_search import beam_search
 
@@ -157,12 +161,13 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
         return toks
     return generate(cfg, params, inputs_embeds=inputs_embeds,
                     attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,
-                    attn_impl=attn_impl, cache_dtype=cache_dtype)
+                    attn_impl=attn_impl, cache_dtype=cache_dtype,
+                    kv_bits=kv_bits)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "gen_cfg", "attn_impl", "cache_dtype"),
+    static_argnames=("cfg", "gen_cfg", "attn_impl", "cache_dtype", "kv_bits"),
 )
 def generate(
     cfg: DecoderConfig,
@@ -174,10 +179,17 @@ def generate(
     rng: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     cache_dtype=None,
+    kv_bits=None,         # 8 = int8 KV cache (infer/kvcache.py) — halves
+                          # the decode-attention HBM bytes at the measured
+                          # single-chip bandwidth floor
 ):
     """Returns (B, max_new_tokens) int32, pad-filled after EOS."""
     B, P, H = inputs_embeds.shape
     T = P + gen_cfg.max_new_tokens
+    if kv_bits is not None:
+        # the fused int8 write kernel's tile groups are 32 sublanes — pad
+        # the cache width up; the extra columns' kv_mask stays 0 forever
+        T = -(-T // 32) * 32
     dtype = cache_dtype or inputs_embeds.dtype
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -189,7 +201,7 @@ def generate(
 
     from ..models.decoder import contiguous_lengths
 
-    cache = init_kv_cache(cfg, B, T, dtype)
+    cache = init_kv_cache(cfg, B, T, dtype, kv_bits=kv_bits)
     bias = _prefill_bias(attention_mask, T)
     # prefill is forward-only: force flash where eligible (wins at every
     # causal S, not just the auto rule's >=1024 training threshold)
@@ -211,7 +223,7 @@ def generate(
 
     kv_mask = jnp.concatenate(
         [attention_mask.astype(jnp.int32),
-         jnp.zeros((B, gen_cfg.max_new_tokens), jnp.int32)], axis=1)
+         jnp.zeros((B, T - P), jnp.int32)], axis=1)
 
     def cond(state):
         t, _, _, _, finished, _ = state

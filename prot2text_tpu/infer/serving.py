@@ -72,7 +72,8 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     loop.  Rows not being installed keep their current contents exactly.
     Returns (state, tok0 (max_slots,))."""
     B = state["pos"].shape[0]
-    cache = init_kv_cache(cfg, B, prompt_pad, emb.dtype)
+    kv_bits = 8 if "k_scale" in state else None   # dict structure is static
+    cache = init_kv_cache(cfg, B, prompt_pad, emb.dtype, kv_bits=kv_bits)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
                          ).astype(jnp.int32)
     idx = jnp.arange(prompt_pad)
@@ -105,6 +106,11 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
         state["v"] = state["v"].at[:, :, :, :prompt_pad, :].set(
             jnp.where(sel, cache["v"].astype(state["v"].dtype),
                       state["v"][:, :, :, :prompt_pad, :]))
+        if kv_bits is not None:            # scale slabs (L, B, K, P)
+            sel3 = inst[None, :, None, None]
+            for s in ("k_scale", "v_scale"):
+                state[s] = state[s].at[:, :, :, :prompt_pad].set(
+                    jnp.where(sel3, cache[s], state[s][:, :, :, :prompt_pad]))
     else:                                  # (L, P, B, K, D) seq-leading
         sel = inst[None, None, :, None, None]
         state["k"] = state["k"].at[:, :prompt_pad].set(
@@ -144,10 +150,14 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
     B = state["pos"].shape[0]
     bidx = jnp.arange(B)
 
+    cdt = state["k"].dtype
+    if cdt == jnp.int8:                    # quantized pool: compute in bf16
+        cdt = jnp.bfloat16
+
     def step(carry, _):
         state, rng = carry
         emb = params["embed_tokens"][state["last_tok"]][:, None, :].astype(
-            state["k"].dtype)
+            cdt)
         bias = _bias_from_kv_mask(state["kv_mask"], 1)
         pos = (state["pos"] + 1)[:, None]
         # decoder_decode_step writes k/v for EVERY row; inactive rows are
@@ -156,11 +166,15 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
         # finished slot's cache stays intact until its refill
         scratch = state["kv_mask"].shape[1] - 1
         write_idx = jnp.where(state["active"], state["next_slot"], scratch)
+        kv = {"k": state["k"], "v": state["v"]}
+        if "k_scale" in state:             # int8 KV pool (kv_bits=8)
+            kv["k_scale"] = state["k_scale"]
+            kv["v_scale"] = state["v_scale"]
         h, cache = decoder_decode_step(
             cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
-            kv_cache={"k": state["k"], "v": state["v"]},
-            cache_index=write_idx)
-        state["k"], state["v"] = cache["k"], cache["v"]
+            kv_cache=kv, cache_index=write_idx)
+        for key_ in cache:
+            state[key_] = cache[key_]
         state["kv_mask"] = state["kv_mask"].at[bidx, write_idx].set(
             jnp.where(state["active"], 1, state["kv_mask"][bidx, write_idx]))
         logits = decoder_logits(cfg, params, h)[:, 0]
@@ -211,7 +225,7 @@ class ContinuousBatcher:
     def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
                  max_len: int, prompt_pad=64,
                  eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
-                 sync_every: int = 1, gen_cfg=None, rng=None):
+                 sync_every: int = 1, gen_cfg=None, rng=None, kv_bits=None):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -237,8 +251,12 @@ class ContinuousBatcher:
         # multiple of 8 so the cache keeps Mosaic-tileable T and the
         # Pallas grouped decode-attention kernel stays eligible
         # (kernels/decode_attention.supports_decode_attention).
-        T_cache = -(-(max_len + 1) // 8) * 8
-        cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype)
+        # int8 KV pool (kv_bits=8): width rounds to the fused write
+        # kernel's 32-sublane int8 tile groups instead
+        mult = 32 if kv_bits is not None else 8
+        T_cache = -(-(max_len + 1) // mult) * mult
+        cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype,
+                              kv_bits=kv_bits)
         self.state = {
             "k": cache["k"], "v": cache["v"],
             "kv_mask": jnp.zeros((max_slots, T_cache), jnp.int32),
@@ -248,6 +266,9 @@ class ContinuousBatcher:
             "last_tok": jnp.zeros((max_slots,), jnp.int32),
             "budget": jnp.zeros((max_slots,), jnp.int32),
         }
+        if kv_bits is not None:
+            self.state["k_scale"] = cache["k_scale"]
+            self.state["v_scale"] = cache["v_scale"]
         self.queue: deque[_Request] = deque()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]

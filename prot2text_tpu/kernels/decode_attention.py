@@ -227,3 +227,161 @@ def decode_attention_stacked_write(qg, ck_all, cv_all, kv_mask, k_new, v_new,
             has_side_effects=True),
         interpret=interpret,
     )(idx, qg, k_new, v_new, kv_mask.astype(jnp.int32), ck_all, cv_all)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache: fused dequant-attention + quantized slot write
+#
+# The decode-attention read IS the single-chip bandwidth floor (the bf16
+# kernel above measures ~97% of HBM at the 8B flagship), so the remaining
+# lever is fewer bytes: the cache stores int8 values + one fp32 scale per
+# (head, token) vector (models/quant.quantize_kv).  Logits dequantize
+# per COLUMN after the q·Kᵀ matmul (logits[h,r,t] · k_scale[h,t]); the
+# value side folds v_scale into the softmax weights BEFORE the ·V matmul
+# (sum_t w[t]·s[t]·v_int[t,d] is exact).  The int8→bf16 tile convert rides
+# the same in-VMEM idiom as kernels/quant_matmul.  int8 tiles are 32
+# sublanes, so the slot write's aliased output block is a (Hkv, 32, D)
+# tile group and callers must size T % 32 == 0.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_write_q(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
+                    mask_ref, ck_ref, cv_ref, sk_ref, sv_ref,
+                    o_ref, cko_ref, cvo_ref, sko_ref, svo_ref, *, rep: int):
+    b = pl.program_id(0)
+    Hkv, T, D = ck_ref.shape[2], ck_ref.shape[3], ck_ref.shape[4]
+    ckf = ck_ref[0, 0].astype(jnp.bfloat16)             # (Hkv, T, D) exact
+    cvf = cv_ref[0, 0].astype(jnp.bfloat16)
+    sk = sk_ref[0, 0]                                   # (Hkv, T) f32
+    sv = sv_ref[0, 0]
+    q = q_ref[0]                                        # (Hkv, rep, D)
+    knq = knq_ref[0]                                    # (Hkv, D) f32 ints
+    vnq = vnq_ref[0]
+    kns = kns_ref[b]                                    # (Hkv,) f32
+    vns = vns_ref[b]
+    logits = jax.lax.dot_general(
+        q, ckf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, T)
+    logits = logits * sk[:, None, :]
+    mask = mask_ref[b]                                  # (T,)
+    logits = jnp.where(mask[None, None, :] > 0, logits, NEG)
+    knf = knq * kns[:, None]                            # dequant (Hkv, D)
+    ln = jnp.sum(q.astype(jnp.float32) * knf[:, None, :], axis=-1)
+    m = jnp.maximum(jnp.max(logits, axis=-1), ln)       # (Hkv, rep)
+    el = jnp.exp(logits - m[..., None])                 # (Hkv, rep, T)
+    en = jnp.exp(ln - m)
+    denom = jnp.sum(el, axis=-1) + en
+    a = jax.lax.dot_general(
+        (el * sv[:, None, :]).astype(jnp.bfloat16), cvf,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, D)
+    a = a + (en * vns[:, None])[..., None] * vnq[:, None, :]
+    o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
+
+    # -- quantized slot write: (Hkv, 32, D) int8 tile group ------------------
+    slot = idx_ref[1 + b]
+    tg = slot // 32
+    r = slot - tg * 32
+    tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
+    sel = (tt == tg * 32 + ss).astype(jnp.float32)      # (32, T) one-hot
+    selb = jnp.broadcast_to(sel[None], (Hkv, 32, T))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 32, D), 1)
+    # extract the stale group from the tile already in VMEM (int8 values
+    # are exact in bf16/f32, so the one-hot matmul round-trips exactly)
+    old_k = jax.lax.dot_general(
+        selb, ckf.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, 32, D)
+    old_v = jax.lax.dot_general(
+        selb, cvf.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    cko_ref[0, 0] = jnp.where(rows == r, knq[:, None, :], old_k
+                              ).astype(jnp.int8)
+    cvo_ref[0, 0] = jnp.where(rows == r, vnq[:, None, :], old_v
+                              ).astype(jnp.int8)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T), 1)
+    sko_ref[0, 0] = jnp.where(cols == slot, kns[:, None], sk)
+    svo_ref[0, 0] = jnp.where(cols == slot, vns[:, None], sv)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_write_q(qg, ck_all, cv_all, sk_all, sv_all,
+                                     kv_mask, k_new_q, v_new_q, k_new_s,
+                                     v_new_s, layer, slots, *,
+                                     interpret: bool = False):
+    """Fused int8-KV decode attention + in-place quantized slot write.
+
+    qg: (B, Hkv, rep, D) pre-scaled bf16; ck_all/cv_all: (L, B, Hkv, T, D)
+    int8 and sk_all/sv_all: (L, B, Hkv, T) f32, all four DONATED and
+    updated in place; kv_mask: (B, T) 0/1 over already-written slots (the
+    slot written this step must be 0); k_new_q/v_new_q: (B, Hkv, D) fp32
+    EXACT-INT quantized values with k_new_s/v_new_s (B, Hkv) f32 scales
+    (models/quant.quantize_kv of the current token); layer: scalar int32;
+    slots: scalar or (B,) int32.  T % 32 == 0 (int8 tile groups).
+    Returns (attn (B, Hkv, rep, D), ck_all, cv_all, sk_all, sv_all)."""
+    L, B, Hkv, T, D = ck_all.shape
+    rep = qg.shape[2]
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((B, Hkv), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, Hkv), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, T), lambda b, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 32, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 32, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_write_q, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(cv_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(sk_all.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sv_all.shape, jnp.float32),
+        ],
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg,
+      k_new_q.astype(jnp.float32), v_new_q.astype(jnp.float32),
+      k_new_s.astype(jnp.float32), v_new_s.astype(jnp.float32),
+      kv_mask.astype(jnp.int32), ck_all, cv_all, sk_all, sv_all)
+
+
+def supports_decode_attention_q(cfg, cache_shape) -> bool:
+    """int8-KV fused kernel eligibility: bktd D=128 flagships, T sized to
+    the 32-sublane int8 tile groups, per-(batch, layer) working set (int8
+    tiles + their bf16 converts) within VMEM."""
+    L, B, Hkv, T, D = cache_shape
+    tile_bytes = 2 * Hkv * T * D * (1 + 2)     # int8 read + bf16 convert
+    return D % 128 == 0 and T % 32 == 0 and tile_bytes <= 20 * 1024 * 1024

@@ -151,13 +151,15 @@ class Esm2LlamaInstructForCausalLM:
             return_decoder_inputs=True, attn_impl=self.attn_impl)
         from ..infer.generate import resolve_generation_config, run_generation
 
+        kv_bits = gen_kwargs.pop("kv_bits", None)  # int8 KV cache opt-in
+
         lc = self.config.llama_config
         gen_cfg = resolve_generation_config(
             lc.eos_token_id, lc.pad_token_id, gen_kwargs)
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl, kv_bits=kv_bits,
             prompt_ids=text_ids, prompt_ids_mask=text_mask)
 
 
@@ -320,12 +322,14 @@ class Esm2LlamaForCausalLM:
         lc = self.config.llama_config
         from ..infer.generate import resolve_generation_config, run_generation
 
+        kv_bits = gen_kwargs.pop("kv_bits", None)  # int8 KV cache opt-in
+
         gen_cfg = resolve_generation_config(
             self.config.eos_token_id, lc.pad_token_id, gen_kwargs)
         new_tokens = run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=full_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl, kv_bits=kv_bits,
             prompt_ids=inputs, prompt_ids_mask=attention_mask)
         return jnp.concatenate([inputs, new_tokens], axis=1)
 
@@ -439,13 +443,15 @@ class Esm2Rgcn2LlamaInstructForCausalLM:
             return_decoder_inputs=True, attn_impl=self.attn_impl)
         from ..infer.generate import resolve_generation_config, run_generation
 
+        kv_bits = gen_kwargs.pop("kv_bits", None)  # int8 KV cache opt-in
+
         lc = self.config.llama_config
         gen_cfg = resolve_generation_config(
             lc.eos_token_id, lc.pad_token_id, gen_kwargs)
         return run_generation(
             lc.core(), self.params["llama_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl, kv_bits=kv_bits,
             prompt_ids=text_ids, prompt_ids_mask=text_mask)
 
 
@@ -584,11 +590,13 @@ class ESMCQwen:
             return_decoder_inputs=True)
         from ..infer.generate import resolve_generation_config, run_generation
 
+        kv_bits = gen_kwargs.pop("kv_bits", None)  # int8 KV cache opt-in
+
         qc = self.config.llm_config
         gen_cfg = resolve_generation_config(
             qc.eos_token_id, qc.pad_token_id, gen_kwargs)
         return run_generation(
             qc.core(), self.params["llm_decoder"],
             inputs_embeds=inputs_embeds, attention_mask=attention_mask,
-            gen_cfg=gen_cfg, attn_impl=self.attn_impl,
+            gen_cfg=gen_cfg, attn_impl=self.attn_impl, kv_bits=kv_bits,
             prompt_ids=text_ids, prompt_ids_mask=text_mask)

@@ -231,7 +231,27 @@ def decoder_forward(
             k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if layer_cache is not None:
+        if layer_cache is not None and len(layer_cache) == 4:
+            # int8 KV cache (kv_bits=8): quantize the slab per (head, token)
+            # vector, write values + scales, and attend over the DEQUANTIZED
+            # cache — prefill sees exactly what later decode steps will read
+            from .quant import quantize_kv
+
+            ck, cv, sk, sv = layer_cache
+            kq, ks = quantize_kv(k)                      # (B, Hkv, S, ·)
+            vq, vs = quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq.astype(jnp.int8), (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq.astype(jnp.int8), (0, 0, cache_index, 0))
+            sk = jax.lax.dynamic_update_slice(
+                sk, ks, (0, 0, cache_index))
+            sv = jax.lax.dynamic_update_slice(
+                sv, vs, (0, 0, cache_index))
+            k_full = (ck.astype(jnp.float32) * sk[..., None]).astype(x.dtype)
+            v_full = (cv.astype(jnp.float32) * sv[..., None]).astype(x.dtype)
+            new_cache = (ck, cv, sk, sv)
+        elif layer_cache is not None:
             ck, cv = layer_cache
             if kv_cache_layout(cfg) == "bktd":
                 # (B, Hkv, T, D) — same dim order as k/v (B, Hkv, S, D):
@@ -283,7 +303,23 @@ def decoder_forward(
     if remat:
         body = jax.checkpoint(block, prevent_cse=False)
 
-    if kv_cache is not None:
+    if kv_cache is not None and "k_scale" in kv_cache:
+        if kv_cache_layout(cfg) != "bktd":
+            raise ValueError("int8 KV cache requires the bktd layout")
+
+        def step(c, xs):
+            lp, ll, ck, cv, sk, sv = xs
+            c, new_cache = body(lp, ll, c, (ck, cv, sk, sv))
+            return c, new_cache
+
+        h, caches = jax.lax.scan(
+            step, h,
+            (params["layers"], lora_layers, kv_cache["k"], kv_cache["v"],
+             kv_cache["k_scale"], kv_cache["v_scale"])
+        )
+        new_kv = {"k": caches[0], "v": caches[1],
+                  "k_scale": caches[2], "v_scale": caches[3]}
+    elif kv_cache is not None:
         def step(c, xs):
             lp, ll, ck, cv = xs
             c, new_cache = body(lp, ll, c, (ck, cv))
@@ -448,6 +484,105 @@ def decoder_decode_step(
         gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
         up = proj("up_proj", li, xn).astype(jnp.float32)
         return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+
+    # -- int8 KV cache (infer/kvcache.init_kv_cache(kv_bits=8)) -------------
+    # The cache stores int8 values + per-(head, token) fp32 scales; the
+    # decode-attention cache read is the measured single-chip bandwidth
+    # floor, so halving its bytes is the remaining throughput lever.  On
+    # TPU the whole layer step runs the fused dequant-attention +
+    # quantized-slot-write kernel (kernels/decode_attention.py
+    # decode_attention_stacked_write_q, aliased in-place cache + scale
+    # updates — XLA refuses in-place updates of while-carried buffers).
+    # Off-TPU (and for ineligible shapes) an XLA fallback dequantizes per
+    # layer and writes through the same scatter paths as bf16.
+    quantized = "k_scale" in kv_cache
+    if quantized:
+        from .quant import quantize_kv
+
+        sk_all = kv_cache["k_scale"]
+        sv_all = kv_cache["v_scale"]
+        from ..kernels.decode_attention import (
+            decode_attention_stacked_write_q, supports_decode_attention_q,
+        )
+
+        use_pallas_q = (on_tpu_q4 and layout == "bktd"
+                        and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+                        and supports_decode_attention_q(cfg, ck_all.shape))
+        if use_pallas_q:
+            slots = jnp.asarray(cache_index, jnp.int32)
+
+            def block_fused_q(carry, li):
+                x, ck_a, cv_a, sk_a, sv_a = carry
+                qg, k, v = qkv(x, li)
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                a, ck_a, cv_a, sk_a, sv_a = decode_attention_stacked_write_q(
+                    qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
+                    li, slots)
+                return (post_attn(x, a.astype(x.dtype), li),
+                        ck_a, cv_a, sk_a, sv_a), None
+
+            (h, ck_all, cv_all, sk_all, sv_all), _ = jax.lax.scan(
+                block_fused_q, (token_embeds, ck_all, cv_all, sk_all, sv_all),
+                jnp.arange(L))
+            h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+            return h, {"k": ck_all, "v": cv_all,
+                       "k_scale": sk_all, "v_scale": sv_all}
+
+        def block_q(x, li):
+            qg, k, v = qkv(x, li)
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+            sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
+            sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+            # same numerics as the fused kernel: bf16 q·Kᵀ_int → fp32, then
+            # the per-column scale; value side folds v_scale into the
+            # softmax weights before the ·V matmul
+            logits_old = jnp.einsum(
+                "bkrd,bktd->bkrt", qg, ck.astype(qg.dtype),
+                preferred_element_type=jnp.float32
+            ) * sk[:, :, None, :] + bias_o
+            knf = kq * ks[..., None]                     # (B, Hkv, D) f32
+            logit_new = jnp.einsum(
+                "bkrd,bkd->bkr", qg.astype(jnp.float32), knf,
+                preferred_element_type=jnp.float32)[..., None]
+            logits = jnp.concatenate([logits_old, logit_new], axis=-1)
+            w = jax.nn.softmax(logits, axis=-1)
+            w_old = (w[..., :T] * sv[:, :, None, :]).astype(qg.dtype)
+            a = jnp.einsum("bkrt,bktd->bkrd", w_old, cv.astype(qg.dtype),
+                           preferred_element_type=jnp.float32)
+            vnf = vq * vs[..., None]
+            a = a + w[..., T:] * vnf[:, :, None, :]
+            x = post_attn(x, a.astype(x.dtype), li)
+            return x, (kq.astype(jnp.int8), vq.astype(jnp.int8),
+                       ks.astype(jnp.float32), vs.astype(jnp.float32))
+
+        h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            block_q, token_embeds, jnp.arange(L))
+        if getattr(cache_index, "ndim", 0) == 1:
+            bidx = jnp.arange(B)
+            ck_all = ck_all.at[:, bidx, :, cache_index, :].set(
+                jnp.moveaxis(k_new, 1, 0))
+            cv_all = cv_all.at[:, bidx, :, cache_index, :].set(
+                jnp.moveaxis(v_new, 1, 0))
+            sk_all = sk_all.at[:, bidx, :, cache_index].set(
+                jnp.moveaxis(ks_new, 1, 0))
+            sv_all = sv_all.at[:, bidx, :, cache_index].set(
+                jnp.moveaxis(vs_new, 1, 0))
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_new[:, :, :, None], (0, 0, 0, cache_index, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_new[:, :, :, None], (0, 0, 0, cache_index, 0))
+            sk_all = jax.lax.dynamic_update_slice(
+                sk_all, ks_new[:, :, :, None], (0, 0, 0, cache_index))
+            sv_all = jax.lax.dynamic_update_slice(
+                sv_all, vs_new[:, :, :, None], (0, 0, 0, cache_index))
+        h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+        return h, {"k": ck_all, "v": cv_all,
+                   "k_scale": sk_all, "v_scale": sv_all}
 
     # Fused attention + slot write (kernels/decode_attention.py
     # decode_attention_stacked_write): the attention kernel already holds

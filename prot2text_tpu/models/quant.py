@@ -60,6 +60,22 @@ def quantize_leaf(w, bits: int = 8):
     return q, scale
 
 
+def quantize_kv(x, qmax: float = 127.0):
+    """Per-vector symmetric int8 quantization over the LAST dim (one scale
+    per KV head vector — the granularity the int8 KV cache stores:
+    infer/kvcache.init_kv_cache(kv_bits=8)).
+
+    Returns (q, scale): q are EXACT INTEGER VALUES carried in fp32 (callers
+    cast to int8 for storage; the Pallas fused decode kernel takes the fp32
+    form so the current-token logit and the slot store share one operand),
+    scale is fp32 with the last dim dropped.  Dequantization is
+    `q * scale[..., None]`."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-8) / qmax
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -qmax, qmax)
+    return q, scale
+
+
 def quantize_params(params: Any,
                     target_patterns: Sequence[str] = DEFAULT_TARGETS,
                     bits: int = 8, int4_format: str = "planes") -> Any:
