@@ -483,11 +483,14 @@ def bench_contrastive_flagship():
           grad_accum=GA, protein_len=PROT, desc_len=DESC, tower_layers=16)
 
 
-def bench_serving_flagship():
+def _bench_serving_flagship(name, kv_bits=None):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
-    budget), prompt_pad buckets (512, 1664), ragged decode budgets."""
+    budget), prompt_pad buckets (512, 1664), ragged decode budgets.
+    kv_bits=8 additionally serves from the int8 KV pool (the per-row
+    decode step at T≈1.7k reads ~2 GB of cache per step — the int8 pool
+    halves that on top of the fused-write kernel)."""
     from prot2text_tpu.infer.serving import ContinuousBatcher
     from prot2text_tpu.models.llama import LlamaConfig
 
@@ -506,7 +509,7 @@ def bench_serving_flagship():
         eng = ContinuousBatcher(cfg, params, max_slots=SLOTS,
                                 max_len=BUCKETS[-1] + MAXNEW,
                                 prompt_pad=BUCKETS, eos_token_id=-1,
-                                sync_every=16)
+                                sync_every=16, kv_bits=kv_bits)
         for i in range(n):
             eng.submit(i, prompts[i], max_new_tokens=budgets[i])
         out = dict(eng.run())
@@ -518,12 +521,23 @@ def bench_serving_flagship():
     dt = time.perf_counter() - t0
     lockstep_steps = sum(
         max(budgets[i:i + SLOTS]) for i in range(0, len(budgets), SLOTS))
-    _emit("serving_continuous_tokens_per_sec_int8_llama31_8b_8slots_1664ctx",
+    _emit(name,
           useful / dt, "tokens/s", decode_steps=steps,
           lockstep_steps=lockstep_steps,
           step_reduction=round(1 - steps / lockstep_steps, 3),
           requests=len(plens), useful_tokens=useful,
           prompt_buckets=list(BUCKETS))
+
+
+def bench_serving_flagship():
+    _bench_serving_flagship(
+        "serving_continuous_tokens_per_sec_int8_llama31_8b_8slots_1664ctx")
+
+
+def bench_serving_flagship_kv8():
+    _bench_serving_flagship(
+        "serving_continuous_tokens_per_sec_int8_kv8_llama31_8b_8slots_1664ctx",
+        kv_bits=8)
 
 
 def bench_contrastive_step():
@@ -649,6 +663,7 @@ METRICS = (
     "bench_contrastive_flagship",
     "bench_sft_flagship",
     "bench_serving_flagship",
+    "bench_serving_flagship_kv8",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----

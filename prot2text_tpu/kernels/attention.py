@@ -17,6 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
+def pallas_single_device_ok() -> bool:
+    """Plain (un-shard_map'd) pallas_calls do NOT partition under GSPMD:
+    when an ambient mesh with more than one device is active (jax.set_mesh
+    in the CLI trainers, or a real multi-chip slice), the XLA paths — which
+    GSPMD partitions correctly — must win the dispatch.  Size 0 means no
+    ambient mesh (plain single-chip jit); size 1 is a degenerate mesh
+    (the 1-chip CLI default) where pallas is safe.  The explicitly
+    shard_map'd kernels (ring attention) manage their own mesh axes and
+    bypass this gate."""
+    m = jax.sharding.get_abstract_mesh()
+    return m is None or m.size <= 1
+
+
 def _xla_attention(q, k, v, bias):
     """q,k,v: (B, H, Sq|Skv, D). bias: fp32 additive, broadcastable to
     (B, H, Sq, Skv). Softmax in fp32, matmuls accumulate fp32."""
@@ -51,6 +64,7 @@ def flash_eligible(q, k, causal: bool, min_seq: int = 0) -> bool:
     return (causal
             and q.shape[-2] >= min_seq
             and jax.default_backend() == "tpu"
+            and pallas_single_device_ok()
             and q.shape[-1] in (64, 128)
             and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)
 
@@ -107,7 +121,8 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
         try:
             from .flash_attention import flash_attention_tpu
 
-            if jax.default_backend() == "tpu":
+            if (jax.default_backend() == "tpu"
+                    and pallas_single_device_ok()):
                 return flash_attention_tpu(q, k, v, bias)
         except Exception:
             pass

@@ -387,7 +387,12 @@ def decoder_decode_step(
     cv_all = kv_cache["v"]
 
     layers = params["layers"]
-    on_tpu_q4 = jax.default_backend() == "tpu"
+    from ..kernels.attention import pallas_single_device_ok
+
+    # plain pallas_calls don't partition under GSPMD — on a >1-device
+    # ambient mesh every kernel below must yield to its XLA fallback
+    on_tpu_q4 = (jax.default_backend() == "tpu"
+                 and pallas_single_device_ok())
     # Pallas grouped decode attention streams the layer's cache tiles
     # straight from the STACKED buffer (scalar-prefetch layer index — the
     # dynamic_index slice the einsum path reads through can cost a copy)
@@ -670,7 +675,8 @@ def decoder_decode_step(
         supports_inplace_bkt,
     )
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (jax.default_backend() == "tpu"
+              and pallas_single_device_ok())
     if getattr(cache_index, "ndim", 0) == 1:
         # per-row slots (continuous batching): one scatter over the batch
         # dim — in place when the serving state buffer is donated across

@@ -36,8 +36,11 @@ def linear(p, x, precision=None):
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
+        from ..kernels.attention import pallas_single_device_ok
+
         if (wp.ndim == 2 and rows <= 256
                 and jax.default_backend() == "tpu"
+                and pallas_single_device_ok()
                 and supports_quant_matmul_planes(wp.shape[0] * 8,
                                                  wp.shape[1])):
             lead = x.shape[:-1]
@@ -64,8 +67,11 @@ def linear(p, x, precision=None):
         # VMEM per tile, so large-R prefill/training calls take the XLA
         # fallback instead (they are MXU-bound — the unpack materialization
         # is amortized over R rows of reuse).
+        from ..kernels.attention import pallas_single_device_ok
+
         if (wp.ndim == 2 and rows <= 256
                 and jax.default_backend() == "tpu"
+                and pallas_single_device_ok()
                 and supports_quant_matmul(wp.shape[0] * 2, wp.shape[1],
                                           bits=4)):
             lead = x.shape[:-1]
