@@ -14,10 +14,12 @@ TPU-static and sync-lean by construction:
     `prompt_pad`-wide prefill — and the serving state (KV cache + per-slot
     metadata) is DONATED through every call, so slot writes stay in place
     across jit boundaries;
-  * prefill + install + first-token sampling for ALL pending requests
-    is ONE pool-wide dispatch; each decode round is ONE dispatch returning one packed
-    (3, sync_every, B) array; slot occupancy is mirrored on the host so no
-    extra device reads are needed.  Dispatch/transfer latency (large under
+  * prefill + install + first-token sampling for ALL pending requests is
+    ONE dispatch per (row-count, prompt-length) bucket, sized to the number
+    of requests actually being installed (a single-slot refill prefills one
+    row, not max_slots rows); each decode round is ONE dispatch returning
+    one packed (3, sync_every, B) array; slot occupancy is mirrored on the
+    host so no extra device reads are needed.  Dispatch/transfer latency (large under
     remote-tunnel execution) is paid once per round, amortized
     sync_every-fold.
 
@@ -63,17 +65,22 @@ class _Request:
                    static_argnames=("cfg", "prompt_pad", "eos_token_id",
                                     "gen_cfg"))
 def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
-                          install, plens, budgets, rng, *, prompt_pad: int,
-                          eos_token_id: int, gen_cfg=None):
-    """One dispatch installs ANY number of pending requests: a full-pool
-    (max_slots, prompt_pad)-wide prefill (rows are in SLOT order, dummy
-    rows masked out by `install`), then one masked update of the pool's
-    first prompt_pad cache columns + metadata — no scatter, no per-request
-    loop.  Rows not being installed keep their current contents exactly.
-    Returns (state, tok0 (max_slots,))."""
+                          row_for_slot, install, plens, budgets, rng, *,
+                          prompt_pad: int, eos_token_id: int, gen_cfg=None):
+    """One dispatch installs ANY number of pending requests: an
+    (R, prompt_pad)-wide prefill where R is the (bucketed) number of
+    requests being installed — NOT the pool width; a single-slot refill
+    must not pay a max_slots-row prefill (at the 8B flagship that is
+    ~8x the FLOPs of the one row it needs) — then one masked update of
+    the pool's first prompt_pad cache columns + metadata.
+    `row_for_slot` (max_slots,) maps each slot to its prefill row (any
+    valid index for slots not in `install`); rows not being installed
+    keep their current contents exactly.  Returns (state,
+    tok0 (max_slots,) in SLOT order)."""
     B = state["pos"].shape[0]
+    R = emb.shape[0]
     kv_bits = 8 if "k_scale" in state else None   # dict structure is static
-    cache = init_kv_cache(cfg, B, prompt_pad, emb.dtype, kv_bits=kv_bits)
+    cache = init_kv_cache(cfg, R, prompt_pad, emb.dtype, kv_bits=kv_bits)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
                          ).astype(jnp.int32)
     idx = jnp.arange(prompt_pad)
@@ -95,29 +102,35 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
         tok0 = jax.random.categorical(
             rng, filter_logits(logits, gen_cfg), axis=-1).astype(jnp.int32)
     else:
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B,)
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (R,)
+    tok0 = tok0[row_for_slot]                                  # (B,)
 
     inst = install                                             # (B,) bool
     if kv_cache_layout(cfg) == "bktd":     # pool slab (L, B, K, P, D)
         sel = inst[None, :, None, None, None]
+        ck = jnp.take(cache["k"], row_for_slot, axis=1)
+        cv = jnp.take(cache["v"], row_for_slot, axis=1)
         state["k"] = state["k"].at[:, :, :, :prompt_pad, :].set(
-            jnp.where(sel, cache["k"].astype(state["k"].dtype),
+            jnp.where(sel, ck.astype(state["k"].dtype),
                       state["k"][:, :, :, :prompt_pad, :]))
         state["v"] = state["v"].at[:, :, :, :prompt_pad, :].set(
-            jnp.where(sel, cache["v"].astype(state["v"].dtype),
+            jnp.where(sel, cv.astype(state["v"].dtype),
                       state["v"][:, :, :, :prompt_pad, :]))
         if kv_bits is not None:            # scale slabs (L, B, K, P)
             sel3 = inst[None, :, None, None]
             for s in ("k_scale", "v_scale"):
                 state[s] = state[s].at[:, :, :, :prompt_pad].set(
-                    jnp.where(sel3, cache[s], state[s][:, :, :, :prompt_pad]))
+                    jnp.where(sel3, jnp.take(cache[s], row_for_slot, axis=1),
+                              state[s][:, :, :, :prompt_pad]))
     else:                                  # (L, P, B, K, D) seq-leading
         sel = inst[None, None, :, None, None]
+        ck = jnp.take(cache["k"], row_for_slot, axis=2)
+        cv = jnp.take(cache["v"], row_for_slot, axis=2)
         state["k"] = state["k"].at[:, :prompt_pad].set(
-            jnp.where(sel, cache["k"].astype(state["k"].dtype),
+            jnp.where(sel, ck.astype(state["k"].dtype),
                       state["k"][:, :prompt_pad]))
         state["v"] = state["v"].at[:, :prompt_pad].set(
-            jnp.where(sel, cache["v"].astype(state["v"].dtype),
+            jnp.where(sel, cv.astype(state["v"].dtype),
                       state["v"][:, :prompt_pad]))
     T = state["kv_mask"].shape[1]
     pads = (prompt_pad - plens)[:, None]   # per-row left padding
@@ -291,8 +304,8 @@ class ContinuousBatcher:
         self.queue.append(_Request(request_id, emb, max_new_tokens))
 
     def _fill_free_slots(self) -> Iterator[tuple]:
-        """Install queued requests into ALL free slots — one pool-wide
-        prefill dispatch PER LENGTH BUCKET present (dummy rows masked)."""
+        """Install queued requests into ALL free slots — one prefill
+        dispatch PER LENGTH BUCKET present, sized to the installs."""
         installs = {}                       # slot -> request
         for slot in range(self.max_slots):
             if not self.queue:
@@ -309,16 +322,26 @@ class ContinuousBatcher:
             yield from self._install_group(group, pad)
 
     def _install_group(self, installs: dict, pad: int) -> Iterator[tuple]:
-        K, Hd = self.max_slots, installs[next(iter(installs))].embeds.shape[1]
-        emb = np.zeros((K, pad, Hd), np.float32)
-        mask = np.zeros((K, pad), np.int32)
-        inst = np.zeros((K,), bool)
-        plens = np.ones((K,), np.int32)
-        budgets = np.ones((K,), np.int32)
-        for slot, req in installs.items():
+        B = self.max_slots
+        Hd = installs[next(iter(installs))].embeds.shape[1]
+        # prefill width = number of requests being installed, bucketed to a
+        # power of two (one compile per (rows, pad) pair actually seen) —
+        # a single-slot refill prefills ONE row, not max_slots rows
+        R = 1
+        while R < len(installs):
+            R *= 2
+        R = min(R, B)
+        emb = np.zeros((R, pad, Hd), np.float32)
+        mask = np.zeros((R, pad), np.int32)
+        row_for_slot = np.zeros((B,), np.int32)
+        inst = np.zeros((B,), bool)
+        plens = np.ones((B,), np.int32)
+        budgets = np.ones((B,), np.int32)
+        for i, (slot, req) in enumerate(installs.items()):
             P = req.embeds.shape[0]
-            emb[slot, pad - P:] = req.embeds   # left-pad
-            mask[slot, pad - P:] = 1
+            emb[i, pad - P:] = req.embeds      # left-pad
+            mask[i, pad - P:] = 1
+            row_for_slot[slot] = i
             inst[slot] = True
             plens[slot] = P
             budgets[slot] = req.max_new_tokens
@@ -326,6 +349,7 @@ class ContinuousBatcher:
         self.state, tok0 = _prefill_install_pool(
             self.cfg, self.state, self.params,
             jnp.asarray(emb, self.dtype), jnp.asarray(mask),
+            jnp.asarray(row_for_slot),
             jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
             key, prompt_pad=pad,
             eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg)
