@@ -338,8 +338,8 @@ def bench_serving_continuous():
         out = dict(eng.run())
         return eng.steps, sum(len(v) for v in out.values())
 
-    serve(2)                                  # compile warmup
-    t0 = time.perf_counter()
+    serve(len(budgets))   # full-workload warmup: compiles every
+    t0 = time.perf_counter()                  # (install-rows,) bucket seen
     steps, useful = serve(len(budgets))
     dt = time.perf_counter() - t0
     # lockstep: every request decodes to the round's max budget
@@ -515,7 +515,10 @@ def _bench_serving_flagship(name, kv_bits=None):
         out = dict(eng.run())
         return eng.steps, sum(len(v) for v in out.values())
 
-    serve(2)                                  # compile both buckets
+    # warmup on the FULL workload: the prefill compiles per
+    # (install-rows, prompt-bucket) pair actually seen (serving.py), and
+    # the deterministic greedy run hits the same pairs both times
+    serve(len(plens))
     t0 = time.perf_counter()
     steps, useful = serve(len(plens))
     dt = time.perf_counter() - t0
@@ -599,9 +602,14 @@ def bench_descriptions_per_hour():
     reference's ESMC-Qwen flagship scale (esmc_600m encoder + adapter +
     Qwen3-14B int4 decoder, esmc_qwen_arc.py:208) on ONE 16 GB chip.
     One batch = encoder forward + adapter + prefill + 256 greedy tokens —
-    the full per-description latency, B=16 concurrent.  Random weights
-    (zero-egress container); throughput does not depend on values.  The
-    reference publishes no A6000 number to compare against (BASELINE.md)."""
+    the full per-description latency.  B=32 with the int8 KV cache is the
+    measured one-chip sweet spot (scripts/bench_desc_hour.py sweep:
+    B=8 bf16 4583, B=16 bf16 8701, B=24 bf16 10366, B=32 kv8 12815
+    desc/h; B>=40 OOMs) — the 14B int4 decode step is weights-streaming
+    bound, so batch rows are nearly free until HBM runs out.  Random
+    weights (zero-egress container); throughput does not depend on values.
+    The reference publishes no A6000 number to compare against
+    (BASELINE.md)."""
     from prot2text_tpu.infer.generate import GenerationConfig, generate
     from prot2text_tpu.models.adapters import (
         ModalityAdapterConfig, init_modality_adapter_params, modality_adapter)
@@ -609,7 +617,7 @@ def bench_descriptions_per_hour():
         ESMCConfig, esmc_encode, init_esmc_params)
     from prot2text_tpu.models.qwen3 import Qwen3Config
 
-    B, PROT, NEW = 8, 512, 256
+    B, PROT, NEW = 32, 512, 256
     enc_cfg = ESMCConfig.esmc_600m()
     dec_cfg = Qwen3Config.qwen3_14b().core()
     enc_params = init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
@@ -635,13 +643,14 @@ def bench_descriptions_per_hour():
         mask = jnp.ones((B, emb.shape[1]), jnp.int32)
         toks = generate(dec_cfg, dec_params, inputs_embeds=emb,
                         attention_mask=mask, gen_cfg=gen_cfg,
-                        attn_impl="xla", cache_dtype=jnp.bfloat16)
+                        attn_impl="xla", cache_dtype=jnp.bfloat16,
+                        kv_bits=8)
         return np.asarray(toks)
 
     dt = _time(run, iters=1)
     _emit("descriptions_per_hour_esmc600m_qwen3_14b_int4_one_chip",
           B * 3600 / dt, "descriptions/h",
-          batch=B, new_tokens=NEW, protein_len=PROT,
+          batch=B, new_tokens=NEW, protein_len=PROT, kv_bits=8,
           batch_seconds=round(dt, 2))
 
 
