@@ -56,7 +56,8 @@ def _param_count(params):
         n = int(np.prod(p.shape))
         if any(getattr(k, "key", None) == "kernel_q4" for k in path):
             n *= 2
-        elif any(getattr(k, "key", None) == "kernel_q4p" for k in path):
+        elif any(getattr(k, "key", None) in ("kernel_q4p", "kernel_q4w")
+                 for k in path):
             n *= 8
         total += n
     return total
@@ -156,7 +157,7 @@ def _init_quantized_random(cfg, bits=8, int4_format="planes"):
 
 
 def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
-                  quant_direct=False, kv_bits=None):
+                  quant_direct=False, kv_bits=None, int4_format="planes"):
     """Two-point measurement (scripts/bench_decode_gap.py evidence): one
     generate() call conflates the prompt PREFILL (compute-bound, ~1.5 s at
     8B B=128 P=128) with the decode loop (bandwidth-bound, at the HBM
@@ -167,7 +168,8 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
 
     dtype = jnp.bfloat16
     if quant_direct:
-        params = _init_quantized_random(cfg, bits=quant_bits or 8)
+        params = _init_quantized_random(cfg, bits=quant_bits or 8,
+                                        int4_format=int4_format)
         n_params = _param_count(params)
     else:
         params = init_decoder_params(cfg, jax.random.PRNGKey(0), dtype)
@@ -175,7 +177,8 @@ def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
         if quant_bits:
             from prot2text_tpu.models.quant import quantize_params
 
-            params = quantize_params(params, bits=quant_bits)
+            params = quantize_params(params, bits=quant_bits,
+                                     int4_format=int4_format)
     rng = np.random.default_rng(0)
     emb = jnp.asarray(
         rng.standard_normal((B, P, cfg.hidden_size)).astype(np.float32),
@@ -273,6 +276,22 @@ def bench_decode_14b_int4():
     cfg = Qwen3Config.qwen3_14b().core()
     _bench_decode(cfg, "decode_tokens_per_sec_int4_qwen3_14b_b16_one_chip",
                   quant_bits=4, quant_direct=True, NEW=64)
+
+
+def bench_decode_14b_int4_pairs():
+    """Same 14B one-chip decode with the OPT-IN bf16-pair int4 packing
+    (`quantize_params(int4_format="pairs")`): the kernel bit-constructs two
+    bf16 weights per shr+and+or+bitcast pass instead of arithmetic
+    converts — measured +5.2% over the exact default plane format, at the
+    cost of a non-bit-exact fp32 epilogue bias correction
+    (kernels/quant_matmul.py pairs section documents the tradeoff)."""
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+
+    cfg = Qwen3Config.qwen3_14b().core()
+    _bench_decode(cfg,
+                  "decode_tokens_per_sec_int4pairs_qwen3_14b_b16_one_chip",
+                  quant_bits=4, quant_direct=True, NEW=64,
+                  int4_format="pairs")
 
 
 def bench_decode_8b_int8_b128():
@@ -669,6 +688,7 @@ METRICS = (
     # -- flagship-scale secondary metrics ---------------------------------
     "bench_decode_8b_int8_kv8_b128",
     "bench_decode_14b_int4",
+    "bench_decode_14b_int4_pairs",
     "bench_contrastive_flagship",
     "bench_sft_flagship",
     "bench_serving_flagship",

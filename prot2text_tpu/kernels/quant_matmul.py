@@ -24,6 +24,8 @@ is explicit and the kernel is Mosaic.  Numerics: weights dequantize EXACTLY
 (int4/int8 values are small integers, bf16 holds them exactly); products
 accumulate in fp32 on the MXU; the per-output-channel scale applies in the
 fp32 epilogue — bit-identical to the XLA mixed-dtype reference path.
+(Exception: the opt-in int4 'pairs' format trades ~4e-6-of-max epilogue
+error for speed — see the bf16-pair section below.)
 """
 
 from __future__ import annotations
@@ -85,6 +87,10 @@ def supports_quant_matmul_planes(K: int, N: int) -> bool:
     return (K % 8 == 0
             and _pick_block(N, (1024, 512, 256, 128)) is not None
             and _pick_block(K // 8, (256, 128, 64, 32, 16, 8)) is not None)
+
+
+# the bf16-pair format tiles identically (K/8 words per column)
+supports_quant_matmul_pairs = supports_quant_matmul_planes
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
@@ -375,6 +381,213 @@ def quant_matmul_int4_planes_xla(x, w_planes, scale, out_dtype=jnp.bfloat16):
         x, w, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return (y * scale.reshape(-1)).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 'bf16-pair' packing — unpack by BIT CONSTRUCTION, not arithmetic
+#
+# The plane kernel above pays 2 i32 shifts + 1 convert per weight value
+# (Mosaic legalizes no i8/i16 vector shifts).  This format packs nibbles so
+# ONE extraction pass yields TWO bf16 values directly:
+#
+#   word[k8, n] (i32) = Σ_p biased[plane 2p  ][k8, n] << 4p
+#                     | Σ_p biased[plane 2p+1][k8, n] << (16 + 4p)
+#   (biased = q + 8 ∈ [0, 15]; 8 planes split K into contiguous row groups)
+#
+#   pass p:  t  = ((word >> 4p) & 0x000F000F) | 0x43004300
+#            wb = pltpu.bitcast(t, bf16)              # (2·bk8, bn)
+#
+# bf16 bit pattern 0x4300 | v equals 128 + v EXACTLY (v < 2^7 sits in the
+# 7-bit mantissa at exponent 2^7), so each pass costs shr+and+or+bitcast for
+# 2 values ≈ half the plane kernel's VPU work.  Measured on-chip the bitcast
+# row-interleaves: bf16 row 2i = low halves, row 2i+1 = high halves of i32
+# row i (scripts/bench_int4_pairs.py validates this before timing), so the
+# caller interleaves x's plane rows to match (_rearrange_x_pairs).  The
+# constant +136 bias (128 + the nibble's +8) leaves via the fp32 epilogue:
+# y = (acc − 136·rowsum(x))·scale, with rowsum computed by XLA outside the
+# kernel (one fused reduction over x, negligible next to the weight stream).
+#
+# NUMERICS — why this format is OPT-IN, not the default: the epilogue
+# subtracts two ~136·rowsum(x)-magnitude fp32 numbers, leaving ~4e-6-of-max
+# ABSOLUTE error per matmul (measured 1e-4 on outputs of max 23.6).  That
+# is far inside the bf16 ulp of large entries but perturbs entries below
+# ~0.1% of max, and the perturbation compounds through layers: a 2-layer
+# random tiny decoder drifts 1.9e-2 relative at the logits and flips
+# near-tie argmaxes.  Measured dead ends for making it exact at speed
+# (2026-08, v5e): (a) subtracting the bias in bf16 on the unpacked tile
+# (wb − 136 is exact: v−8 ∈ [−8,7]) gives exactness but costs the entire
+# win back — 1394 µs vs planes 1416 in the chained harness; (b) in-stream
+# sentinel compensation rows (q=0 ⇒ constructed 136, x slot = −Σblock)
+# does NOT reduce the error (1.2e-4 vs 1.0e-4) — the MXU's internal fp32
+# accumulation was never the problem, the epilogue cancellation is.  The
+# exact plane format stays the default; use pairs for throughput-first
+# serving (+5.2% in-situ at 14B B=16: 15.56 vs 16.38 ms/step).
+
+
+def pack_int4_pairs(q):
+    """q: (..., K, N) ints in [-8, 7] → (..., K/8, N) int32 'bf16-pair'
+    words (see block comment above).  Plane 2p rides bits [4p, 4p+4); plane
+    2p+1 rides bits [16+4p, 16+4p+4)."""
+    K = q.shape[-2]
+    assert K % 8 == 0, "pack_int4_pairs needs K % 8 == 0"
+    K8 = K // 8
+    qb = (jnp.asarray(q, jnp.int32) + 8) & 0xF
+    out = jnp.zeros(q.shape[:-2] + (K8, q.shape[-1]), jnp.int32)
+    for p in range(4):
+        lo = qb[..., (2 * p) * K8:(2 * p + 1) * K8, :]
+        hi = qb[..., (2 * p + 1) * K8:(2 * p + 2) * K8, :]
+        out = out | jax.lax.shift_left(lo, 4 * p)
+        out = out | jax.lax.shift_left(hi, 16 + 4 * p)
+    return out
+
+
+def unpack_int4_pairs(packed):
+    """Inverse of pack_int4_pairs: (..., K/8, N) i32 → (..., K, N) int8."""
+    outs = []
+    for p in range(4):
+        lo = (jax.lax.shift_right_logical(packed, 4 * p) & 0xF) - 8
+        hi = (jax.lax.shift_right_logical(packed, 16 + 4 * p) & 0xF) - 8
+        outs.append(lo.astype(jnp.int8))
+        outs.append(hi.astype(jnp.int8))
+    return jnp.concatenate(outs, axis=-2)
+
+
+def _rearrange_x_pairs(x, nk: int, bk8: int):
+    """(R, K) → per-k-block, per-pass, ROW-INTERLEAVED plane order so the
+    kernel's static x slice for pass p lines up with bitcast's interleaved
+    bf16 rows (row 2i = plane 2p row i, row 2i+1 = plane 2p+1 row i)."""
+    R, K = x.shape
+    xr = x.reshape(R, 4, 2, nk, bk8)        # (R, pass, parity, block, row)
+    return xr.transpose(0, 3, 1, 4, 2).reshape(R, K)
+
+
+def _mm_i4w_body(w, x_ref, acc_ref, k8: int):
+    mask = jnp.int32(0x000F000F)
+    magic = jnp.int32(0x43004300)
+    for p in range(4):
+        t = w if p == 0 else jax.lax.shift_right_logical(w, 4 * p)
+        t = (t & mask) | magic
+        wb = pltpu.bitcast(t, jnp.bfloat16)          # (2·bk8, bn)
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:, p * 2 * k8:(p + 1) * 2 * k8], wb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _mm_i4w_kernel(x_ref, wp_ref, s_ref, c_ref, o_ref, acc_ref, *,
+                   nk: int, k8: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _mm_i4w_body(wp_ref[:], x_ref, acc_ref, k8)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = ((acc_ref[:] - c_ref[:])
+                    * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_k8",
+                                              "block_n"))
+def quant_matmul_int4_pairs(x, w_pairs, scale, *, out_dtype=jnp.bfloat16,
+                            block_k8: int = 0, block_n: int = 0):
+    """x: (R, K) bf16; w_pairs: (K/8, N) int32 (pack_int4_pairs);
+    scale: (1|, N) f32 — the non-stacked variant (lm_head etc.)."""
+    K8, N = w_pairs.shape
+    K = K8 * 8
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk8 = block_k8 or _pick_block(K8, (256, 128, 64, 32, 16, 8))
+    nk = K8 // bk8
+    xt = _rearrange_x_pairs(x, nk, bk8)
+    corr = 136.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    out = pl.pallas_call(
+        functools.partial(_mm_i4w_kernel, nk=nk, k8=bk8),
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, 8 * bk8), lambda n, k: (0, k)),
+            pl.BlockSpec((bk8, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            pl.BlockSpec((Rp, 1), lambda n, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(xt, w_pairs, scale.reshape(1, N), corr)
+    return out[:R]
+
+
+def quant_matmul_int4_pairs_xla(x, w_pairs, scale, out_dtype=jnp.bfloat16):
+    """XLA fallback (CPU / prefill shapes): unpack pairs + one dot."""
+    w = unpack_int4_pairs(w_pairs)                   # (K, N) int8
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * scale.reshape(-1)).astype(out_dtype)
+
+
+def _mm_i4w_stacked_kernel(idx_ref, x_ref, wp_ref, s_ref, c_ref, o_ref,
+                           acc_ref, *, nk: int, k8: int):
+    del idx_ref
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _mm_i4w_body(wp_ref[0], x_ref, acc_ref, k8)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = ((acc_ref[:] - c_ref[:])
+                    * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_k8",
+                                              "block_n"))
+def quant_matmul_int4_pairs_stacked(x, w_pairs_all, scale_all, layer, *,
+                                    out_dtype=jnp.bfloat16,
+                                    block_k8: int = 0, block_n: int = 0):
+    """x: (R, K) bf16; w_pairs_all: (L, K/8, N) int32 (pack_int4_pairs);
+    scale_all: (L, 1, N) f32; layer: scalar int32 — scalar-prefetch layer
+    indexing, bf16-pair bit-construction unpack."""
+    L, K8, N = w_pairs_all.shape
+    K = K8 * 8
+    x, R = _pad_rows(x.astype(jnp.bfloat16))
+    Rp = x.shape[0]
+    bn = block_n or _pick_block(N, (1024, 512, 256, 128))
+    bk8 = block_k8 or _pick_block(K8, (256, 128, 64, 32, 16, 8))
+    nk = K8 // bk8
+    xt = _rearrange_x_pairs(x, nk, bk8)
+    corr = 136.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    scale_all = scale_all.reshape(L, 1, N)
+    idx = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // bn, nk),
+        in_specs=[
+            pl.BlockSpec((Rp, 8 * bk8), lambda n, k, idx: (0, k)),
+            pl.BlockSpec((1, bk8, bn), lambda n, k, idx: (idx[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda n, k, idx: (idx[0], 0, n)),
+            pl.BlockSpec((Rp, 1), lambda n, k, idx: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Rp, bn), lambda n, k, idx: (0, n)),
+        scratch_shapes=[pltpu.VMEM((Rp, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mm_i4w_stacked_kernel, nk=nk, k8=bk8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(idx, xt, w_pairs_all, scale_all, corr)
+    return out[:R]
 
 
 def _mm_i4p_stacked_kernel(idx_ref, x_ref, wp_ref, s_ref, o_ref, acc_ref, *,

@@ -426,6 +426,27 @@ def decoder_decode_step(
         dot_general operand read (the 8B int8 decode measures at the HBM
         floor, scripts/bench_decode_gap.py)."""
         sub = layers[name]
+        if "kernel_q4w" in sub:
+            from ..kernels.quant_matmul import (
+                quant_matmul_int4_pairs_stacked,
+                supports_quant_matmul_pairs,
+            )
+
+            wp = sub["kernel_q4w"]                 # (L, K/8, N) i32 pairs
+            rows = 1
+            for d in x_.shape[:-1]:
+                rows *= d
+            if (on_tpu_q4 and rows <= 256
+                    and supports_quant_matmul_pairs(wp.shape[1] * 8,
+                                                    wp.shape[2])):
+                lead = x_.shape[:-1]
+                y = quant_matmul_int4_pairs_stacked(
+                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                    out_dtype=x_.dtype)
+                if "bias" in sub:
+                    y = y + jax.lax.dynamic_index_in_dim(
+                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+                return y.reshape(*lead, wp.shape[-1])
         if "kernel_q4p" in sub:
             from ..kernels.quant_matmul import (
                 quant_matmul_int4_planes_stacked,

@@ -80,12 +80,27 @@ def quantize_params(params: Any,
                     target_patterns: Sequence[str] = DEFAULT_TARGETS,
                     bits: int = 8, int4_format: str = "planes") -> Any:
     """Returns a tree where targeted kernels are {kernel_q, scale} (bits=8)
-    or, for bits=4, {kernel_q4p, scale} (int4_format="planes", the
-    default: i32 nibble-plane words, pack_int4_planes — the kernel loads
-    native i32 tiles, no i8 widening; measured +7% on the 14B one-chip
-    decode, scripts/bench_int4_formats.py) / {kernel_q4, scale}
-    (int4_format="bytes": split-half nibble bytes, pack_int4 — also the
-    automatic fallback when the contraction dim isn't divisible by 8)."""
+    or, for bits=4, one of three packings:
+
+    - int4_format="planes" (DEFAULT — exact): {kernel_q4p, scale}, i32
+      nibble-plane words (pack_int4_planes).  The kernel loads native i32
+      tiles (no i8 widening; Mosaic legalizes only i32 vector shifts) and
+      dequantizes EXACTLY — bit-identical outputs to the bytes format and
+      the XLA mixed-dtype reference path.  +7% over bytes on the 14B
+      one-chip decode (scripts/bench_int4_formats.py).
+    - int4_format="pairs" (opt-in, fastest): {kernel_q4w, scale},
+      bf16-pair i32 words (pack_int4_pairs).  The kernel bit-CONSTRUCTS
+      two bf16 values per shr+and+or+bitcast pass (~1 VPU op/value vs the
+      plane kernel's 3) and removes the +136 construction bias with an
+      fp32 epilogue subtract of 136*rowsum(x).  +5.2% over planes in-situ
+      (15.56 vs 16.38 ms/step at 14B B=16) but NOT exact: the epilogue
+      cancellation leaves ~4e-6-of-max absolute error per matmul, which
+      measurably drifts hidden states over many layers (greedy tokens can
+      differ from the exact formats at near-tie logits) — a documented
+      throughput/fidelity tradeoff for serving (kernels/quant_matmul.py).
+    - int4_format="bytes": {kernel_q4, scale}, split-half nibble bytes
+      (pack_int4) — also the automatic fallback when the contraction dim
+      isn't divisible by 8."""
     pats = [re.compile(p) for p in target_patterns]
 
     def walk(node, prefix):
@@ -95,7 +110,12 @@ def quantize_params(params: Any,
                     and node["kernel"].ndim >= 2
                     and any(p.search(prefix + "/kernel") for p in pats)):
                 q, scale = quantize_leaf(node["kernel"], bits)
-                if (bits == 4 and int4_format == "planes"
+                if (bits == 4 and int4_format == "pairs"
+                        and q.shape[-2] % 8 == 0):
+                    from ..kernels.quant_matmul import pack_int4_pairs
+
+                    new = {"kernel_q4w": pack_int4_pairs(q), "scale": scale}
+                elif (bits == 4 and int4_format == "planes"
                         and q.shape[-2] % 8 == 0):
                     from ..kernels.quant_matmul import pack_int4_planes
 

@@ -22,7 +22,35 @@ from ..kernels.attention import dot_product_attention
 
 
 def linear(p, x, precision=None):
-    if "kernel_q4p" in p:
+    if "kernel_q4w" in p:
+        # int4 bf16-PAIR path (models/quant.py int4_format="pairs"): one
+        # shr+and+or+bitcast pass bit-constructs TWO bf16 weights (+136
+        # bias removed in the fp32 epilogue) — ~half the plane kernel's
+        # VPU unpack work (kernels/quant_matmul.py)
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4_pairs, quant_matmul_int4_pairs_xla,
+            supports_quant_matmul_pairs,
+        )
+
+        wp = p["kernel_q4w"]
+        scale = p["scale"][..., 0, :]
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        from ..kernels.attention import pallas_single_device_ok
+
+        if (wp.ndim == 2 and rows <= 256
+                and jax.default_backend() == "tpu"
+                and pallas_single_device_ok()
+                and supports_quant_matmul_pairs(wp.shape[0] * 8,
+                                                wp.shape[1])):
+            lead = x.shape[:-1]
+            y = quant_matmul_int4_pairs(
+                x.reshape(-1, x.shape[-1]), wp, scale, out_dtype=x.dtype)
+            y = y.reshape(*lead, wp.shape[-1])
+        else:
+            y = quant_matmul_int4_pairs_xla(x, wp, scale, out_dtype=x.dtype)
+    elif "kernel_q4p" in p:
         # int4 nibble-PLANE path (models/quant.py int4_format="planes"):
         # i32 words hold 8 k-planes; the kernel loads native i32 tiles
         # (no i8 widening — Mosaic legalizes only i32 vector shifts)

@@ -1,8 +1,13 @@
-"""In-situ comparison: 14B one-chip decode with the two int4 packings.
+"""In-situ comparison: 14B one-chip decode with the three int4 packings.
 
 The micro-probes disagree with in-situ rates (chained harness ~200 GB/s vs
 502 GB/s measured inside the real decode), so this measures what ships:
-bench.py's 14B decode path with int4_format bytes vs planes.
+bench.py's 14B decode path with int4_format bytes / planes / pairs.
+
+Measured (v5e one chip, B=16, Qwen3-14B arch, 8.56 GB resident):
+  pairs  : 15.56 ms/step  1028.1 tok/s  550.1 GB/s weights-only  <- default
+  planes : 16.38 ms/step   977.0 tok/s  522.7 GB/s
+  bytes  : 17.68 ms/step  (round-3 A/B vs planes)
 """
 import sys
 import time
@@ -58,5 +63,5 @@ def run_fmt(fmt):
 
 
 if __name__ == "__main__":
-    for fmt in (sys.argv[1:] or ("bytes", "planes")):
+    for fmt in (sys.argv[1:] or ("planes", "pairs")):
         run_fmt(fmt)

@@ -79,7 +79,9 @@ def test_int4_quantization():
     cfg = LlamaConfig.tiny(vocab_size=128)
     params = init_decoder_params(cfg.core(), jax.random.PRNGKey(0))
     q4 = quantize_params(params, bits=4)
-    # default format = nibble-PLANE i32 words: K/8 rows (round 3)
+    # default format = nibble-PLANE i32 words: K/8 rows (round 3; exact —
+    # the faster "pairs" format is opt-in because its epilogue correction
+    # is not bit-exact, models/quant.py)
     kq4 = q4["layers"]["q_proj"]["kernel_q4p"]
     assert kq4.dtype == jnp.int32
     assert kq4.shape[-2] == params["layers"]["q_proj"]["kernel"].shape[-2] // 8
@@ -204,3 +206,46 @@ def test_int4_plane_format_matches_byte_format():
     tp = np.asarray(generate(cfg, qp, inputs_embeds=emb, attention_mask=mask,
                              gen_cfg=gc, cache_dtype=jax.numpy.float32))
     np.testing.assert_array_equal(tb, tp)
+
+
+def test_int4_pair_format_matches_byte_format():
+    """int4_format='pairs' (bf16-pair i32 words) holds the SAME logical
+    weights as the split-half byte format — greedy generation identical
+    on CPU, where both run the exact XLA unpack fallback.  (The on-chip
+    Pallas pair kernel is validated to ~1e-4 absolute by
+    scripts/bench_int4_pairs.py; its epilogue correction is deliberately
+    NOT bit-exact, which is why 'planes' stays the default format —
+    models/quant.py.)"""
+    import jax
+    import numpy as np
+
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
+    from prot2text_tpu.models.quant import quantize_params
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=128, head_dim=16,
+        rope_theta=10000.0)
+    base = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    qb = quantize_params(base, bits=4, int4_format="bytes")
+    qw = quantize_params(base, bits=4, int4_format="pairs")
+    assert "kernel_q4w" in qw["layers"]["q_proj"]
+
+    from prot2text_tpu.kernels.quant_matmul import (
+        unpack_int4, unpack_int4_pairs)
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(qb["layers"]["q_proj"]["kernel_q4"])),
+        np.asarray(unpack_int4_pairs(qw["layers"]["q_proj"]["kernel_q4w"])))
+
+    rng = np.random.default_rng(0)
+    emb = jax.numpy.asarray(rng.standard_normal((2, 6, 64)),
+                            jax.numpy.float32)
+    mask = jax.numpy.ones((2, 6), jax.numpy.int32)
+    gc = GenerationConfig(max_new_tokens=6, eos_token_id=-1, pad_token_id=0)
+    tb = np.asarray(generate(cfg, qb, inputs_embeds=emb, attention_mask=mask,
+                             gen_cfg=gc, cache_dtype=jax.numpy.float32))
+    tw = np.asarray(generate(cfg, qw, inputs_embeds=emb, attention_mask=mask,
+                             gen_cfg=gc, cache_dtype=jax.numpy.float32))
+    np.testing.assert_array_equal(tb, tw)
