@@ -168,19 +168,23 @@ def main(argv=None):
                 input_ids=jnp.asarray(batch["input_ids"]),
                 attention_mask=jnp.asarray(batch["attention_mask"]),
                 return_decoder_inputs=True, attn_impl=args.attn_impl)
-            embeds = np.asarray(embeds)
+            # embeddings STAY on device (engine device-submit path): only
+            # the tiny attention mask crosses to the host for lengths — a
+            # D2H+H2D round-trip of the embeddings costs seconds per batch
+            # under remote dispatch (~270 MB at the 14B flagship)
             attn = np.asarray(attn)
+            plens = attn.sum(axis=1).astype(int)
             for i, name in enumerate(batch["name"]):
-                row = embeds[i][attn[i] == 1]
-                if row.shape[0] > max(buckets):
+                if plens[i] > max(buckets):
                     print(f"[serve] skipping {name}: prompt "
-                          f"{row.shape[0]} > --prompt_pad {max(buckets)}")
+                          f"{plens[i]} > --prompt_pad {max(buckets)}")
                     continue
                 trues[name] = tok.decode(
                     [t for t in batch["description_input_ids"][i].tolist()
                      if t != pad_id],
                     skip_special_tokens=True)
-                eng.submit(name, row, max_new_tokens=args.max_new_tokens)
+                eng.submit(name, embeds[i], prompt_len=int(plens[i]),
+                           max_new_tokens=args.max_new_tokens)
             for name, toks in eng.pump(until_queue_below=args.max_slots):
                 _finish(name, toks)
 

@@ -57,8 +57,10 @@ from .kvcache import init_kv_cache
 @dataclasses.dataclass
 class _Request:
     request_id: object
-    embeds: np.ndarray          # (P, H) prompt embeddings (unpadded)
+    embeds: object              # (W, H) prompt embeddings, host or device;
+                                # real tokens are the LAST prompt_len rows
     max_new_tokens: int
+    prompt_len: int = 0
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
@@ -79,6 +81,11 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     tok0 (max_slots,) in SLOT order)."""
     B = state["pos"].shape[0]
     R = emb.shape[0]
+    # device-submitted prompts keep whatever their padding rows held (the
+    # engine re-pads on device without touching the data) — zero them here
+    # so garbage/NaN padding can never leak through the XLA einsum
+    # attention path (0 * NaN = NaN even at softmax weight 0)
+    emb = jnp.where(mask[:, :, None] > 0, emb, 0)
     kv_bits = 8 if "k_scale" in state else None   # dict structure is static
     cache = init_kv_cache(cfg, R, prompt_pad, emb.dtype, kv_bits=kv_bits)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
@@ -295,13 +302,25 @@ class ContinuousBatcher:
             f"prompt length {length} > largest prompt_pad bucket "
             f"{self.prompt_buckets[-1]}")
 
-    def submit(self, request_id, prompt_embeds, *, max_new_tokens: int = 64):
-        """prompt_embeds: (P, H) with P <= max(prompt_pad buckets)."""
-        emb = np.asarray(prompt_embeds)
-        self._bucket_for(emb.shape[0])      # validate length
+    def submit(self, request_id, prompt_embeds, *, max_new_tokens: int = 64,
+               prompt_len: Optional[int] = None):
+        """prompt_embeds: (W, H) with the real tokens occupying the LAST
+        `prompt_len` rows (left-padding convention; prompt_len defaults to
+        W, i.e. an unpadded prompt).  A `jax.Array` stays ON DEVICE: the
+        install path then assembles the prefill buffer with device ops —
+        no host round-trip.  This is the production handoff: the encoder/
+        adapter output is already device-resident, and pulling it to the
+        host only to push it back costs seconds per batch under remote
+        dispatch (a 14B-flagship batch of prompt embeddings is ~270 MB)."""
+        emb = (prompt_embeds if isinstance(prompt_embeds, jax.Array)
+               else np.asarray(prompt_embeds))
+        plen = int(prompt_len) if prompt_len is not None else emb.shape[0]
+        if not 0 < plen <= emb.shape[0]:
+            raise ValueError(f"prompt_len {plen} outside (0, {emb.shape[0]}]")
+        self._bucket_for(plen)              # validate length
         if max_new_tokens > self.max_len - self.prompt_pad:
             raise ValueError("max_new_tokens exceeds the slot cache width")
-        self.queue.append(_Request(request_id, emb, max_new_tokens))
+        self.queue.append(_Request(request_id, emb, max_new_tokens, plen))
 
     def _fill_free_slots(self) -> Iterator[tuple]:
         """Install queued requests into ALL free slots — one prefill
@@ -317,13 +336,14 @@ class ContinuousBatcher:
         by_bucket: dict = {}
         for slot, req in installs.items():
             by_bucket.setdefault(
-                self._bucket_for(req.embeds.shape[0]), {})[slot] = req
+                self._bucket_for(req.prompt_len), {})[slot] = req
         for pad, group in sorted(by_bucket.items()):
             yield from self._install_group(group, pad)
 
     def _install_group(self, installs: dict, pad: int) -> Iterator[tuple]:
         B = self.max_slots
-        Hd = installs[next(iter(installs))].embeds.shape[1]
+        reqs = list(installs.values())
+        Hd = reqs[0].embeds.shape[1]
         # prefill width = number of requests being installed, bucketed to a
         # power of two (one compile per (rows, pad) pair actually seen) —
         # a single-slot refill prefills ONE row, not max_slots rows
@@ -331,24 +351,47 @@ class ContinuousBatcher:
         while R < len(installs):
             R *= 2
         R = min(R, B)
-        emb = np.zeros((R, pad, Hd), np.float32)
         mask = np.zeros((R, pad), np.int32)
         row_for_slot = np.zeros((B,), np.int32)
         inst = np.zeros((B,), bool)
         plens = np.ones((B,), np.int32)
         budgets = np.ones((B,), np.int32)
+        device = all(isinstance(r.embeds, jax.Array) for r in reqs)
+        rows = [] if device else None
+        emb = None if device else np.zeros((R, pad, Hd), np.float32)
         for i, (slot, req) in enumerate(installs.items()):
-            P = req.embeds.shape[0]
-            emb[i, pad - P:] = req.embeds      # left-pad
+            P = req.prompt_len
+            if device:
+                # device-resident prompt: re-pad to the bucket with device
+                # ops (compiled once per (W, pad) pair) — no host transfer.
+                # Padding rows may hold garbage; the jitted prefill zeroes
+                # them against `mask` before the forward.
+                r = req.embeds
+                W = r.shape[0]
+                if W > pad:                    # drop excess left padding
+                    r = jax.lax.slice_in_dim(r, W - pad, W, axis=0)
+                elif W < pad:                  # grow left padding
+                    r = jnp.pad(r, ((pad - W, 0), (0, 0)))
+                rows.append(r.astype(self.dtype))
+            else:
+                e = np.asarray(req.embeds)
+                emb[i, pad - P:] = e[e.shape[0] - P:]   # left-pad
             mask[i, pad - P:] = 1
             row_for_slot[slot] = i
             inst[slot] = True
             plens[slot] = P
             budgets[slot] = req.max_new_tokens
+        if device:
+            emb_dev = jnp.stack(rows)
+            if R > len(rows):
+                emb_dev = jnp.pad(emb_dev,
+                                  ((0, R - len(rows)), (0, 0), (0, 0)))
+        else:
+            emb_dev = jnp.asarray(emb, self.dtype)
         self._rng, key = jax.random.split(self._rng)
         self.state, tok0 = _prefill_install_pool(
             self.cfg, self.state, self.params,
-            jnp.asarray(emb, self.dtype), jnp.asarray(mask),
+            emb_dev, jnp.asarray(mask),
             jnp.asarray(row_for_slot),
             jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
             key, prompt_pad=pad,

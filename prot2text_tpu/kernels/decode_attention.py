@@ -284,16 +284,19 @@ def _kernel_write_q(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
     r = slot - tg * 32
     tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
     ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-    sel = (tt == tg * 32 + ss).astype(jnp.float32)      # (32, T) one-hot
+    sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)     # (32, T) one-hot
     selb = jnp.broadcast_to(sel[None], (Hkv, 32, T))
     rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 32, D), 1)
-    # extract the stale group from the tile already in VMEM (int8 values
-    # are exact in bf16/f32, so the one-hot matmul round-trips exactly)
+    # extract the stale group from the tile already in VMEM — in bf16:
+    # int8 values are exact in bf16 and the one-hot matmul picks exactly
+    # one of them per output (fp32 accumulate), so it round-trips exactly;
+    # an f32 convert of the (Hkv, T, D) tiles here costs 2x4 MB of vector
+    # stack per side and blows the 16 MB scoped-vmem limit at T~1.9k
     old_k = jax.lax.dot_general(
-        selb, ckf.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        selb, ckf, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)             # (Hkv, 32, D)
     old_v = jax.lax.dot_general(
-        selb, cvf.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        selb, cvf, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     cko_ref[0, 0] = jnp.where(rows == r, knq[:, None, :], old_k
                               ).astype(jnp.int8)

@@ -181,3 +181,57 @@ def test_engine_prompt_buckets_long_prompts():
 
     with pytest.raises(ValueError, match="bucket"):
         eng.submit("too_long", _prompt(16, 97), max_new_tokens=2)
+
+
+def test_engine_device_submit_matches_host_submit():
+    """Device-resident submission (jax.Array + prompt_len, left-padded to
+    any width, garbage in the padding rows) must produce token streams
+    identical to the host np path and to generate() — the production
+    encoder→engine handoff never round-trips embeddings through the host
+    (cli/serve.py)."""
+    params = _params()
+    reqs = [("a", _prompt(1, 3), 4), ("b", _prompt(2, 5), 6),
+            ("c", _prompt(3, 8), 3), ("d", _prompt(4, 2), 5)]
+
+    def run(device):
+        eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 6,
+                                prompt_pad=PAD, eos_token_id=-1,
+                                cache_dtype=jnp.float32, sync_every=1)
+        for rid, emb, n in reqs:
+            if device:
+                P = emb.shape[0]
+                # left-pad to a NON-bucket width with NaN garbage: the
+                # engine must re-pad on device and neutralize the padding
+                W = P + 3
+                padded = np.full((W, CFG.hidden_size), np.nan, np.float32)
+                padded[W - P:] = emb
+                eng.submit(rid, jnp.asarray(padded), prompt_len=P,
+                           max_new_tokens=n)
+                assert isinstance(eng.queue[-1].embeds, jax.Array)
+            else:
+                eng.submit(rid, emb, max_new_tokens=n)
+        return dict(eng.run())
+
+    host = run(device=False)
+    dev = run(device=True)
+    assert host.keys() == dev.keys()
+    for rid in host:
+        assert host[rid] == dev[rid], (rid, host[rid], dev[rid])
+    for rid, emb, n in reqs:
+        assert dev[rid] == _ref_tokens(params, emb, n), rid
+
+
+def test_engine_device_submit_wide_prompt_cropped():
+    """A device row WIDER than the chosen bucket (e.g. collator width 2048
+    vs bucket 512) crops its excess left padding on device."""
+    params = _params()
+    emb = _prompt(7, 5)
+    W = PAD + 8                                   # wider than the bucket
+    padded = np.zeros((W, CFG.hidden_size), np.float32)
+    padded[W - 5:] = emb
+    eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 6,
+                            prompt_pad=PAD, eos_token_id=-1,
+                            cache_dtype=jnp.float32)
+    eng.submit("w", jnp.asarray(padded), prompt_len=5, max_new_tokens=4)
+    out = dict(eng.run())
+    assert out["w"] == _ref_tokens(params, emb, 4)
