@@ -502,25 +502,29 @@ def bench_contrastive_flagship():
           grad_accum=GA, protein_len=PROT, desc_len=DESC, tower_layers=16)
 
 
-def _bench_serving_flagship(name, kv_bits=None):
+def _bench_serving_flagship(name, kv_bits=None, slots=8):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
     budget), prompt_pad buckets (512, 1664), ragged decode budgets.
-    kv_bits=8 additionally serves from the int8 KV pool (the per-row
-    decode step at T≈1.7k reads ~2 GB of cache per step — the int8 pool
-    halves that on top of the fused-write kernel)."""
+    kv_bits=8 serves from the int8 KV pool, whose halved cache bytes are
+    exactly what buys a 16-slot pool: bf16 KV at 16x1888 is ~4 GB and
+    OOMs next to the 8.5 GB weights, int8 fits.  Slot sweep (round 3,
+    kv8 + device submit, N=24): 8 slots 250 tok/s, 16 slots 277 (+11% —
+    per-row cache reads grow with the pool, so slots saturate rather
+    than scale)."""
     from prot2text_tpu.infer.serving import ContinuousBatcher
     from prot2text_tpu.models.llama import LlamaConfig
 
     cfg = LlamaConfig.llama_3_1_8b().core()
     params = _init_quantized_random(cfg, bits=8)
-    SLOTS = 8
+    SLOTS = slots
     BUCKETS = (512, 1664)
     MAXNEW = 192
+    N_REQ = 24
     rng = np.random.default_rng(0)
-    plens = [300 + (i * 331) % 1300 for i in range(12)]      # 300..1600
-    budgets = [64 + 32 * (i % 5) for i in range(12)]         # 64..192
+    plens = [300 + (i * 331) % 1300 for i in range(N_REQ)]   # 300..1600
+    budgets = [64 + 32 * (i % 5) for i in range(N_REQ)]      # 64..192
     # DEVICE-resident prompts (the engine's device-submit path): in
     # production the prompt embeddings come out of the encoder+adapter on
     # device — serving must not pay a host round-trip per request (the np
@@ -567,8 +571,8 @@ def bench_serving_flagship():
 
 def bench_serving_flagship_kv8():
     _bench_serving_flagship(
-        "serving_continuous_tokens_per_sec_int8_kv8_llama31_8b_8slots_1664ctx",
-        kv_bits=8)
+        "serving_continuous_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
+        kv_bits=8, slots=16)
 
 
 def bench_contrastive_step():
