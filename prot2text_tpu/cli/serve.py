@@ -68,6 +68,10 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--max_sequence_length", type=int, default=512)
+    p.add_argument("--prompt_lookup_tokens", type=int, default=0,
+                   help="speculative serving: n-gram drafts per slot, "
+                        "verified per-row (greedy only; 0 = off)")
+    p.add_argument("--prompt_lookup_ngram", type=int, default=2)
     p.add_argument("--kv_bits", type=int, default=None,
                    help="8 = int8 KV cache pool (half the decode-attention "
                         "HBM bytes per slot; ~0.4%% logit RMS error)")
@@ -143,7 +147,9 @@ def main(argv=None):
         eos_token_id=eos_id,
         cache_dtype=args.model_dtype, sync_every=args.sync_every,
         gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed),
-        kv_bits=args.kv_bits)
+        kv_bits=args.kv_bits,
+        prompt_lookup_tokens=args.prompt_lookup_tokens,
+        prompt_lookup_ngram=args.prompt_lookup_ngram)
 
     trues = {}
     results = {}

@@ -152,6 +152,11 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     state["active"] = jnp.where(inst, ~finished0, state["active"])
     state["last_tok"] = jnp.where(inst, tok0, state["last_tok"])
     state["budget"] = jnp.where(inst, budgets - 1, state["budget"])
+    if "hist" in state:            # speculative history: reset to [tok0]
+        HW = state["hist"].shape[1]
+        hrow = jnp.where(jnp.arange(HW)[None, :] == 0, tok0[:, None], -1)
+        state["hist"] = jnp.where(i2, hrow, state["hist"])
+        state["hist_len"] = jnp.where(inst, 1, state["hist_len"])
     return state, tok0
 
 
@@ -228,6 +233,145 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
     return state, jnp.stack([toks, fin, adv])
 
 
+@functools.partial(jax.jit, donate_argnums=(1,),
+                   static_argnames=("cfg", "eos_token_id", "gamma", "ngram",
+                                    "rounds"))
+def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
+                 gamma: int, ngram: int, rounds: int = 1):
+    """`rounds` prompt-lookup speculative verify rounds with PER-ROW
+    acceptance — the serving counterpart of infer/speculative.
+    prompt_lookup_generate, without its batch-minimum lockstep: every slot
+    drafts `gamma` tokens from its own generated history (n-gram match,
+    chased token-by-token so periods < gamma copy correctly), one
+    G=gamma+1-token chunk forward verifies ALL slots (per-row cache
+    columns via decoder_forward's vector cache_index), and each row
+    advances by ITS OWN accepted length (0..gamma drafts + 1 bonus) —
+    per-row cache indices make ragged acceptance free where the lockstep
+    generate() must advance by the batch minimum.
+
+    Rejected-draft kv entries land beyond the accepted point with kv_mask
+    0 and are overwritten as next_slot advances; inactive rows write into
+    the G-wide scratch region at the cache tail.  Greedy only.  Returns
+    (state, packed (3, rounds, G, B) int32 = [tokens, emit-flags,
+    finished-flags]): row b of round r emits tokens[r, :counts, b] where
+    counts = emit[r, :, b].sum() (contiguous prefix)."""
+    B = state["pos"].shape[0]
+    G = gamma + 1
+    T = state["kv_mask"].shape[1]
+    HW = state["hist"].shape[1]
+    W = HW - ngram + 1
+    bidx = jnp.arange(B)
+    cdt = state["k"].dtype
+    if cdt == jnp.int8:
+        cdt = jnp.bfloat16
+
+    def one_round(state, _):
+        # --- per-row n-gram drafts from each slot's own history ---------
+        histx = jnp.where(
+            jnp.arange(HW)[None, :] < state["hist_len"][:, None],
+            state["hist"], -1)
+
+        def draft_one(j, carry):
+            histx, drafts = carry
+            end = state["hist_len"] + j                     # (B,)
+            gram_pos = jnp.clip(
+                end[:, None] - ngram + jnp.arange(ngram)[None, :],
+                0, HW - 1)
+            prevgram = jnp.take_along_axis(histx, gram_pos, axis=1)
+            mall = jnp.ones((B, W), bool)
+            for k in range(ngram):
+                mall = jnp.logical_and(
+                    mall, histx[:, k:W + k] == prevgram[:, k][:, None])
+            svalid = jnp.arange(W)[None, :] < (end - ngram)[:, None]
+            ok = jnp.logical_and(mall, svalid)
+            score = jnp.where(ok, jnp.arange(W)[None, :], -1)
+            s_best = jnp.max(score, axis=1)                 # (B,)
+            nxt = jnp.take_along_axis(
+                histx, jnp.clip(s_best + ngram, 0, HW - 1)[:, None],
+                axis=1)[:, 0]
+            nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, 0), 0)
+            drafts = jax.lax.dynamic_update_slice(
+                drafts, nxt[:, None], (0, j))
+            histx = histx.at[bidx, jnp.clip(end, 0, HW - 1)].set(nxt)
+            return histx, drafts
+
+        _, drafts = jax.lax.fori_loop(
+            0, gamma, draft_one, (histx, jnp.zeros((B, gamma), jnp.int32)))
+
+        # --- one G-token verify forward over the pool cache --------------
+        chunk = jnp.concatenate(
+            [state["last_tok"][:, None], drafts], axis=1)   # (B, G)
+        emb = params["embed_tokens"][chunk].astype(cdt)
+        start = jnp.where(state["active"], state["next_slot"],
+                          T - G)                            # scratch tail
+        cols = jnp.arange(T)[None, None, None, :]
+        rows = jnp.arange(G)[None, None, :, None]
+        st4 = start[:, None, None, None]
+        ok = jnp.logical_or(
+            jnp.broadcast_to(
+                state["kv_mask"][:, None, None, :] > 0, (B, 1, G, T)),
+            jnp.logical_and(cols >= st4, cols <= st4 + rows))
+        bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        pos = (state["pos"] + 1)[:, None] + jnp.arange(G)[None, :]
+        kv = {"k": state["k"], "v": state["v"]}
+        if "k_scale" in state:
+            kv["k_scale"] = state["k_scale"]
+            kv["v_scale"] = state["v_scale"]
+        h, kv = decoder_forward(
+            cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
+            kv_cache=kv, cache_index=start, attn_impl="xla")
+        for key_ in kv:
+            state[key_] = kv[key_]
+        tgt = jnp.argmax(
+            decoder_logits(cfg, params, h), axis=-1).astype(jnp.int32)
+
+        # --- per-row acceptance + budget/eos clamps ----------------------
+        match = drafts == tgt[:, :gamma]                    # (B, gamma)
+        a = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+        bonus = jnp.take_along_axis(tgt, a[:, None], axis=1)[:, 0]
+        out = jnp.concatenate([drafts, tgt[:, -1:]], axis=1)
+        out = jnp.where(jnp.arange(G)[None, :] == a[:, None],
+                        bonus[:, None], out)                # (B, G)
+        L0 = jnp.minimum(a + 1, state["budget"])            # budget clamp
+        iseos = jnp.logical_and(out == eos_token_id,
+                                jnp.arange(G)[None, :] < L0[:, None])
+        has_eos = iseos.any(axis=1)
+        eos_pos = jnp.argmax(iseos, axis=1)
+        L = jnp.where(has_eos, eos_pos + 1, L0)
+        L = jnp.where(state["active"], L, 0)                # (B,)
+        fin = jnp.logical_and(
+            state["active"],
+            jnp.logical_or(has_eos, state["budget"] - L <= 0))
+
+        newly = jnp.logical_and(
+            jnp.arange(T)[None, :] >= start[:, None],
+            jnp.arange(T)[None, :] < (start + L)[:, None])
+        state["kv_mask"] = jnp.where(
+            jnp.logical_and(newly, state["active"][:, None]),
+            1, state["kv_mask"])
+        emit = jnp.arange(G)[None, :] < L[:, None]          # (B, G)
+        hpos = jnp.clip(
+            state["hist_len"][:, None] + jnp.arange(G)[None, :], 0, HW - 1)
+        hvals = jnp.take_along_axis(state["hist"], hpos, axis=1)
+        state["hist"] = state["hist"].at[bidx[:, None], hpos].set(
+            jnp.where(emit, out, hvals))
+        state["hist_len"] = state["hist_len"] + L
+        state["budget"] = state["budget"] - L
+        state["pos"] = state["pos"] + L
+        state["next_slot"] = jnp.minimum(state["next_slot"] + L, T - G)
+        last = jnp.take_along_axis(
+            out, jnp.clip(L - 1, 0, G - 1)[:, None], axis=1)[:, 0]
+        state["last_tok"] = jnp.where(L > 0, last, state["last_tok"])
+        state["active"] = jnp.where(fin, False, state["active"])
+        return state, (out.T, emit.T.astype(jnp.int32),
+                       jnp.broadcast_to(fin[None, :], (G, B)
+                                        ).astype(jnp.int32))
+
+    state, (toks, emit, fin) = jax.lax.scan(
+        one_round, state, None, length=rounds)
+    return state, jnp.stack([toks, emit, fin])
+
+
 class ContinuousBatcher:
     """Greedy continuous-batching engine over `decoder_decode_step`.
 
@@ -245,7 +389,9 @@ class ContinuousBatcher:
     def __init__(self, cfg: DecoderConfig, params, *, max_slots: int,
                  max_len: int, prompt_pad=64,
                  eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
-                 sync_every: int = 1, gen_cfg=None, rng=None, kv_bits=None):
+                 sync_every: int = 1, gen_cfg=None, rng=None, kv_bits=None,
+                 prompt_lookup_tokens: int = 0,
+                 prompt_lookup_ngram: int = 2):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -264,17 +410,26 @@ class ContinuousBatcher:
         # the only mode with exact generate() token parity)
         self.gen_cfg = gen_cfg
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # +1 scratch column: inactive rows' per-step kv writes are
-        # redirected to the LAST column (_decode_all) so a finished slot's
-        # real columns are never overwritten; kv_mask there stays 0
-        # forever, so it never enters attention.  Width rounds up to a
-        # multiple of 8 so the cache keeps Mosaic-tileable T and the
-        # Pallas grouped decode-attention kernel stays eligible
+        # prompt-lookup speculative serving (_spec_rounds): per-slot n-gram
+        # drafts verified in one chunk forward, PER-ROW acceptance
+        self.spec_gamma = int(prompt_lookup_tokens)
+        self.spec_ngram = int(prompt_lookup_ngram)
+        if self.spec_gamma and gen_cfg is not None and gen_cfg.do_sample:
+            raise ValueError("prompt_lookup_tokens is greedy-only")
+        # scratch columns: inactive rows' per-step kv writes are redirected
+        # past the live region (the LAST column for single-token decode; a
+        # G-wide tail region for speculative rounds, which also absorbs
+        # rejected-draft writes) so a finished slot's real columns are
+        # never overwritten; kv_mask there stays 0 forever, so it never
+        # enters attention.  Width rounds up to a multiple of 8 so the
+        # cache keeps Mosaic-tileable T and the Pallas grouped
+        # decode-attention kernel stays eligible
         # (kernels/decode_attention.supports_decode_attention).
         # int8 KV pool (kv_bits=8): width rounds to the fused write
         # kernel's 32-sublane int8 tile groups instead
         mult = 32 if kv_bits is not None else 8
-        T_cache = -(-(max_len + 1) // mult) * mult
+        slack = (self.spec_gamma + 1) if self.spec_gamma else 1
+        T_cache = -(-(max_len + slack) // mult) * mult
         cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype,
                               kv_bits=kv_bits)
         self.state = {
@@ -289,6 +444,14 @@ class ContinuousBatcher:
         if kv_bits is not None:
             self.state["k_scale"] = cache["k_scale"]
             self.state["v_scale"] = cache["v_scale"]
+        if self.spec_gamma:
+            # per-slot generated-token history (the n-gram match source;
+            # prompts are fused EMBEDDINGS, so unlike HF's prompt lookup
+            # there are no prompt ids to match — descriptions are
+            # self-repetitive enough once a few tokens exist)
+            HW = max_len - buckets[0] + self.spec_gamma + 2
+            self.state["hist"] = jnp.full((max_slots, HW), -1, jnp.int32)
+            self.state["hist_len"] = jnp.zeros((max_slots,), jnp.int32)
         self.queue: deque[_Request] = deque()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]
@@ -408,6 +571,9 @@ class ContinuousBatcher:
     def _decode_round(self) -> Iterator[tuple]:
         """One decode round (sync_every tokens for every active slot),
         yielding (request_id, [tokens...]) for requests that finish."""
+        if self.spec_gamma:
+            yield from self._spec_decode_round()
+            return
         self._rng, key = jax.random.split(self._rng)
         self.state, packed = _decode_all(
             self.cfg, self.state, self.params, key,
@@ -422,6 +588,33 @@ class ContinuousBatcher:
                     continue
                 self._slot_toks[slot].append(int(tok_h[c, slot]))
                 if fin_h[c, slot]:
+                    req = self._slot_req[slot]
+                    toks = self._slot_toks[slot]
+                    self._slot_req[slot] = None
+                    self._slot_toks[slot] = []
+                    yield req.request_id, toks
+
+    def _spec_decode_round(self) -> Iterator[tuple]:
+        """Prompt-lookup speculative rounds (per-row acceptance): each
+        dispatch runs ~sync_every/G verify rounds, each emitting 1..G
+        tokens per active slot."""
+        G = self.spec_gamma + 1
+        rounds = max(1, self.sync_every // G)
+        self.state, packed = _spec_rounds(
+            self.cfg, self.state, self.params,
+            eos_token_id=self.eos_token_id, gamma=self.spec_gamma,
+            ngram=self.spec_ngram, rounds=rounds)
+        self.steps += rounds               # one target forward per round
+        packed = np.asarray(packed)        # (3, rounds, G, B)
+        tok_h, emit_h, fin_h = packed[0], packed[1], packed[2]
+        for r in range(rounds):
+            for slot in range(self.max_slots):
+                if self._slot_req[slot] is None:
+                    continue
+                for c in range(G):
+                    if emit_h[r, c, slot]:
+                        self._slot_toks[slot].append(int(tok_h[r, c, slot]))
+                if fin_h[r, 0, slot]:
                     req = self._slot_req[slot]
                     toks = self._slot_toks[slot]
                     self._slot_req[slot] = None

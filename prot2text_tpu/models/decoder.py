@@ -156,7 +156,10 @@ def decoder_forward(
     bias,                   # fp32 additive (B, 1, S, T)
     positions,              # (B, S) int32 rope positions
     kv_cache=None,          # {"k","v"} per kv_cache_layout(cfg), or None
-    cache_index=None,       # scalar int32 write offset into T
+    cache_index=None,       # int32 write offset into T: scalar, or a (B,)
+                            # vector of per-row offsets (bktd layouts only —
+                            # the serving engine's speculative chunk verify
+                            # writes each slot's chunk at its own length)
     attn_impl: str = "xla",
     remat: bool = False,
     lora=None,              # optional LoRA tree (models/lora.py layout)
@@ -231,6 +234,32 @@ def decoder_forward(
             k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        vec_idx = getattr(cache_index, "ndim", 0) == 1
+        if vec_idx:
+            # per-row write columns (speculative serving verify): row b's
+            # S-token chunk lands at [cache_index[b], cache_index[b]+S).
+            # NOT a scatter: TPU scatters with per-row dynamic indices
+            # serialize.  Build the full-width update with a one-hot
+            # batched matmul over the tiny chunk dim (MXU, ~0.3 GFLOP at
+            # serving shapes) and one select — bandwidth-bound at ~3
+            # cache-sized streams per layer.
+            Tdim = (layer_cache[0].shape[2]
+                    if kv_cache_layout(cfg) == "bktd"
+                    else layer_cache[0].shape[0])
+            colsT = jnp.arange(Tdim)
+            oh = ((colsT[None, :, None] - cache_index[:, None, None])
+                  == jnp.arange(S)[None, None, :])           # (B, T, S)
+            sel3 = oh.any(axis=2)                            # (B, T)
+
+            def place(chunk):
+                """(B, Hkv, S, ...) chunk → (B, Hkv, T, ...) full-width."""
+                if chunk.ndim == 4:
+                    return jnp.einsum(
+                        "bts,bhsd->bhtd", oh.astype(chunk.dtype), chunk,
+                        preferred_element_type=chunk.dtype)
+                return jnp.einsum(
+                    "bts,bhs->bht", oh.astype(chunk.dtype), chunk,
+                    preferred_element_type=chunk.dtype)
         if layer_cache is not None and len(layer_cache) == 4:
             # int8 KV cache (kv_bits=8): quantize the slab per (head, token)
             # vector, write values + scales, and attend over the DEQUANTIZED
@@ -240,14 +269,22 @@ def decoder_forward(
             ck, cv, sk, sv = layer_cache
             kq, ks = quantize_kv(k)                      # (B, Hkv, S, ·)
             vq, vs = quantize_kv(v)
-            ck = jax.lax.dynamic_update_slice(
-                ck, kq.astype(jnp.int8), (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, vq.astype(jnp.int8), (0, 0, cache_index, 0))
-            sk = jax.lax.dynamic_update_slice(
-                sk, ks, (0, 0, cache_index))
-            sv = jax.lax.dynamic_update_slice(
-                sv, vs, (0, 0, cache_index))
+            if vec_idx:
+                s4 = sel3[:, None, :, None]
+                s3 = sel3[:, None, :]
+                ck = jnp.where(s4, place(kq).astype(jnp.int8), ck)
+                cv = jnp.where(s4, place(vq).astype(jnp.int8), cv)
+                sk = jnp.where(s3, place(ks), sk)
+                sv = jnp.where(s3, place(vs), sv)
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq.astype(jnp.int8), (0, 0, cache_index, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq.astype(jnp.int8), (0, 0, cache_index, 0))
+                sk = jax.lax.dynamic_update_slice(
+                    sk, ks, (0, 0, cache_index))
+                sv = jax.lax.dynamic_update_slice(
+                    sv, vs, (0, 0, cache_index))
             k_full = (ck.astype(jnp.float32) * sk[..., None]).astype(x.dtype)
             v_full = (cv.astype(jnp.float32) * sv[..., None]).astype(x.dtype)
             new_cache = (ck, cv, sk, sv)
@@ -256,19 +293,33 @@ def decoder_forward(
             if kv_cache_layout(cfg) == "bktd":
                 # (B, Hkv, T, D) — same dim order as k/v (B, Hkv, S, D):
                 # slab write + read with NO transposes
-                ck = jax.lax.dynamic_update_slice(
-                    ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+                if vec_idx:
+                    s4 = sel3[:, None, :, None]
+                    ck = jnp.where(s4, place(k).astype(ck.dtype), ck)
+                    cv = jnp.where(s4, place(v).astype(cv.dtype), cv)
+                else:
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
                 k_full, v_full = ck, cv
             else:
                 # (T, B, Hkv, D) sequence-leading (dense for D=64)
-                k_t = k.transpose(2, 0, 1, 3).astype(ck.dtype)
-                v_t = v.transpose(2, 0, 1, 3).astype(cv.dtype)
-                ck = jax.lax.dynamic_update_slice(
-                    ck, k_t, (cache_index, 0, 0, 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cv, v_t, (cache_index, 0, 0, 0))
+                if vec_idx:
+                    s_t = sel3.T[:, :, None, None]       # (T, B, 1, 1)
+                    ck = jnp.where(
+                        s_t, place(k).transpose(2, 0, 1, 3).astype(ck.dtype),
+                        ck)
+                    cv = jnp.where(
+                        s_t, place(v).transpose(2, 0, 1, 3).astype(cv.dtype),
+                        cv)
+                else:
+                    k_t = k.transpose(2, 0, 1, 3).astype(ck.dtype)
+                    v_t = v.transpose(2, 0, 1, 3).astype(cv.dtype)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k_t, (cache_index, 0, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v_t, (cache_index, 0, 0, 0))
                 k_full = ck.transpose(1, 2, 0, 3)        # (B, Hkv, T, D)
                 v_full = cv.transpose(1, 2, 0, 3)
             new_cache = (ck, cv)

@@ -235,3 +235,69 @@ def test_engine_device_submit_wide_prompt_cropped():
     eng.submit("w", jnp.asarray(padded), prompt_len=5, max_new_tokens=4)
     out = dict(eng.run())
     assert out["w"] == _ref_tokens(params, emb, 4)
+
+
+def test_engine_prompt_lookup_matches_plain():
+    """Speculative serving (_spec_rounds, per-row acceptance) is
+    greedy-exact: token streams identical to the plain engine and to
+    generate(), for ragged prompts/budgets, refills mid-flight, and any
+    sync_every (rounds per dispatch)."""
+    params = _params()
+    reqs = [("a", _prompt(1, 3), 6), ("b", _prompt(2, 5), 9),
+            ("c", _prompt(3, 8), 4), ("d", _prompt(4, 2), 8),
+            ("e", _prompt(5, 6), 7)]
+
+    def run(spec, sync_every=1):
+        eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 9,
+                                prompt_pad=PAD, eos_token_id=-1,
+                                cache_dtype=jnp.float32,
+                                sync_every=sync_every,
+                                prompt_lookup_tokens=3 if spec else 0)
+        for rid, emb, n in reqs:
+            eng.submit(rid, emb, max_new_tokens=n)
+        return dict(eng.run())
+
+    plain = run(spec=False)
+    for sync_every in (1, 8):
+        spec = run(spec=True, sync_every=sync_every)
+        assert plain.keys() == spec.keys()
+        for rid in plain:
+            assert plain[rid] == spec[rid], (sync_every, rid,
+                                             plain[rid], spec[rid])
+    for rid, emb, n in reqs:
+        assert plain[rid] == _ref_tokens(params, emb, n), rid
+
+
+def test_engine_prompt_lookup_eos_and_acceleration():
+    """eos inside an accepted chunk stops the request at the eos token;
+    on a repetitive stream the engine emits MORE tokens than it runs
+    target forwards (steps counts forwards)."""
+    import numpy as np
+
+    params = _params()
+    # find a prompt whose greedy continuation contains a repeated token
+    # early (random tiny models loop quickly); eos = the 3rd emitted token
+    emb = _prompt(11, 4)
+    ref = _ref_tokens(params, emb, 12)
+    eos = ref[2]
+    ref_eos = _ref_tokens(params, emb, 12, eos=eos)
+
+    eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 12,
+                            prompt_pad=PAD, eos_token_id=eos,
+                            cache_dtype=jnp.float32,
+                            prompt_lookup_tokens=3)
+    eng.submit("r", emb, max_new_tokens=12)
+    out = dict(eng.run())
+    assert out["r"] == ref_eos
+
+    # acceleration: a looping greedy stream accepts drafts, so the number
+    # of target forwards is below the emitted token count
+    eng2 = ContinuousBatcher(CFG, params, max_slots=1, max_len=PAD + 24,
+                             prompt_pad=PAD, eos_token_id=-1,
+                             cache_dtype=jnp.float32,
+                             prompt_lookup_tokens=4)
+    eng2.submit("r", emb, max_new_tokens=24)
+    out2 = dict(eng2.run())
+    assert out2["r"] == _ref_tokens(params, emb, 24)
+    assert len(out2["r"]) == 24
+    assert eng2.steps < 23, eng2.steps   # plain greedy would need 23
