@@ -502,7 +502,8 @@ def bench_contrastive_flagship():
           grad_accum=GA, protein_len=PROT, desc_len=DESC, tower_layers=16)
 
 
-def _bench_serving_flagship(name, kv_bits=None, slots=8):
+def _bench_serving_flagship(name, kv_bits=None, slots=8,
+                            prompt_lookup_tokens=0):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
@@ -540,7 +541,8 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8):
         eng = ContinuousBatcher(cfg, params, max_slots=SLOTS,
                                 max_len=BUCKETS[-1] + MAXNEW,
                                 prompt_pad=BUCKETS, eos_token_id=-1,
-                                sync_every=16, kv_bits=kv_bits)
+                                sync_every=16, kv_bits=kv_bits,
+                                prompt_lookup_tokens=prompt_lookup_tokens)
         for i in range(n):
             eng.submit(i, prompts[i], max_new_tokens=budgets[i],
                        prompt_len=plens[i])
@@ -573,6 +575,20 @@ def bench_serving_flagship_kv8():
     _bench_serving_flagship(
         "serving_continuous_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
         kv_bits=8, slots=16)
+
+
+def bench_serving_flagship_spec():
+    """Speculative serving (per-row prompt-lookup drafts + the fused Pallas
+    chunk-verify kernel, kernels/decode_attention.py
+    decode_attention_stacked_verify_qc) on the same kv8 16-slot flagship
+    workload.  Random-weight greedy streams loop, so draft acceptance here
+    is near the UPPER BOUND — treat this as the high-acceptance regime
+    (repetitive outputs); low-acceptance streams degrade toward ~1 token
+    per verify round.  Measured A/B vs plain: 311.5 vs 273.5 tok/s with
+    3.3x fewer target forwards."""
+    _bench_serving_flagship(
+        "serving_spec_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
+        kv_bits=8, slots=16, prompt_lookup_tokens=4)
 
 
 def bench_contrastive_step():
@@ -706,6 +722,7 @@ METRICS = (
     "bench_sft_flagship",
     "bench_serving_flagship",
     "bench_serving_flagship_kv8",
+    "bench_serving_flagship_spec",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----

@@ -235,9 +235,10 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
 
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "eos_token_id", "gamma", "ngram",
-                                    "rounds"))
+                                    "rounds", "use_fused"))
 def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
-                 gamma: int, ngram: int, rounds: int = 1):
+                 gamma: int, ngram: int, rounds: int = 1,
+                 use_fused: bool = False):
     """`rounds` prompt-lookup speculative verify rounds with PER-ROW
     acceptance — the serving counterpart of infer/speculative.
     prompt_lookup_generate, without its batch-minimum lockstep: every slot
@@ -302,24 +303,34 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
         chunk = jnp.concatenate(
             [state["last_tok"][:, None], drafts], axis=1)   # (B, G)
         emb = params["embed_tokens"][chunk].astype(cdt)
-        start = jnp.where(state["active"], state["next_slot"],
-                          T - G)                            # scratch tail
-        cols = jnp.arange(T)[None, None, None, :]
-        rows = jnp.arange(G)[None, None, :, None]
-        st4 = start[:, None, None, None]
-        ok = jnp.logical_or(
-            jnp.broadcast_to(
-                state["kv_mask"][:, None, None, :] > 0, (B, 1, G, T)),
-            jnp.logical_and(cols >= st4, cols <= st4 + rows))
-        bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        scratch = T - (64 if use_fused else G)              # dead tail
+        start = jnp.where(state["active"], state["next_slot"], scratch)
         pos = (state["pos"] + 1)[:, None] + jnp.arange(G)[None, :]
         kv = {"k": state["k"], "v": state["v"]}
         if "k_scale" in state:
             kv["k_scale"] = state["k_scale"]
             kv["v_scale"] = state["v_scale"]
-        h, kv = decoder_forward(
-            cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
-            kv_cache=kv, cache_index=start, attn_impl="xla")
+        if use_fused:
+            # fused Pallas chunk kernel: int8 tiles stream once, chunk
+            # slots written in place (models/decoder.decoder_verify_chunk)
+            from ..models.decoder import decoder_verify_chunk
+
+            h, kv = decoder_verify_chunk(
+                cfg, params, token_embeds=emb,
+                kv_mask01=state["kv_mask"], positions=pos,
+                kv_cache=kv, cache_index=start)
+        else:
+            cols = jnp.arange(T)[None, None, None, :]
+            rows = jnp.arange(G)[None, None, :, None]
+            st4 = start[:, None, None, None]
+            ok = jnp.logical_or(
+                jnp.broadcast_to(
+                    state["kv_mask"][:, None, None, :] > 0, (B, 1, G, T)),
+                jnp.logical_and(cols >= st4, cols <= st4 + rows))
+            bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+            h, kv = decoder_forward(
+                cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
+                kv_cache=kv, cache_index=start, attn_impl="xla")
         for key_ in kv:
             state[key_] = kv[key_]
         tgt = jnp.argmax(
@@ -358,7 +369,7 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
         state["hist_len"] = state["hist_len"] + L
         state["budget"] = state["budget"] - L
         state["pos"] = state["pos"] + L
-        state["next_slot"] = jnp.minimum(state["next_slot"] + L, T - G)
+        state["next_slot"] = jnp.minimum(state["next_slot"] + L, scratch)
         last = jnp.take_along_axis(
             out, jnp.clip(L - 1, 0, G - 1)[:, None], axis=1)[:, 0]
         state["last_tok"] = jnp.where(L > 0, last, state["last_tok"])
@@ -429,6 +440,10 @@ class ContinuousBatcher:
         # kernel's 32-sublane int8 tile groups instead
         mult = 32 if kv_bits is not None else 8
         slack = (self.spec_gamma + 1) if self.spec_gamma else 1
+        if self.spec_gamma and kv_bits is not None:
+            # the fused chunk-verify kernel needs chunk starts <= T - 64
+            # (its aliased write covers two 32-sublane int8 tile groups)
+            slack = max(slack, 64)
         T_cache = -(-(max_len + slack) // mult) * mult
         cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype,
                               kv_bits=kv_bits)
@@ -452,6 +467,14 @@ class ContinuousBatcher:
             HW = max_len - buckets[0] + self.spec_gamma + 2
             self.state["hist"] = jnp.full((max_slots, HW), -1, jnp.int32)
             self.state["hist_len"] = jnp.zeros((max_slots,), jnp.int32)
+        self._spec_fused = False
+        if self.spec_gamma:
+            from ..models.decoder import supports_verify_chunk_step
+
+            self._spec_fused = (
+                T_cache - 64 >= max_len
+                and supports_verify_chunk_step(cfg, self.state,
+                                               self.spec_gamma + 1))
         self.queue: deque[_Request] = deque()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]
@@ -603,7 +626,8 @@ class ContinuousBatcher:
         self.state, packed = _spec_rounds(
             self.cfg, self.state, self.params,
             eos_token_id=self.eos_token_id, gamma=self.spec_gamma,
-            ngram=self.spec_ngram, rounds=rounds)
+            ngram=self.spec_ngram, rounds=rounds,
+            use_fused=self._spec_fused)
         self.steps += rounds               # one target forward per round
         packed = np.asarray(packed)        # (3, rounds, G, B)
         tok_h, emit_h, fin_h = packed[0], packed[1], packed[2]

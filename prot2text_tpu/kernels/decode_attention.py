@@ -388,3 +388,206 @@ def supports_decode_attention_q(cfg, cache_shape) -> bool:
     L, B, Hkv, T, D = cache_shape
     tile_bytes = 2 * Hkv * T * D * (1 + 2)     # int8 read + bf16 convert
     return D % 128 == 0 and T % 32 == 0 and tile_bytes <= 20 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# fused CHUNK-verify attention + int8 cache chunk write (speculative serving)
+#
+# The serving engine's prompt-lookup verify (infer/serving._spec_rounds)
+# forwards a G=gamma+1-token chunk per slot at PER-ROW cache columns.  The
+# generic decoder_forward path costs ~5x a fused single-token step at the
+# 8B flagship: it dequantizes the int8 cache to bf16 per layer, rewrites
+# the full cache through scan ys, and runs XLA einsum attention.  This
+# kernel is the chunk generalization of decode_attention_stacked_write_q:
+# the layer's int8 tiles stream once, the chunk's G queries (G·rep rows)
+# run [stale-cache logits ‖ intra-chunk causal logits] with the masked
+# fp32 softmax in VMEM, and the chunk's G consecutive slots are written
+# in place through aliased outputs.  A chunk may span TWO 32-sublane int8
+# tile groups (G <= 32), so the grid is (B, 2): iteration j writes group
+# slot//32 + j; the attention (and the scale-row updates) run at j == 0
+# only — the input tiles are fetched once (the block index ignores j).
+# Callers must size T % 32 == 0 and guarantee slot <= T - 64.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_verify_qc(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
+                      mask_ref, ck_ref, cv_ref, sk_ref, sv_ref,
+                      o_ref, cko_ref, cvo_ref, sko_ref, svo_ref, *,
+                      rep: int, G: int):
+    # grid (B, Hkv, 2): the head dim rides the GRID, not the tile — a full
+    # (Hkv, T, D) tile pair plus fp32 chunk logits blows the 16 MB scoped
+    # vmem at T~1.9k (measured 23 MB); per-head tiles are Hkv x smaller
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    T, D = ck_ref.shape[3], ck_ref.shape[4]
+    ckf = ck_ref[0, 0, 0].astype(jnp.bfloat16)          # (T, D) exact
+    cvf = cv_ref[0, 0, 0].astype(jnp.bfloat16)
+    sk = sk_ref[0, 0, pl.ds(h, 1), :]                   # (1, T) f32
+    sv = sv_ref[0, 0, pl.ds(h, 1), :]
+    knq = knq_ref[0, 0]                                 # (G, D) f32 ints
+    vnq = vnq_ref[0, 0]
+    kns = kns_ref[b, pl.ds(h, 1), :]                    # (1, G) f32
+    vns = vns_ref[b, pl.ds(h, 1), :]
+    slot = idx_ref[1 + b]                               # chunk start column
+
+    @pl.when(j == 0)
+    def _():
+        q = q_ref[0, 0]                                 # (G·rep, D) bf16
+        logits = jax.lax.dot_general(
+            q, ckf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (GR, T)
+        logits = logits * sk
+        mask = mask_ref[b]                              # (T,)
+        logits = jnp.where(mask[None, :] > 0, logits, NEG)
+        # q·(knq_g·kns_g) == (q·knq_g)·kns_g — scale the logit column
+        # instead of dequantizing the key (no (G, D) knf temp)
+        ln = jax.lax.dot_general(
+            q.astype(jnp.float32), knq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * kns   # (GR, G)
+        GR = G * rep
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 0) // rep
+        colg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 1)
+        ln = jnp.where(colg <= rowg, ln, NEG)           # intra-chunk causal
+        m = jnp.maximum(jnp.max(logits, axis=-1), jnp.max(ln, axis=-1))
+        el = jnp.exp(logits - m[:, None])               # (GR, T)
+        en = jnp.exp(ln - m[:, None])                   # (GR, G)
+        denom = jnp.sum(el, axis=-1) + jnp.sum(en, axis=-1)
+        a = jax.lax.dot_general(
+            (el * sv).astype(jnp.bfloat16), cvf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (GR, D)
+        a = a + jax.lax.dot_general(
+            en * vns, vnq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (a / denom[:, None]).astype(o_ref.dtype)
+
+        # scale rows: the (Hkv, T) block persists across the h grid dim
+        # (same block index) — copy it whole once, then partial-store row
+        # h's chunk columns.  G is small and static, so unrolled selects
+        # beat one-hot matmuls
+        @pl.when(h == 0)
+        def _():
+            sko_ref[0, 0] = sk_ref[0, 0]
+            svo_ref[0, 0] = sv_ref[0, 0]
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        snewk = sk
+        snewv = sv
+        for g in range(G):
+            snewk = jnp.where(cols == slot + g, kns[0, g], snewk)
+            snewv = jnp.where(cols == slot + g, vns[0, g], snewv)
+        sko_ref[0, 0, pl.ds(h, 1), :] = snewk
+        svo_ref[0, 0, pl.ds(h, 1), :] = snewv
+
+    # -- int8 chunk write: tile group slot//32 + j ---------------------------
+    tg = slot // 32 + j
+    r = slot - tg * 32            # chunk start row within THIS group
+    tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
+    ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
+    sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)     # (32, T) one-hot
+    old_k = jax.lax.dot_general(
+        sel, ckf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (32, D)
+    old_v = jax.lax.dot_general(
+        sel, cvf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (32, D), 0)
+    new_k = old_k
+    new_v = old_v
+    for g in range(G):
+        new_k = jnp.where(rows == r + g, knq[g][None, :], new_k)
+        new_v = jnp.where(rows == r + g, vnq[g][None, :], new_v)
+    cko_ref[0, 0, 0] = new_k.astype(jnp.int8)
+    cvo_ref[0, 0, 0] = new_v.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_verify_qc(qg, ck_all, cv_all, sk_all, sv_all,
+                                       kv_mask, k_new_q, v_new_q, k_new_s,
+                                       v_new_s, layer, slots, *,
+                                       interpret: bool = False):
+    """Fused int8-KV CHUNK-verify attention + in-place chunk write.
+
+    qg: (B, Hkv, G·rep, D) pre-scaled bf16, row g·rep+r = query token g,
+    head replica r; ck_all/cv_all: (L, B, Hkv, T, D) int8 and
+    sk_all/sv_all: (L, B, Hkv, T) f32, all four DONATED and updated in
+    place; kv_mask: (B, T) 0/1 over already-written slots (the chunk's own
+    columns must be 0); k_new_q/v_new_q: (B, Hkv, G, D) fp32 EXACT-INT
+    quantized chunk keys/values with k_new_s/v_new_s (B, Hkv, G) f32
+    scales (models/quant.quantize_kv); layer: scalar int32; slots: (B,)
+    int32 chunk-start columns with slots[b] <= T - 64.  T % 32 == 0.
+    Returns (attn (B, Hkv, G·rep, D), ck_all, cv_all, sk_all, sv_all)."""
+    L, B, Hkv, T, D = ck_all.shape
+    G = k_new_q.shape[2]
+    GR = qg.shape[2]
+    rep = GR // G
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, GR, D), lambda b, h, j, idx: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, D), lambda b, h, j, idx: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, G, D), lambda b, h, j, idx: (b, h, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, h, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, h, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, T), lambda b, h, j, idx: (0, 0)),
+            pl.BlockSpec((1, 1, 1, T, D),
+                         lambda b, h, j, idx: (idx[0], b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, T, D),
+                         lambda b, h, j, idx: (idx[0], b, h, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, GR, D), lambda b, h, j, idx: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 32, D),
+                         lambda b, h, j, idx: (idx[0], b, h,
+                                               idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, 1, 1, 32, D),
+                         lambda b, h, j, idx: (idx[0], b, h,
+                                               idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_verify_qc, rep=rep, G=G),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, GR, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(cv_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(sk_all.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sv_all.shape, jnp.float32),
+        ],
+        input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg,
+      k_new_q.astype(jnp.float32), v_new_q.astype(jnp.float32),
+      k_new_s.astype(jnp.float32), v_new_s.astype(jnp.float32),
+      kv_mask.astype(jnp.int32), ck_all, cv_all, sk_all, sv_all)
+
+
+def supports_verify_chunk(cfg, cache_shape, G: int) -> bool:
+    """Chunk-verify kernel eligibility: bktd D=128 flagships, 32-group T,
+    per-(batch, head) working set (int8 tiles + bf16 converts + GR·T fp32
+    logits) in VMEM — the head dim rides the grid."""
+    L, B, Hkv, T, D = cache_shape
+    GR = G * (cfg.num_heads // cfg.num_kv_heads)
+    tile_bytes = (2 * T * D * (1 + 2)              # int8 + bf16 converts
+                  + 3 * GR * T * 4                 # logits/el/el·sv (f32)
+                  + 32 * T * 2 + 4 * T * 4)        # one-hot + scale rows
+    return (D % 128 == 0 and T % 32 == 0 and T >= 64 and G <= 32
+            and tile_bytes <= 8 * 1024 * 1024)

@@ -395,6 +395,84 @@ def decoder_forward(
     return h, new_kv
 
 
+def _fetch_layer(sub, li):
+    """Per-layer view of a stacked leaf dict (norms, small projections)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+        sub)
+
+
+def _stacked_proj(layers, name, li, x_, on_tpu_q4):
+    """Layer-li projection over the STACKED weight buffers, shared by the
+    single-token decode step and the chunk-verify step.  int4 leaves go
+    through the scalar-prefetch STACKED kernel — a pallas operand must be
+    materialized, so slicing the (L, K/2, N) buffer per layer (scan xs or
+    dynamic_index) copies the whole layer's weights every step; the
+    stacked kernel's index_map reads tiles straight from the stacked
+    buffer instead (measured on-chip: scripts/bench_stacked_matmul.py).
+    int8/bf16 leaves keep dynamic_index — XLA fuses that slice into the
+    dot_general operand read (the 8B int8 decode measures at the HBM
+    floor, scripts/bench_decode_gap.py)."""
+    from .transformer import linear
+
+    sub = layers[name]
+    rows = 1
+    for d in x_.shape[:-1]:
+        rows *= d
+    if "kernel_q4w" in sub:
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4_pairs_stacked, supports_quant_matmul_pairs,
+        )
+
+        wp = sub["kernel_q4w"]                 # (L, K/8, N) i32 pairs
+        if (on_tpu_q4 and rows <= 256
+                and supports_quant_matmul_pairs(wp.shape[1] * 8,
+                                                wp.shape[2])):
+            lead = x_.shape[:-1]
+            y = quant_matmul_int4_pairs_stacked(
+                x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                out_dtype=x_.dtype)
+            if "bias" in sub:
+                y = y + jax.lax.dynamic_index_in_dim(
+                    sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+            return y.reshape(*lead, wp.shape[-1])
+    if "kernel_q4p" in sub:
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4_planes_stacked, supports_quant_matmul_planes,
+        )
+
+        wp = sub["kernel_q4p"]                 # (L, K/8, N) i32 planes
+        if (on_tpu_q4 and rows <= 256
+                and supports_quant_matmul_planes(wp.shape[1] * 8,
+                                                 wp.shape[2])):
+            lead = x_.shape[:-1]
+            y = quant_matmul_int4_planes_stacked(
+                x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                out_dtype=x_.dtype)
+            if "bias" in sub:
+                y = y + jax.lax.dynamic_index_in_dim(
+                    sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+            return y.reshape(*lead, wp.shape[-1])
+    if "kernel_q4" in sub:
+        from ..kernels.quant_matmul import (
+            quant_matmul_int4_stacked, supports_quant_matmul,
+        )
+
+        wp = sub["kernel_q4"]                  # (L, K/2, N)
+        if (on_tpu_q4 and rows <= 256
+                and supports_quant_matmul(wp.shape[1] * 2, wp.shape[2],
+                                          bits=4)):
+            lead = x_.shape[:-1]
+            y = quant_matmul_int4_stacked(
+                x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
+                out_dtype=x_.dtype)
+            if "bias" in sub:
+                y = y + jax.lax.dynamic_index_in_dim(
+                    sub["bias"], li, 0, keepdims=False).astype(y.dtype)
+            return y.reshape(*lead, wp.shape[-1])
+    return linear(_fetch_layer(sub, li), x_)
+
+
 def decoder_decode_step(
     cfg: DecoderConfig,
     params,
@@ -460,86 +538,10 @@ def decoder_decode_step(
                                                      ck_all.dtype))
     kv_mask01 = (bias_o[:, 0, 0, :] >= -1e30).astype(jnp.int32)  # (B, T)
 
-    def fetch(sub, li):
-        """Per-layer view of a stacked leaf dict (norms, small projections)."""
-        return jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
-            sub)
+    fetch = _fetch_layer
 
     def proj(name, li, x_):
-        """Layer-li projection.  int4 leaves go through the scalar-prefetch
-        STACKED kernel — a pallas operand must be materialized, so slicing
-        the (L, K/2, N) buffer per layer (scan xs or dynamic_index) copies
-        the whole layer's weights every step; the stacked kernel's
-        index_map reads tiles straight from the stacked buffer instead
-        (measured on-chip: scripts/bench_stacked_matmul.py).  int8/bf16
-        leaves keep dynamic_index — XLA fuses that slice into the
-        dot_general operand read (the 8B int8 decode measures at the HBM
-        floor, scripts/bench_decode_gap.py)."""
-        sub = layers[name]
-        if "kernel_q4w" in sub:
-            from ..kernels.quant_matmul import (
-                quant_matmul_int4_pairs_stacked,
-                supports_quant_matmul_pairs,
-            )
-
-            wp = sub["kernel_q4w"]                 # (L, K/8, N) i32 pairs
-            rows = 1
-            for d in x_.shape[:-1]:
-                rows *= d
-            if (on_tpu_q4 and rows <= 256
-                    and supports_quant_matmul_pairs(wp.shape[1] * 8,
-                                                    wp.shape[2])):
-                lead = x_.shape[:-1]
-                y = quant_matmul_int4_pairs_stacked(
-                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                    out_dtype=x_.dtype)
-                if "bias" in sub:
-                    y = y + jax.lax.dynamic_index_in_dim(
-                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
-                return y.reshape(*lead, wp.shape[-1])
-        if "kernel_q4p" in sub:
-            from ..kernels.quant_matmul import (
-                quant_matmul_int4_planes_stacked,
-                supports_quant_matmul_planes,
-            )
-
-            wp = sub["kernel_q4p"]                 # (L, K/8, N) i32 planes
-            rows = 1
-            for d in x_.shape[:-1]:
-                rows *= d
-            if (on_tpu_q4 and rows <= 256
-                    and supports_quant_matmul_planes(wp.shape[1] * 8,
-                                                     wp.shape[2])):
-                lead = x_.shape[:-1]
-                y = quant_matmul_int4_planes_stacked(
-                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                    out_dtype=x_.dtype)
-                if "bias" in sub:
-                    y = y + jax.lax.dynamic_index_in_dim(
-                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
-                return y.reshape(*lead, wp.shape[-1])
-        if "kernel_q4" in sub:
-            from ..kernels.quant_matmul import (
-                quant_matmul_int4_stacked, supports_quant_matmul,
-            )
-
-            wp = sub["kernel_q4"]                  # (L, K/2, N)
-            rows = 1
-            for d in x_.shape[:-1]:
-                rows *= d
-            if (on_tpu_q4 and rows <= 256
-                    and supports_quant_matmul(wp.shape[1] * 2, wp.shape[2],
-                                              bits=4)):
-                lead = x_.shape[:-1]
-                y = quant_matmul_int4_stacked(
-                    x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                    out_dtype=x_.dtype)
-                if "bias" in sub:
-                    y = y + jax.lax.dynamic_index_in_dim(
-                        sub["bias"], li, 0, keepdims=False).astype(y.dtype)
-                return y.reshape(*lead, wp.shape[-1])
-        return linear(fetch(sub, li), x_)
+        return _stacked_proj(layers, name, li, x_, on_tpu_q4)
 
     def qkv(x, li):
         xn = rms_norm(fetch(layers["input_ln"], li), x, cfg.rms_norm_eps)
@@ -786,6 +788,108 @@ def decoder_decode_step(
                 cv_all, v_new[:, None], (0, cache_index, 0, 0, 0))
     h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
     return h, {"k": ck_all, "v": cv_all}
+
+
+def supports_verify_chunk_step(cfg, kv_cache, G: int) -> bool:
+    """Eligibility for the fused chunk-verify path (decoder_verify_chunk):
+    int8 bktd cache, single-device TPU, kernel working set in VMEM."""
+    import os
+
+    from ..kernels.attention import pallas_single_device_ok
+    from ..kernels.decode_attention import supports_verify_chunk
+
+    return (jax.default_backend() == "tpu"
+            and pallas_single_device_ok()
+            and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+            and kv_cache_layout(cfg) == "bktd"
+            and "k_scale" in kv_cache
+            and supports_verify_chunk(cfg, kv_cache["k"].shape, G))
+
+
+def decoder_verify_chunk(
+    cfg: DecoderConfig,
+    params,
+    *,
+    token_embeds,        # (B, G, H) — the speculative chunk's embeddings
+    kv_mask01,           # (B, T) 0/1 over ALREADY-WRITTEN cache slots
+    positions,           # (B, G) rope positions of the chunk tokens
+    kv_cache,            # int8 KV: {"k","v","k_scale","v_scale"} bktd
+    cache_index,         # (B,) int32 per-row chunk-start columns, <= T-64
+):
+    """Fused G-token chunk-verify step for speculative serving
+    (infer/serving._spec_rounds): the chunk generalization of
+    decoder_decode_step's fused int8 path.  Per layer, ONE Pallas kernel
+    (kernels/decode_attention.decode_attention_stacked_verify_qc) streams
+    the layer's int8 cache tiles once, runs [stale-cache ‖ intra-chunk
+    causal] fp32 softmax attention for all G·rep query rows, and writes
+    the chunk's G consecutive slots in place through aliased outputs —
+    none of the generic decoder_forward path's per-layer cache dequant
+    materialization or full-cache scan-ys rewrites.  Callers gate on
+    supports_verify_chunk_step.  Returns (h (B, G, Hid), new_cache)."""
+    from .quant import quantize_kv
+    from ..kernels.decode_attention import decode_attention_stacked_verify_qc
+
+    B, G, _ = token_embeds.shape
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    rep = H // Hkv
+    L = cfg.num_layers
+    cos, sin = decoder_rope_cos_sin(cfg, positions)   # (B, G, D)
+    scaling = D ** -0.5
+    layers = params["layers"]
+    slots = jnp.asarray(cache_index, jnp.int32)
+    kv_mask01 = kv_mask01.astype(jnp.int32)
+
+    def proj(name, li, x_):
+        return _stacked_proj(layers, name, li, x_, True)
+
+    def qkv(x, li):
+        xn = rms_norm(_fetch_layer(layers["input_ln"], li), x,
+                      cfg.rms_norm_eps)
+        q = proj("q_proj", li, xn).reshape(B, G, H, D)
+        k = proj("k_proj", li, xn).reshape(B, G, Hkv, D)
+        v = proj("v_proj", li, xn).reshape(B, G, Hkv, D)
+        if cfg.qk_norm:
+            q = rms_norm(_fetch_layer(layers["q_norm"], li), q,
+                         cfg.rms_norm_eps)
+            k = rms_norm(_fetch_layer(layers["k_norm"], li), k,
+                         cfg.rms_norm_eps)
+        q = apply_rope(q.transpose(0, 2, 1, 3), cos, sin)   # (B, H, G, D)
+        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin)   # (B, Hkv, G, D)
+        q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
+        # kernel row order g·rep + r: (B, H, G, D) → (B, Hkv, G·rep, D)
+        q = q.reshape(B, Hkv, rep, G, D).transpose(0, 1, 3, 2, 4)
+        q = q.reshape(B, Hkv, G * rep, D)
+        return q, k, v.transpose(0, 2, 1, 3)
+
+    def post_attn(x, a, li):
+        # (B, Hkv, G·rep, D) → (B, G, H·D)
+        a = a.reshape(B, Hkv, G, rep, D).transpose(0, 2, 1, 3, 4)
+        a = a.reshape(B, G, H * D)
+        x = x + proj("o_proj", li, a)
+        xn = rms_norm(_fetch_layer(layers["post_attn_ln"], li), x,
+                      cfg.rms_norm_eps)
+        gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
+        up = proj("up_proj", li, xn).astype(jnp.float32)
+        return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+
+    def block(carry, li):
+        x, ck_a, cv_a, sk_a, sv_a = carry
+        qg, k, v = qkv(x, li)
+        kq, ks = quantize_kv(k)                    # (B, Hkv, G, ·)
+        vq, vs = quantize_kv(v)
+        a, ck_a, cv_a, sk_a, sv_a = decode_attention_stacked_verify_qc(
+            qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
+            li, slots)
+        return (post_attn(x, a.astype(x.dtype), li),
+                ck_a, cv_a, sk_a, sv_a), None
+
+    (h, ck, cv, sk, sv), _ = jax.lax.scan(
+        block,
+        (token_embeds, kv_cache["k"], kv_cache["v"],
+         kv_cache["k_scale"], kv_cache["v_scale"]),
+        jnp.arange(L))
+    h = rms_norm(params["final_ln"], h, cfg.rms_norm_eps)
+    return h, {"k": ck, "v": cv, "k_scale": sk, "v_scale": sv}
 
 
 def decoder_logits(cfg: DecoderConfig, params, hidden_states):

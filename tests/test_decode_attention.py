@@ -85,3 +85,70 @@ def test_fused_write_matches_attention_and_updates_slot(per_row):
             exp_v[li, b, :, srow[b], :] = np.asarray(vn)[b]
         np.testing.assert_array_equal(np.asarray(ck2), exp_k)
         np.testing.assert_array_equal(np.asarray(cv2), exp_v)
+
+
+def test_verify_chunk_kernel_matches_reference():
+    """Chunk-verify kernel (decode_attention_stacked_verify_qc): attention
+    over [masked stale cache ‖ intra-chunk causal] matches a jnp reference
+    per query token, and the chunk's G slots (values + scales) are written
+    in place at per-row start columns."""
+    from prot2text_tpu.kernels.decode_attention import (
+        decode_attention_stacked_verify_qc)
+
+    rng = np.random.default_rng(3)
+    L, B, Hkv, rep, T, D, G = 2, 3, 2, 4, 128, 128, 3
+    ck = jnp.asarray(rng.integers(-127, 128, (L, B, Hkv, T, D)), jnp.int8)
+    cv = jnp.asarray(rng.integers(-127, 128, (L, B, Hkv, T, D)), jnp.int8)
+    sk = jnp.asarray(rng.random((L, B, Hkv, T)) * 0.02 + 1e-3, jnp.float32)
+    sv = jnp.asarray(rng.random((L, B, Hkv, T)) * 0.02 + 1e-3, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hkv, G * rep, D)) * 0.1,
+                    jnp.float32)
+    knq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, G, D)), jnp.float32)
+    vnq = jnp.asarray(rng.integers(-127, 128, (B, Hkv, G, D)), jnp.float32)
+    kns = jnp.asarray(rng.random((B, Hkv, G)) * 0.02 + 1e-3, jnp.float32)
+    vns = jnp.asarray(rng.random((B, Hkv, G)) * 0.02 + 1e-3, jnp.float32)
+    starts = jnp.asarray([0, 33, T - 64], jnp.int32)
+    mask = np.zeros((B, T), np.int32)
+    for b, s in enumerate(np.asarray(starts)):
+        mask[b, :s] = 1                      # valid prefix before the chunk
+    mask = jnp.asarray(mask)
+
+    li = 1
+    got, ck2, cv2, sk2, sv2 = decode_attention_stacked_verify_qc(
+        q, ck.copy(), cv.copy(), sk.copy(), sv.copy(), mask,
+        knq, vnq, kns, vns, li, starts, interpret=True)
+
+    # ---- attention reference --------------------------------------------
+    ckf = np.asarray(ck[li], np.float32) * np.asarray(sk[li])[..., None]
+    cvf = np.asarray(cv[li], np.float32) * np.asarray(sv[li])[..., None]
+    knf = np.asarray(knq) * np.asarray(kns)[..., None]
+    vnf = np.asarray(vnq) * np.asarray(vns)[..., None]
+    qn = np.asarray(q, np.float32)
+    NEG = float(np.finfo(np.float32).min)
+    for b in range(B):
+        for h in range(Hkv):
+            for row in range(G * rep):
+                g = row // rep
+                lo = qn[b, h, row] @ ckf[b, h].T            # (T,)
+                lo = np.where(np.asarray(mask)[b] > 0, lo, NEG)
+                ln = qn[b, h, row] @ knf[b, h].T            # (G,)
+                ln = np.where(np.arange(G) <= g, ln, NEG)
+                m = max(lo.max(), ln.max())
+                el, en = np.exp(lo - m), np.exp(ln - m)
+                ref = (el @ cvf[b, h] + en @ vnf[b, h]) / (
+                    el.sum() + en.sum())
+                np.testing.assert_allclose(
+                    np.asarray(got)[b, h, row], ref, atol=2e-2, rtol=2e-2)
+
+    # ---- chunk write reference ------------------------------------------
+    exp_k, exp_v = np.array(ck), np.array(cv)
+    exp_sk, exp_sv = np.array(sk), np.array(sv)
+    for b, s in enumerate(np.asarray(starts)):
+        exp_k[li, b, :, s:s + G, :] = np.asarray(knq)[b].transpose(0, 1, 2)
+        exp_v[li, b, :, s:s + G, :] = np.asarray(vnq)[b]
+        exp_sk[li, b, :, s:s + G] = np.asarray(kns)[b]
+        exp_sv[li, b, :, s:s + G] = np.asarray(vns)[b]
+    np.testing.assert_array_equal(np.asarray(ck2), exp_k)
+    np.testing.assert_array_equal(np.asarray(cv2), exp_v)
+    np.testing.assert_array_equal(np.asarray(sk2), exp_sk)
+    np.testing.assert_array_equal(np.asarray(sv2), exp_sv)
