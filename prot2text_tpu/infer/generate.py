@@ -131,10 +131,9 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
     optional text-token ids the n-gram lookup may match in (the composed
     models pass their chat-prompt ids; the protein span is embeddings-only
     and has no ids)."""
-    if kv_bits is not None and (gen_cfg.num_beams > 1
-                                or gen_cfg.prompt_lookup_tokens > 0):
-        raise ValueError("kv_bits quantized KV cache supports plain "
-                         "greedy/sampling generate() only")
+    if kv_bits is not None and gen_cfg.num_beams > 1:
+        raise ValueError("kv_bits quantized KV cache does not support "
+                         "beam search")
     if gen_cfg.num_beams > 1:
         from .beam_search import beam_search
 
@@ -157,7 +156,7 @@ def run_generation(cfg, params, *, inputs_embeds, attention_mask, gen_cfg,
             prompt_ids=prompt_ids, prompt_ids_mask=prompt_ids_mask,
             gamma=gen_cfg.prompt_lookup_tokens,
             ngram=gen_cfg.prompt_lookup_ngram,
-            attn_impl=attn_impl, cache_dtype=cache_dtype)
+            attn_impl=attn_impl, cache_dtype=cache_dtype, kv_bits=kv_bits)
         return toks
     return generate(cfg, params, inputs_embeds=inputs_embeds,
                     attention_mask=attention_mask, gen_cfg=gen_cfg, rng=rng,

@@ -69,14 +69,31 @@ def _verify_accept(cfg, params, *, tokens, tgt_cache, kv_mask, finished,
     Returns (tokens, tgt_cache, kv_mask, finished, a) with `a` the scalar
     accepted-draft count (0..gamma)."""
     B, G = drafts.shape[0], gamma + 1
+    T = kv_mask.shape[1]
     chunk_toks = jnp.concatenate([prev[:, None], drafts], axis=1)   # (B, G)
     chunk_emb = params["embed_tokens"][chunk_toks].astype(dtype)
-    bias = _chunk_bias(kv_mask, G, base)
     pos = pos_base[:, None] + jnp.arange(G)[None, :]
-    h, tgt_cache = decoder_forward(
-        cfg, params, inputs_embeds=chunk_emb, bias=bias,
-        positions=pos, kv_cache=tgt_cache, cache_index=base,
-        attn_impl=attn_impl)
+    from ..models.decoder import (
+        decoder_verify_chunk, supports_verify_chunk_step)
+
+    # the static base bound: base = P + t - 1 <= P + NEW - 1; with the
+    # kv_bits cache sizing (T >= P + NEW + 64) the fused kernel's
+    # slot <= T - 64 requirement always holds.  `base + 64 <= T` cannot
+    # be checked on the traced value, so callers guarantee it via sizing;
+    # eligibility here is structural only.
+    if (isinstance(tgt_cache, dict) and len(tgt_cache) == 4
+            and supports_verify_chunk_step(cfg, tgt_cache, G)):
+        h, tgt_cache = decoder_verify_chunk(
+            cfg, params, token_embeds=chunk_emb, kv_mask01=kv_mask,
+            positions=pos, kv_cache=tgt_cache,
+            cache_index=jnp.broadcast_to(
+                jnp.asarray(base, jnp.int32).reshape(-1), (B,)))
+    else:
+        bias = _chunk_bias(kv_mask, G, base)
+        h, tgt_cache = decoder_forward(
+            cfg, params, inputs_embeds=chunk_emb, bias=bias,
+            positions=pos, kv_cache=tgt_cache, cache_index=base,
+            attn_impl=attn_impl)
     tgt_greedy = jnp.argmax(
         decoder_logits(cfg, params, h), axis=-1).astype(jnp.int32)  # (B, G)
 
@@ -289,7 +306,7 @@ def self_speculative_generate(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "gen_cfg", "gamma", "ngram", "attn_impl",
-                     "cache_dtype"),
+                     "cache_dtype", "kv_bits"),
 )
 def prompt_lookup_generate(
     cfg: DecoderConfig,
@@ -304,6 +321,7 @@ def prompt_lookup_generate(
     ngram: int = 2,
     attn_impl: str = "xla",
     cache_dtype=None,
+    kv_bits=None,
 ):
     """Prompt-lookup (n-gram) speculative decoding — the reference's HF
     `generate(prompt_lookup_num_tokens=...)` capability
@@ -330,6 +348,10 @@ def prompt_lookup_generate(
     NEW = gen_cfg.max_new_tokens
     G = gamma + 1
     T = P + NEW + G
+    if kv_bits is not None:
+        # int8 KV: size the cache for the fused chunk-verify kernel
+        # (chunk starts <= T - 64, 32-sublane tile groups)
+        T = -(-(P + NEW + max(G, 64)) // 32) * 32
     eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
     dtype = cache_dtype or inputs_embeds.dtype
 
@@ -337,7 +359,7 @@ def prompt_lookup_generate(
         jnp.cumsum(attention_mask, axis=1) - 1, 0, None).astype(jnp.int32)
     last_pos = positions[:, -1]
 
-    cache = init_kv_cache(cfg, B, T, dtype)
+    cache = init_kv_cache(cfg, B, T, dtype, kv_bits=kv_bits)
     bias = _prefill_bias(attention_mask, T)
     h, tgt_cache = decoder_forward(
         cfg, params, inputs_embeds=inputs_embeds.astype(dtype), bias=bias,
@@ -351,7 +373,7 @@ def prompt_lookup_generate(
     finished0 = tok0 == eos
     kv_mask0 = jnp.concatenate(
         [attention_mask.astype(jnp.int32),
-         jnp.zeros((B, NEW + G), jnp.int32)], axis=1)         # (B, T)
+         jnp.zeros((B, T - P), jnp.int32)], axis=1)           # (B, T)
 
     # -- static history prefix: invalid positions get a -1 sentinel, which
     # can never equal a real token id, so pads/protein spans never match

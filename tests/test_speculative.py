@@ -220,3 +220,35 @@ def test_prompt_lookup_with_prompt_ids():
         gen_cfg=gen_cfg, prompt_ids=pids, prompt_ids_mask=pmask,
         gamma=3, ngram=2)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_prompt_lookup_int8_kv_matches_plain_int8_kv():
+    """prompt_lookup_tokens + kv_bits=8: the speculative path over the
+    int8 KV cache emits the SAME tokens as plain kv8 greedy (chunk
+    quantize_kv is per-(head, token), so written cache values are
+    identical; on CPU both run the XLA paths — the fused chunk-verify
+    kernel engages on-chip for D=128 flagships)."""
+    # int8 KV needs the bktd layout: D % 128 == 0
+    cfg = DecoderConfig(vocab_size=96, hidden_size=128, num_layers=2,
+                        num_heads=2, num_kv_heads=1, intermediate_size=128,
+                        head_dim=128, rope_theta=1e4)
+    target = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(rng.standard_normal((2, 6, cfg.hidden_size))
+                      .astype(np.float32))
+    mask = np.ones((2, 6), np.int64)
+    mask[0, :2] = 0
+    mask = jnp.asarray(mask)
+    gen_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=9999,
+                               pad_token_id=95)
+    want = np.asarray(generate(cfg, target, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen_cfg,
+                               kv_bits=8))
+    spec_cfg = GenerationConfig(max_new_tokens=10, eos_token_id=9999,
+                                pad_token_id=95, prompt_lookup_tokens=3)
+    from prot2text_tpu.infer.generate import run_generation
+
+    got = np.asarray(run_generation(
+        cfg, target, inputs_embeds=emb, attention_mask=mask,
+        gen_cfg=spec_cfg, kv_bits=8))
+    np.testing.assert_array_equal(got, want)
