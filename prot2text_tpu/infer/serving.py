@@ -233,6 +233,49 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
     return state, jnp.stack([toks, fin, adv])
 
 
+def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int):
+    """Per-row prompt-lookup drafts over each row's own token history.
+
+    hist: (B, HW) int32 generated-token history rows (entries beyond
+    hist_len[b] are ignored); hist_len: (B,) int32.  Each row drafts
+    `gamma` tokens by chasing the latest `ngram`-gram match token-by-token
+    (each draft is appended to the matching history, so repetition periods
+    shorter than gamma copy correctly).  Rows with no match draft token 0
+    (verification makes any draft safe).  Returns (B, gamma) int32."""
+    B, HW = hist.shape
+    W = HW - ngram + 1
+    bidx = jnp.arange(B)
+    histx = jnp.where(jnp.arange(HW)[None, :] < hist_len[:, None], hist, -1)
+
+    def draft_one(j, carry):
+        histx, drafts = carry
+        end = hist_len + j                              # (B,)
+        gram_pos = jnp.clip(
+            end[:, None] - ngram + jnp.arange(ngram)[None, :],
+            0, HW - 1)
+        prevgram = jnp.take_along_axis(histx, gram_pos, axis=1)
+        mall = jnp.ones((B, W), bool)
+        for k in range(ngram):
+            mall = jnp.logical_and(
+                mall, histx[:, k:W + k] == prevgram[:, k][:, None])
+        svalid = jnp.arange(W)[None, :] < (end - ngram)[:, None]
+        ok = jnp.logical_and(mall, svalid)
+        score = jnp.where(ok, jnp.arange(W)[None, :], -1)
+        s_best = jnp.max(score, axis=1)                 # (B,)
+        nxt = jnp.take_along_axis(
+            histx, jnp.clip(s_best + ngram, 0, HW - 1)[:, None],
+            axis=1)[:, 0]
+        nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, 0), 0)
+        drafts = jax.lax.dynamic_update_slice(
+            drafts, nxt[:, None], (0, j))
+        histx = histx.at[bidx, jnp.clip(end, 0, HW - 1)].set(nxt)
+        return histx, drafts
+
+    _, drafts = jax.lax.fori_loop(
+        0, gamma, draft_one, (histx, jnp.zeros((B, gamma), jnp.int32)))
+    return drafts
+
+
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "eos_token_id", "gamma", "ngram",
                                     "rounds", "use_fused"))
@@ -260,7 +303,6 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
     G = gamma + 1
     T = state["kv_mask"].shape[1]
     HW = state["hist"].shape[1]
-    W = HW - ngram + 1
     bidx = jnp.arange(B)
     cdt = state["k"].dtype
     if cdt == jnp.int8:
@@ -268,36 +310,8 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
 
     def one_round(state, _):
         # --- per-row n-gram drafts from each slot's own history ---------
-        histx = jnp.where(
-            jnp.arange(HW)[None, :] < state["hist_len"][:, None],
-            state["hist"], -1)
-
-        def draft_one(j, carry):
-            histx, drafts = carry
-            end = state["hist_len"] + j                     # (B,)
-            gram_pos = jnp.clip(
-                end[:, None] - ngram + jnp.arange(ngram)[None, :],
-                0, HW - 1)
-            prevgram = jnp.take_along_axis(histx, gram_pos, axis=1)
-            mall = jnp.ones((B, W), bool)
-            for k in range(ngram):
-                mall = jnp.logical_and(
-                    mall, histx[:, k:W + k] == prevgram[:, k][:, None])
-            svalid = jnp.arange(W)[None, :] < (end - ngram)[:, None]
-            ok = jnp.logical_and(mall, svalid)
-            score = jnp.where(ok, jnp.arange(W)[None, :], -1)
-            s_best = jnp.max(score, axis=1)                 # (B,)
-            nxt = jnp.take_along_axis(
-                histx, jnp.clip(s_best + ngram, 0, HW - 1)[:, None],
-                axis=1)[:, 0]
-            nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, 0), 0)
-            drafts = jax.lax.dynamic_update_slice(
-                drafts, nxt[:, None], (0, j))
-            histx = histx.at[bidx, jnp.clip(end, 0, HW - 1)].set(nxt)
-            return histx, drafts
-
-        _, drafts = jax.lax.fori_loop(
-            0, gamma, draft_one, (histx, jnp.zeros((B, gamma), jnp.int32)))
+        drafts = ngram_drafts(state["hist"], state["hist_len"],
+                              gamma=gamma, ngram=ngram)
 
         # --- one G-token verify forward over the pool cache --------------
         chunk = jnp.concatenate(

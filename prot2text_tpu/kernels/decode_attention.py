@@ -402,103 +402,130 @@ def supports_decode_attention_q(cfg, cache_shape) -> bool:
 # the layer's int8 tiles stream once, the chunk's G queries (G·rep rows)
 # run [stale-cache logits ‖ intra-chunk causal logits] with the masked
 # fp32 softmax in VMEM, and the chunk's G consecutive slots are written
-# in place through aliased outputs.  A chunk may span TWO 32-sublane int8
-# tile groups (G <= 32), so the grid is (B, 2): iteration j writes group
-# slot//32 + j; the attention (and the scale-row updates) run at j == 0
-# only — the input tiles are fetched once (the block index ignores j).
-# Callers must size T % 32 == 0 and guarantee slot <= T - 64.
+# in place through aliased outputs.
+#
+# GRID SHAPE (round-3 continuation): the grid is (B, 2) with a STATIC
+# inner loop over the Hkv heads.  The first version gridded (B, Hkv, 2) to
+# bound VMEM (a full-(Hkv) tile pair + one (Hkv·GR, T) fp32 logits tensor
+# measured 23 MB at T~1.9k) — but 256 tiny grid steps/layer cost ~0.85 µs
+# each (scripts/bench_spec_weights.py: 13.1 ms/round at T=1920, 6.9 ms of
+# pure grid overhead at T=64, vs 5.0 ms for the 16-step single-token
+# kernel on the SAME cache bytes).  The head loop keeps per-head temps
+# (bf16 tile converts, (GR, T) logits) scoped to one iteration — peak VMEM
+# is the double-buffered int8 tile pair (~7.9 MB) + one head's working set
+# — while the grid drops to 32 steps/layer.  A chunk may span TWO
+# 32-sublane int8 tile groups (G <= 32) but ONE aliased output operand can
+# only address one group per step, so iteration j=0 does ALL the work
+# (attention, scale rows, both groups' stale-extract+insert — group 1
+# stashed in VMEM scratch, which persists across grid steps) and writes
+# group slot//32; j=1 only copies the scratch out to group slot//32 + 1
+# (the input tile blocks ignore j, so nothing is refetched or
+# reconverted).  Callers must size T % 32 == 0 and guarantee
+# slot <= T - 64.
 # ---------------------------------------------------------------------------
 
 
 def _kernel_verify_qc(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
                       mask_ref, ck_ref, cv_ref, sk_ref, sv_ref,
-                      o_ref, cko_ref, cvo_ref, sko_ref, svo_ref, *,
-                      rep: int, G: int):
-    # grid (B, Hkv, 2): the head dim rides the GRID, not the tile — a full
-    # (Hkv, T, D) tile pair plus fp32 chunk logits blows the 16 MB scoped
-    # vmem at T~1.9k (measured 23 MB); per-head tiles are Hkv x smaller
+                      o_ref, cko_ref, cvo_ref, sko_ref, svo_ref,
+                      g1k_ref, g1v_ref, *, rep: int, G: int, Hkv: int):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     T, D = ck_ref.shape[3], ck_ref.shape[4]
-    ckf = ck_ref[0, 0, 0].astype(jnp.bfloat16)          # (T, D) exact
-    cvf = cv_ref[0, 0, 0].astype(jnp.bfloat16)
-    sk = sk_ref[0, 0, pl.ds(h, 1), :]                   # (1, T) f32
-    sv = sv_ref[0, 0, pl.ds(h, 1), :]
-    knq = knq_ref[0, 0]                                 # (G, D) f32 ints
-    vnq = vnq_ref[0, 0]
-    kns = kns_ref[b, pl.ds(h, 1), :]                    # (1, G) f32
-    vns = vns_ref[b, pl.ds(h, 1), :]
+    GR = G * rep
     slot = idx_ref[1 + b]                               # chunk start column
+    tg0 = slot // 32
+
+    @pl.when(j == 1)
+    def _():
+        # group slot//32 + 1: stale+insert already computed at j=0
+        cko_ref[0, 0] = g1k_ref[...]
+        cvo_ref[0, 0] = g1v_ref[...]
 
     @pl.when(j == 0)
     def _():
-        q = q_ref[0, 0]                                 # (G·rep, D) bf16
-        logits = jax.lax.dot_general(
-            q, ckf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (GR, T)
-        logits = logits * sk
         mask = mask_ref[b]                              # (T,)
-        logits = jnp.where(mask[None, :] > 0, logits, NEG)
-        # q·(knq_g·kns_g) == (q·knq_g)·kns_g — scale the logit column
-        # instead of dequantizing the key (no (G, D) knf temp)
-        ln = jax.lax.dot_general(
-            q.astype(jnp.float32), knq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * kns   # (GR, G)
-        GR = G * rep
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         rowg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 0) // rep
         colg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 1)
-        ln = jnp.where(colg <= rowg, ln, NEG)           # intra-chunk causal
-        m = jnp.maximum(jnp.max(logits, axis=-1), jnp.max(ln, axis=-1))
-        el = jnp.exp(logits - m[:, None])               # (GR, T)
-        en = jnp.exp(ln - m[:, None])                   # (GR, G)
-        denom = jnp.sum(el, axis=-1) + jnp.sum(en, axis=-1)
-        a = jax.lax.dot_general(
-            (el * sv).astype(jnp.bfloat16), cvf, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (GR, D)
-        a = a + jax.lax.dot_general(
-            en * vns, vnq, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, 0] = (a / denom[:, None]).astype(o_ref.dtype)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
+        ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
+        rows32 = jax.lax.broadcasted_iota(jnp.int32, (32, D), 0)
 
-        # scale rows: the (Hkv, T) block persists across the h grid dim
-        # (same block index) — copy it whole once, then partial-store row
-        # h's chunk columns.  G is small and static, so unrolled selects
-        # beat one-hot matmuls
-        @pl.when(h == 0)
-        def _():
-            sko_ref[0, 0] = sk_ref[0, 0]
-            svo_ref[0, 0] = sv_ref[0, 0]
+        for h in range(Hkv):                            # static head loop
+            ckf = ck_ref[0, 0, h].astype(jnp.bfloat16)  # (T, D) exact
+            cvf = cv_ref[0, 0, h].astype(jnp.bfloat16)
+            sk = sk_ref[0, 0, pl.ds(h, 1), :]           # (1, T) f32
+            sv = sv_ref[0, 0, pl.ds(h, 1), :]
+            knq = knq_ref[0, h]                         # (G, D) f32 ints
+            vnq = vnq_ref[0, h]
+            kns = kns_ref[b, pl.ds(h, 1), :]            # (1, G) f32
+            vns = vns_ref[b, pl.ds(h, 1), :]
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        snewk = sk
-        snewv = sv
-        for g in range(G):
-            snewk = jnp.where(cols == slot + g, kns[0, g], snewk)
-            snewv = jnp.where(cols == slot + g, vns[0, g], snewv)
-        sko_ref[0, 0, pl.ds(h, 1), :] = snewk
-        svo_ref[0, 0, pl.ds(h, 1), :] = snewv
+            q = q_ref[0, h]                             # (G·rep, D) bf16
+            logits = jax.lax.dot_general(
+                q, ckf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (GR, T)
+            logits = logits * sk
+            logits = jnp.where(mask[None, :] > 0, logits, NEG)
+            # q·(knq_g·kns_g) == (q·knq_g)·kns_g — scale the logit column
+            # instead of dequantizing the key (no (G, D) knf temp)
+            ln = jax.lax.dot_general(
+                q.astype(jnp.float32), knq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * kns   # (GR, G)
+            ln = jnp.where(colg <= rowg, ln, NEG)       # intra-chunk causal
+            m = jnp.maximum(jnp.max(logits, axis=-1), jnp.max(ln, axis=-1))
+            el = jnp.exp(logits - m[:, None])           # (GR, T)
+            en = jnp.exp(ln - m[:, None])               # (GR, G)
+            denom = jnp.sum(el, axis=-1) + jnp.sum(en, axis=-1)
+            a = jax.lax.dot_general(
+                (el * sv).astype(jnp.bfloat16), cvf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (GR, D)
+            a = a + jax.lax.dot_general(
+                en * vns, vnq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h] = (a / denom[:, None]).astype(o_ref.dtype)
 
-    # -- int8 chunk write: tile group slot//32 + j ---------------------------
-    tg = slot // 32 + j
-    r = slot - tg * 32            # chunk start row within THIS group
-    tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
-    ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-    sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)     # (32, T) one-hot
-    old_k = jax.lax.dot_general(
-        sel, ckf, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (32, D)
-    old_v = jax.lax.dot_general(
-        sel, cvf, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (32, D), 0)
-    new_k = old_k
-    new_v = old_v
-    for g in range(G):
-        new_k = jnp.where(rows == r + g, knq[g][None, :], new_k)
-        new_v = jnp.where(rows == r + g, vnq[g][None, :], new_v)
-    cko_ref[0, 0, 0] = new_k.astype(jnp.int8)
-    cvo_ref[0, 0, 0] = new_v.astype(jnp.int8)
+            # scale rows: G is small and static, so unrolled selects beat
+            # one-hot matmuls
+            snewk = sk
+            snewv = sv
+            for g in range(G):
+                snewk = jnp.where(cols1 == slot + g, kns[0, g], snewk)
+                snewv = jnp.where(cols1 == slot + g, vns[0, g], snewv)
+            sko_ref[0, 0, pl.ds(h, 1), :] = snewk
+            svo_ref[0, 0, pl.ds(h, 1), :] = snewv
+
+            # -- int8 chunk write: both spanned tile groups in one pass.
+            # The stale groups are extracted from the bf16 converts already
+            # in VMEM with one-hot MXU contractions (exact: int8 values are
+            # exact in bf16, {0,1} selection with fp32 accumulation
+            # round-trips).  Group 0 goes straight to the aliased output;
+            # group 1 waits in scratch for the j=1 step.
+            for jj in range(2):
+                tg = tg0 + jj
+                r = slot - tg * 32    # chunk start row within THIS group
+                sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)  # (32, T)
+                old_k = jax.lax.dot_general(
+                    sel, ckf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (32, D)
+                old_v = jax.lax.dot_general(
+                    sel, cvf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_k = old_k
+                new_v = old_v
+                for g in range(G):
+                    new_k = jnp.where(rows32 == r + g, knq[g][None, :],
+                                      new_k)
+                    new_v = jnp.where(rows32 == r + g, vnq[g][None, :],
+                                      new_v)
+                if jj == 0:
+                    cko_ref[0, 0, h] = new_k.astype(jnp.int8)
+                    cvo_ref[0, 0, h] = new_v.astype(jnp.int8)
+                else:
+                    g1k_ref[h] = new_k.astype(jnp.int8)
+                    g1v_ref[h] = new_v.astype(jnp.int8)
 
 
 @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4),
@@ -528,39 +555,43 @@ def decode_attention_stacked_verify_qc(qg, ck_all, cv_all, sk_all, sv_all,
         [jnp.asarray(layer, jnp.int32).reshape(1), slots])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, 2),
+        grid=(B, 2),
         in_specs=[
-            pl.BlockSpec((1, 1, GR, D), lambda b, h, j, idx: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, G, D), lambda b, h, j, idx: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, G, D), lambda b, h, j, idx: (b, h, 0, 0)),
-            pl.BlockSpec((B, Hkv, G), lambda b, h, j, idx: (0, 0, 0)),
-            pl.BlockSpec((B, Hkv, G), lambda b, h, j, idx: (0, 0, 0)),
-            pl.BlockSpec((B, T), lambda b, h, j, idx: (0, 0)),
-            pl.BlockSpec((1, 1, 1, T, D),
-                         lambda b, h, j, idx: (idx[0], b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, T, D),
-                         lambda b, h, j, idx: (idx[0], b, h, 0, 0)),
+            pl.BlockSpec((1, Hkv, GR, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, G, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, G, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, T), lambda b, j, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, j, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, j, idx: (idx[0], b, 0, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, T),
-                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, T),
-                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, GR, D), lambda b, h, j, idx: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 32, D),
-                         lambda b, h, j, idx: (idx[0], b, h,
-                                               idx[1 + b] // 32 + j, 0)),
-            pl.BlockSpec((1, 1, 1, 32, D),
-                         lambda b, h, j, idx: (idx[0], b, h,
-                                               idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, Hkv, GR, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, j, idx: (idx[0], b, 0,
+                                            idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, j, idx: (idx[0], b, 0,
+                                            idx[1 + b] // 32 + j, 0)),
             pl.BlockSpec((1, 1, Hkv, T),
-                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, T),
-                         lambda b, h, j, idx: (idx[0], b, 0, 0)),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, 32, D), jnp.int8),
+            pltpu.VMEM((Hkv, 32, D), jnp.int8),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel_verify_qc, rep=rep, G=G),
+        functools.partial(_kernel_verify_qc, rep=rep, G=G, Hkv=Hkv),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, GR, D), qg.dtype),
@@ -571,7 +602,7 @@ def decode_attention_stacked_verify_qc(qg, ck_all, cv_all, sk_all, sv_all,
         ],
         input_output_aliases={7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             has_side_effects=True),
         interpret=interpret,
     )(idx, qg,
@@ -582,12 +613,14 @@ def decode_attention_stacked_verify_qc(qg, ck_all, cv_all, sk_all, sv_all,
 
 def supports_verify_chunk(cfg, cache_shape, G: int) -> bool:
     """Chunk-verify kernel eligibility: bktd D=128 flagships, 32-group T,
-    per-(batch, head) working set (int8 tiles + bf16 converts + GR·T fp32
-    logits) in VMEM — the head dim rides the grid."""
+    per-batch working set in VMEM — the full-(Hkv) int8 tile pair is
+    double-buffered across grid steps; the bf16 converts and fp32 logits
+    are per-head temporaries of the static head loop."""
     L, B, Hkv, T, D = cache_shape
     GR = G * (cfg.num_heads // cfg.num_kv_heads)
-    tile_bytes = (2 * T * D * (1 + 2)              # int8 + bf16 converts
+    tile_bytes = (2 * 2 * Hkv * T * D              # int8 pair, dbuffered
+                  + 2 * T * D * 2                  # one head's bf16 pair
                   + 3 * GR * T * 4                 # logits/el/el·sv (f32)
-                  + 32 * T * 2 + 4 * T * 4)        # one-hot + scale rows
+                  + 32 * T * 2 + 8 * T * 4)        # one-hot + scale rows
     return (D % 128 == 0 and T % 32 == 0 and T >= 64 and G <= 32
-            and tile_bytes <= 8 * 1024 * 1024)
+            and tile_bytes <= 14 * 1024 * 1024)
