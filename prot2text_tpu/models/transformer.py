@@ -22,6 +22,17 @@ from ..kernels.attention import dot_product_attention
 
 
 def linear(p, x, precision=None):
+    if x.ndim > 2 and ("kernel_q" in p or "kernel_q4" in p
+                       or "kernel_q4p" in p or "kernel_q4w" in p):
+        # Flatten leading dims for the quantized paths: XLA's mixed-dtype
+        # dot_general re-streams the ENTIRE weight matrix once per leading
+        # slice of a >2D activation (measured 4.30 ms vs 1.50 ms flattened
+        # for a (16,5,4096)x(4096,128256) int8 head — exactly 5x, i.e. one
+        # 525 MB weight read per G row; scripts/bench_logits3d.py), and the
+        # Pallas row-count gates below misjudge 3D shapes the same way.
+        lead = x.shape[:-1]
+        y = linear(p, x.reshape(-1, x.shape[-1]), precision=precision)
+        return y.reshape(*lead, y.shape[-1])
     if "kernel_q4w" in p:
         # int4 bf16-PAIR path (models/quant.py int4_format="pairs"): one
         # shr+and+or+bitcast pass bit-constructs TWO bf16 weights (+136

@@ -70,7 +70,11 @@ for R in (16, 80):
         ("pad  bn2048 bk4096", w_qp, scale_p, gbp, 2048, 4096),
     ):
         fn = functools.partial(quant_matmul_int8, block_n=bn, block_k=bk)
-        t = timeit(fn, x, w, s)
+        try:
+            t = timeit(fn, x, w, s)
+        except Exception as e:
+            print(f"R={R:3d} {name:20s} FAILED: {str(e)[:120]}", flush=True)
+            continue
         print(f"R={R:3d} {name:20s} {t*1e3:7.2f} ms ({g/t:6.1f} GB/s)",
               flush=True)
     t = timeit(xla_head_p, x, w_qp, scale_p)

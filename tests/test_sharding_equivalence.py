@@ -162,3 +162,48 @@ def test_partition_rules_fallback_to_replication():
     # mixed: 32 divisible, 31 not
     spec = DEFAULT_RULES.spec_for("layers/q_proj/kernel", (4, 32, 31), mesh)
     assert tuple(spec) == (None, "fsdp", None)
+
+
+def test_serving_engine_under_mesh():
+    """ContinuousBatcher produces identical greedy streams on 1 device and
+    on an 8-device dp×fsdp×tp mesh with rule-sharded params — the
+    tensor-parallel serving configuration (reference serves via HF
+    generate() on one GPU, scripts/generate_instruct.py:72-87; here the
+    Pallas fused paths gate off under the ambient mesh and the XLA
+    fallbacks partition under GSPMD)."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+    from prot2text_tpu.models.decoder import DecoderConfig, init_decoder_params
+
+    cfg = DecoderConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                        num_heads=8, num_kv_heads=4, intermediate_size=128,
+                        head_dim=8, rope_theta=10000.0)
+    params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    reqs = [(i, rng.standard_normal((pl, cfg.hidden_size)).astype(np.float32),
+             bu)
+            for i, (pl, bu) in enumerate(
+                zip((3, 5, 8, 2, 6, 7), (4, 6, 3, 5, 6, 2)))]
+
+    def run(engine_params, **kw):
+        eng = ContinuousBatcher(cfg, engine_params, max_slots=4,
+                                max_len=8 + 6, prompt_pad=8,
+                                eos_token_id=-1, cache_dtype=jnp.float32,
+                                **kw)
+        for rid, emb, budget in reqs:
+            eng.submit(rid, emb, max_new_tokens=budget)
+        return {k: list(v) for k, v in eng.run()}
+
+    out1 = run(params)
+
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=2, tp=2))
+    sharded = shard_params(params, mesh, DEFAULT_RULES)
+    with jax.set_mesh(mesh):
+        out8 = run(sharded)
+    assert out1 == out8
+
+    # speculative engine (per-row prompt-lookup drafts, XLA verify fallback
+    # under the mesh) is greedy-exact, so the sharded spec streams must
+    # also equal the single-device plain streams
+    with jax.set_mesh(mesh):
+        out8s = run(sharded, prompt_lookup_tokens=2, sync_every=2)
+    assert out1 == out8s
