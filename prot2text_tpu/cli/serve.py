@@ -72,6 +72,11 @@ def build_parser():
                    help="speculative serving: n-gram drafts per slot, "
                         "verified per-row (greedy only; 0 = off)")
     p.add_argument("--prompt_lookup_ngram", type=int, default=2)
+    p.add_argument("--medusa_path", type=str, default=None,
+                   help="npz of trained Medusa draft heads (keys w (K,H,H) "
+                        "and b (K,H), cli/train_draft.py) — learned-draft "
+                        "speculative serving; exclusive with "
+                        "--prompt_lookup_tokens")
     p.add_argument("--kv_bits", type=int, default=None,
                    help="8 = int8 KV cache pool (half the decode-attention "
                         "HBM bytes per slot; ~0.4%% logit RMS error)")
@@ -139,6 +144,11 @@ def main(argv=None):
         gen_cfg = GenerationConfig(
             do_sample=True, temperature=args.temperature, top_k=args.top_k,
             top_p=args.top_p, eos_token_id=eos_id, pad_token_id=pad_id)
+    medusa_params = None
+    if args.medusa_path:
+        z = np.load(args.medusa_path)
+        medusa_params = {"w": jnp.asarray(z["w"], args.model_dtype),
+                         "b": jnp.asarray(z["b"], args.model_dtype)}
     buckets = tuple(int(b) for b in str(args.prompt_pad).split(","))
     eng = ContinuousBatcher(
         llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
@@ -149,7 +159,8 @@ def main(argv=None):
         gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed),
         kv_bits=args.kv_bits,
         prompt_lookup_tokens=args.prompt_lookup_tokens,
-        prompt_lookup_ngram=args.prompt_lookup_ngram)
+        prompt_lookup_ngram=args.prompt_lookup_ngram,
+        medusa_params=medusa_params)
 
     trues = {}
     results = {}

@@ -157,6 +157,9 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
         hrow = jnp.where(jnp.arange(HW)[None, :] == 0, tok0[:, None], -1)
         state["hist"] = jnp.where(i2, hrow, state["hist"])
         state["hist_len"] = jnp.where(inst, 1, state["hist_len"])
+    if "last_hidden" in state:     # medusa draft source: frontier hidden
+        hl = h[:, -1, :][row_for_slot].astype(state["last_hidden"].dtype)
+        state["last_hidden"] = jnp.where(i2, hl, state["last_hidden"])
     return state, tok0
 
 
@@ -224,6 +227,11 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
                                   state["kv_mask"].shape[1] - 1),
             state["next_slot"])
         state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
+        if "last_hidden" in state:     # medusa frontier hidden stays fresh
+            state["last_hidden"] = jnp.where(
+                advanced[:, None],
+                h[:, 0, :].astype(state["last_hidden"].dtype),
+                state["last_hidden"])
         state["active"] = jnp.where(finished, False, state["active"])
         return (state, rng), (tok, finished.astype(jnp.int32),
                               advanced.astype(jnp.int32))
@@ -281,7 +289,7 @@ def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int):
                                     "rounds", "use_fused"))
 def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
                  gamma: int, ngram: int, rounds: int = 1,
-                 use_fused: bool = False):
+                 use_fused: bool = False, medusa=None):
     """`rounds` prompt-lookup speculative verify rounds with PER-ROW
     acceptance — the serving counterpart of infer/speculative.
     prompt_lookup_generate, without its batch-minimum lockstep: every slot
@@ -302,16 +310,23 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
     B = state["pos"].shape[0]
     G = gamma + 1
     T = state["kv_mask"].shape[1]
-    HW = state["hist"].shape[1]
+    HW = state["hist"].shape[1] if "hist" in state else 0
     bidx = jnp.arange(B)
     cdt = state["k"].dtype
     if cdt == jnp.int8:
         cdt = jnp.bfloat16
 
     def one_round(state, _):
-        # --- per-row n-gram drafts from each slot's own history ---------
-        drafts = ngram_drafts(state["hist"], state["hist_len"],
-                              gamma=gamma, ngram=ngram)
+        if medusa is not None:
+            # --- learned draft heads over the frontier hidden state -----
+            from ..models.medusa import medusa_drafts
+
+            drafts = medusa_drafts(cfg, params, medusa,
+                                   state["last_hidden"].astype(cdt))
+        else:
+            # --- per-row n-gram drafts from each slot's own history -----
+            drafts = ngram_drafts(state["hist"], state["hist_len"],
+                                  gamma=gamma, ngram=ngram)
 
         # --- one G-token verify forward over the pool cache --------------
         chunk = jnp.concatenate(
@@ -375,12 +390,22 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
             jnp.logical_and(newly, state["active"][:, None]),
             1, state["kv_mask"])
         emit = jnp.arange(G)[None, :] < L[:, None]          # (B, G)
-        hpos = jnp.clip(
-            state["hist_len"][:, None] + jnp.arange(G)[None, :], 0, HW - 1)
-        hvals = jnp.take_along_axis(state["hist"], hpos, axis=1)
-        state["hist"] = state["hist"].at[bidx[:, None], hpos].set(
-            jnp.where(emit, out, hvals))
-        state["hist_len"] = state["hist_len"] + L
+        if "hist" in state:
+            hpos = jnp.clip(
+                state["hist_len"][:, None] + jnp.arange(G)[None, :],
+                0, HW - 1)
+            hvals = jnp.take_along_axis(state["hist"], hpos, axis=1)
+            state["hist"] = state["hist"].at[bidx[:, None], hpos].set(
+                jnp.where(emit, out, hvals))
+            state["hist_len"] = state["hist_len"] + L
+        if "last_hidden" in state:
+            # new frontier hidden = the chunk hidden that EMITTED the last
+            # accepted token (position L-1 generated out[L-1])
+            hL = jnp.take_along_axis(
+                h, jnp.clip(L - 1, 0, G - 1)[:, None, None], axis=1)[:, 0]
+            state["last_hidden"] = jnp.where(
+                (L > 0)[:, None], hL.astype(state["last_hidden"].dtype),
+                state["last_hidden"])
         state["budget"] = state["budget"] - L
         state["pos"] = state["pos"] + L
         state["next_slot"] = jnp.minimum(state["next_slot"] + L, scratch)
@@ -416,7 +441,8 @@ class ContinuousBatcher:
                  eos_token_id: int = 128009, cache_dtype=jnp.bfloat16,
                  sync_every: int = 1, gen_cfg=None, rng=None, kv_bits=None,
                  prompt_lookup_tokens: int = 0,
-                 prompt_lookup_ngram: int = 2):
+                 prompt_lookup_ngram: int = 2,
+                 medusa_params=None):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -439,8 +465,17 @@ class ContinuousBatcher:
         # drafts verified in one chunk forward, PER-ROW acceptance
         self.spec_gamma = int(prompt_lookup_tokens)
         self.spec_ngram = int(prompt_lookup_ngram)
+        # learned draft heads (models/medusa.py): gamma = number of heads;
+        # mutually exclusive with the n-gram draft source
+        self.medusa = medusa_params
+        if medusa_params is not None:
+            if self.spec_gamma:
+                raise ValueError(
+                    "medusa_params and prompt_lookup_tokens are mutually "
+                    "exclusive draft sources")
+            self.spec_gamma = int(medusa_params["w"].shape[0])
         if self.spec_gamma and gen_cfg is not None and gen_cfg.do_sample:
-            raise ValueError("prompt_lookup_tokens is greedy-only")
+            raise ValueError("speculative serving is greedy-only")
         # scratch columns: inactive rows' per-step kv writes are redirected
         # past the live region (the LAST column for single-token decode; a
         # G-wide tail region for speculative rounds, which also absorbs
@@ -473,7 +508,7 @@ class ContinuousBatcher:
         if kv_bits is not None:
             self.state["k_scale"] = cache["k_scale"]
             self.state["v_scale"] = cache["v_scale"]
-        if self.spec_gamma:
+        if self.spec_gamma and self.medusa is None:
             # per-slot generated-token history (the n-gram match source;
             # prompts are fused EMBEDDINGS, so unlike HF's prompt lookup
             # there are no prompt ids to match — descriptions are
@@ -481,6 +516,10 @@ class ContinuousBatcher:
             HW = max_len - buckets[0] + self.spec_gamma + 2
             self.state["hist"] = jnp.full((max_slots, HW), -1, jnp.int32)
             self.state["hist_len"] = jnp.zeros((max_slots,), jnp.int32)
+        if self.medusa is not None:
+            # frontier hidden per slot — the heads' draft input
+            self.state["last_hidden"] = jnp.zeros(
+                (max_slots, cfg.hidden_size), cache_dtype)
         self._spec_fused = False
         if self.spec_gamma:
             from ..models.decoder import supports_verify_chunk_step
@@ -641,7 +680,7 @@ class ContinuousBatcher:
             self.cfg, self.state, self.params,
             eos_token_id=self.eos_token_id, gamma=self.spec_gamma,
             ngram=self.spec_ngram, rounds=rounds,
-            use_fused=self._spec_fused)
+            use_fused=self._spec_fused, medusa=self.medusa)
         self.steps += rounds               # one target forward per round
         packed = np.asarray(packed)        # (3, rounds, G, B)
         tok_h, emit_h, fin_h = packed[0], packed[1], packed[2]

@@ -7,6 +7,7 @@ from .adapters import (
     RgcnAdapterConfig, rgcn_adapter, init_rgcn_adapter_params,
 )
 from .fusion import placeholder_merge, concat_fusion, count_check
+from .medusa import MedusaConfig, init_medusa_params, medusa_drafts
 from .composed import (
     Esm2LlamaInstructConfig, Esm2LlamaInstructForCausalLM,
     Esm2LlamaConfig, Esm2LlamaForCausalLM,

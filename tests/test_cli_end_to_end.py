@@ -175,6 +175,7 @@ def test_train_rgcn_instruct_cli(instruct_root, csv_path, tmp_path):
     "train_contrast", "train_instruct", "train_legacy",
     "train_rgcn_instruct", "generate_instruct", "generate_instruct_light",
     "generate_legacy", "benchmark", "convert_checkpoint", "get_data",
+    "serve", "train_draft",
 ])
 def test_cli_help(mod):
     import importlib
@@ -287,3 +288,36 @@ def test_serve_cli_continuous(csv_path, tmp_path):
     assert set(ref) == set(data)
     for name in ref:
         assert data[name]["pred"] == ref[name]["pred"], name
+
+
+def test_train_draft_and_serve_medusa_cli(csv_path, tmp_path):
+    """train_draft trains Medusa heads on the CSV descriptions and saves
+    an npz; serve --medusa_path decodes with the learned-draft engine and
+    produces predictions identical to plain greedy serving."""
+    from prot2text_tpu.cli.train_draft import main as draft_main
+    from prot2text_tpu.cli.serve import main as serve_main
+
+    npz = str(tmp_path / "medusa.npz")
+    draft_main([
+        "--train_csv", csv_path, "--debug_tiny_model", "true",
+        "--model_dtype", "fp32", "--attn_impl", "xla",
+        "--num_heads", "2", "--batch_size", "2", "--num_epochs", "2",
+        "--max_sequence_length", "48", "--output_path", npz])
+    z = np.load(npz)
+    assert z["w"].shape[0] == 2 and z["b"].shape[0] == 2
+
+    plain = serve_main([
+        "--test_csv", csv_path, "--debug_tiny_model", "true",
+        "--model_dtype", "fp32", "--attn_impl", "xla",
+        "--max_slots", "2", "--sync_every", "2", "--prompt_pad", "512",
+        "--max_new_tokens", "4",
+        "--output_dir", str(tmp_path / "serve_plain")])
+    spec = serve_main([
+        "--test_csv", csv_path, "--debug_tiny_model", "true",
+        "--model_dtype", "fp32", "--attn_impl", "xla",
+        "--max_slots", "2", "--sync_every", "2", "--prompt_pad", "512",
+        "--max_new_tokens", "4", "--medusa_path", npz,
+        "--output_dir", str(tmp_path / "serve_medusa")])
+    assert set(plain) == set(spec)
+    for name in plain:
+        assert spec[name]["pred"] == plain[name]["pred"], name
