@@ -147,8 +147,14 @@ def main(argv=None):
     medusa_params = None
     if args.medusa_path:
         z = np.load(args.medusa_path)
-        medusa_params = {"w": jnp.asarray(z["w"], args.model_dtype),
-                         "b": jnp.asarray(z["b"], args.model_dtype)}
+        # explicit FLOAT compute dtype: args.model_dtype may be int8/int4
+        # (build_models happens to rewrite it to bf16 as a side effect, but
+        # an int cast here would silently truncate the trained heads)
+        mdt = (args.model_dtype
+               if jnp.issubdtype(args.model_dtype, jnp.floating)
+               else jnp.bfloat16)
+        medusa_params = {"w": jnp.asarray(z["w"], mdt),
+                         "b": jnp.asarray(z["b"], mdt)}
     buckets = tuple(int(b) for b in str(args.prompt_pad).split(","))
     eng = ContinuousBatcher(
         llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,

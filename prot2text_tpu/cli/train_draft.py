@@ -26,7 +26,10 @@ from ..data.sampler import DataLoader, ShardedSampler
 from ..models.medusa import MedusaConfig, init_medusa_params
 from ..train.draft import make_medusa_train_step
 from ..train.optim import TrainState, adamw_constant
-from .common import LossLogger, add_common_args, setup_platform, text_tokenizer
+from .common import (
+    LossLogger, add_common_args, place_batch, replicate_tree, setup_platform,
+    shard_model_params, text_tokenizer,
+)
 from .train_contrast import build_models
 
 
@@ -53,7 +56,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    setup_platform(args)
+    mesh = setup_platform(args)
     tok = text_tokenizer(args)
 
     dataset = Prot2TextLightDataset(args.train_csv)
@@ -83,23 +86,28 @@ def main(argv=None):
 
     _, llm_cfg, _, frozen, _ = build_models(args, tok)
     core = llm_cfg.core()
-    dec_params = frozen["llm_decoder"]
+    # frozen tower sharded over (fsdp, tp) like the other trainers; the
+    # tiny head state replicates and its grads psum over the data axes
+    dec_params = shard_model_params(mesh, frozen["llm_decoder"])
 
     med_cfg = MedusaConfig(core.hidden_size, args.num_heads)
     tx = adamw_constant(args.learning_rate)
     state = TrainState.create(
-        init_medusa_params(med_cfg, jax.random.PRNGKey(args.random_seed),
-                           jnp.float32), tx)
+        replicate_tree(mesh, init_medusa_params(
+            med_cfg, jax.random.PRNGKey(args.random_seed), jnp.float32)), tx)
     step = make_medusa_train_step(core, tx)
 
     logger = LossLogger(args.log_every, label="medusa loss")
-    for epoch in range(args.num_epochs):
-        loader.set_epoch(epoch)
-        for batch in loader:
-            state, loss = step(state, dec_params, batch)
-            logger.append(loss)
-        mean, n = logger.finish()
-        print(f"epoch {epoch}: medusa loss {mean:.4f} over {n} steps")
+    with jax.set_mesh(mesh):
+        for epoch in range(args.num_epochs):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                state, loss = step(
+                    state, dec_params,
+                    place_batch(mesh, batch, args.batch_size))
+                logger.append(loss)
+            mean, n = logger.finish()
+            print(f"epoch {epoch}: medusa loss {mean:.4f} over {n} steps")
 
     np.savez(args.output_path,
              w=np.asarray(state.params["w"], np.float32),

@@ -241,15 +241,21 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
     return state, jnp.stack([toks, fin, adv])
 
 
-def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int):
-    """Per-row prompt-lookup drafts over each row's own token history.
+def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int,
+                 fallback: int = 0):
+    """Per-row prompt-lookup drafts over each row's own token history —
+    the ONE n-gram chase implementation, shared by the serving engine
+    (_spec_rounds) and the lockstep speculative.prompt_lookup_generate.
 
-    hist: (B, HW) int32 generated-token history rows (entries beyond
-    hist_len[b] are ignored); hist_len: (B,) int32.  Each row drafts
-    `gamma` tokens by chasing the latest `ngram`-gram match token-by-token
-    (each draft is appended to the matching history, so repetition periods
-    shorter than gamma copy correctly).  Rows with no match draft token 0
-    (verification makes any draft safe).  Returns (B, gamma) int32."""
+    hist: (B, HW) int32 history rows: entries beyond hist_len[b] are
+    ignored, and -1 sentinels INSIDE the valid span (e.g. prompt padding)
+    are legal — they can never equal a real token id, so they simply
+    never match.  hist_len: (B,) int32.  Each row drafts `gamma` tokens
+    by chasing the latest `ngram`-gram match token-by-token (each draft
+    is appended to the matching history, so repetition periods shorter
+    than gamma copy correctly).  Rows with no match draft
+    max(fallback, 0) (verification makes any draft safe).
+    Returns (B, gamma) int32."""
     B, HW = hist.shape
     W = HW - ngram + 1
     bidx = jnp.arange(B)
@@ -273,7 +279,7 @@ def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int):
         nxt = jnp.take_along_axis(
             histx, jnp.clip(s_best + ngram, 0, HW - 1)[:, None],
             axis=1)[:, 0]
-        nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, 0), 0)
+        nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, fallback), 0)
         drafts = jax.lax.dynamic_update_slice(
             drafts, nxt[:, None], (0, j))
         histx = histx.at[bidx, jnp.clip(end, 0, HW - 1)].set(nxt)

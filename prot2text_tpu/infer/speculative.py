@@ -57,7 +57,7 @@ def _chunk_bias(kv_mask, G: int, chunk_start, dtype=jnp.float32):
 
 def _verify_accept(cfg, params, *, tokens, tgt_cache, kv_mask, finished,
                    prev, drafts, t, base, pos_base, gamma, eos, pad,
-                   dtype, attn_impl):
+                   dtype, attn_impl, fused_ok: bool = False):
     """Target verification of a drafted chunk + the exact greedy acceptance
     rule, shared by every speculative variant (model-draft, self-draft,
     prompt-lookup): one G=gamma+1-token target forward over
@@ -76,12 +76,13 @@ def _verify_accept(cfg, params, *, tokens, tgt_cache, kv_mask, finished,
     from ..models.decoder import (
         decoder_verify_chunk, supports_verify_chunk_step)
 
-    # the static base bound: base = P + t - 1 <= P + NEW - 1; with the
-    # kv_bits cache sizing (T >= P + NEW + 64) the fused kernel's
-    # slot <= T - 64 requirement always holds.  `base + 64 <= T` cannot
-    # be checked on the traced value, so callers guarantee it via sizing;
-    # eligibility here is structural only.
-    if (isinstance(tgt_cache, dict) and len(tgt_cache) == 4
+    # `fused_ok` is the CALLER's static proof that every chunk start obeys
+    # the kernel's slot <= T - 64 precondition (base is a traced value, so
+    # it cannot be checked here; prompt_lookup_generate asserts
+    # T - 64 >= P + NEW on its static shapes before passing True).  A
+    # caller that sizes its cache without the slack must leave this False
+    # or the aliased kernel write would land past the cache end.
+    if (fused_ok and isinstance(tgt_cache, dict) and "k_scale" in tgt_cache
             and supports_verify_chunk_step(cfg, tgt_cache, G)):
         h, tgt_cache = decoder_verify_chunk(
             cfg, params, token_embeds=chunk_emb, kv_mask01=kv_mask,
@@ -348,10 +349,14 @@ def prompt_lookup_generate(
     NEW = gen_cfg.max_new_tokens
     G = gamma + 1
     T = P + NEW + G
+    fused_ok = False
     if kv_bits is not None:
         # int8 KV: size the cache for the fused chunk-verify kernel
         # (chunk starts <= T - 64, 32-sublane tile groups)
         T = -(-(P + NEW + max(G, 64)) // 32) * 32
+        # static proof of the kernel's slot <= T - 64 precondition: every
+        # chunk starts at base = P + t - 1 <= P + NEW - 1
+        fused_ok = T - 64 >= P + NEW
     eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
     dtype = cache_dtype or inputs_embeds.dtype
 
@@ -385,8 +390,7 @@ def prompt_lookup_generate(
         valid = (jnp.ones_like(prompt_ids) if prompt_ids_mask is None
                  else prompt_ids_mask.astype(jnp.int32))
         hist_prompt = jnp.where(valid > 0, prompt_ids.astype(jnp.int32), -1)
-    HL = Pp + NEW + G
-    W = HL - ngram + 1            # n-gram window starts
+    HL = Pp + NEW + G             # history width (prompt ids + generated)
 
     def cond(state):
         (t, _, _, _, finished, _) = state
@@ -410,47 +414,20 @@ def prompt_lookup_generate(
         gen_valid = jnp.arange(NEW + G)[None, :] < t
         histx = jnp.concatenate(
             [hist_prompt, jnp.where(gen_valid, tokens, -1)], axis=1)
+        # the shared per-row chase (serving.ngram_drafts) with a uniform
+        # history length Pp + t; -1 prompt-pad sentinels inside the valid
+        # span never match, exactly as in the previous inline loop
+        from .serving import ngram_drafts
 
-        def draft_one(j, carry):
-            histx, drafts = carry
-            end = Pp + t + j          # history length incl. drafts so far
-            gram_pos = jnp.clip(
-                end - ngram + jnp.arange(ngram)[None, :], 0, HL - 1)
-            prevgram = jnp.take_along_axis(
-                histx, jnp.broadcast_to(gram_pos, (B, ngram)), axis=1)
-            mall = jnp.ones((B, W), bool)
-            for k in range(ngram):
-                mall = jnp.logical_and(
-                    mall, histx[:, k:W + k] == prevgram[:, k][:, None])
-            # start s matches gram [s, s+ngram); its continuation s+ngram
-            # must be a KNOWN position (< end, i.e. exclude the trailing
-            # gram itself).  Grams spanning the prompt/generated boundary
-            # are allowed (HF prompt-lookup matches over the full history);
-            # when end < ngram there is no full trailing gram and svalid
-            # is empty, so no extra guard is needed — prompt pad sentinels
-            # (-1) can sit inside the trailing gram and simply never match.
-            svalid = jnp.arange(W)[None, :] < (end - ngram)
-            ok = jnp.logical_and(mall, svalid)
-            score = jnp.where(ok, jnp.arange(W)[None, :], -1)
-            s_best = jnp.max(score, axis=1)                   # (B,)
-            nxt = jnp.take_along_axis(
-                histx, jnp.clip(s_best + ngram, 0, HL - 1)[:, None],
-                axis=1)[:, 0]
-            nxt = jnp.maximum(jnp.where(s_best >= 0, nxt, pad), 0)
-            drafts = jax.lax.dynamic_update_slice(
-                drafts, nxt[:, None], (0, j))
-            histx = jax.lax.dynamic_update_slice(
-                histx, nxt[:, None], (0, end))
-            return histx, drafts
-
-        _, drafts = jax.lax.fori_loop(
-            0, gamma, draft_one, (histx, jnp.zeros((B, gamma), jnp.int32)))
+        drafts = ngram_drafts(
+            histx, jnp.broadcast_to(Pp + t, (B,)).astype(jnp.int32),
+            gamma=gamma, ngram=ngram, fallback=pad)
 
         tokens, tgt_cache, kv_mask, finished, a = _verify_accept(
             cfg, params, tokens=tokens, tgt_cache=tgt_cache,
             kv_mask=kv_mask, finished=finished, prev=prev, drafts=drafts,
             t=t, base=base, pos_base=pos_base, gamma=gamma, eos=eos,
-            pad=pad, dtype=dtype, attn_impl=attn_impl)
+            pad=pad, dtype=dtype, attn_impl=attn_impl, fused_ok=fused_ok)
         return (t + 1 + a, tokens, tgt_cache, kv_mask, finished, n_fwd + 1)
 
     state = (jnp.asarray(1, jnp.int32), tokens, tgt_cache, kv_mask0,

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from ..models.decoder import (
     causal_bias_from_mask, decoder_forward, decoder_logits, embed_tokens,
 )
-from ..models.medusa import medusa_hidden
 
 
 def medusa_loss(core_cfg, dec_params, med_params, batch):
@@ -55,24 +54,29 @@ def medusa_loss(core_cfg, dec_params, med_params, batch):
                            bias=bias, positions=pos)
     h = jax.lax.stop_gradient(h)                       # (B, S, H)
 
-    hm = medusa_hidden(med_params, h)                  # (B, S, K, H)
-    logits = decoder_logits(core_cfg, dec_params, hm)  # (B, S, K, V) f32
-    logp = jax.nn.log_softmax(logits, axis=-1)
-
-    # labels[b, t, k] = labels[b, t+2+k] where valid
-    offs = jnp.arange(2, K + 2)                        # (K,)
-    tgt_pos = jnp.arange(S)[:, None] + offs[None, :]   # (S, K)
-    valid = tgt_pos < S
-    tgt_pos = jnp.clip(tgt_pos, 0, S - 1)
-    lbl = labels[:, tgt_pos]                           # (B, S, K)
-    lbl_mask = ((mask[:, tgt_pos] > 0) & valid[None]
-                & (mask[:, :, None] > 0) & (lbl >= 0))
-
-    ll = jnp.take_along_axis(logp, jnp.maximum(lbl, 0)[..., None],
-                             axis=-1)[..., 0]
-    ll = jnp.where(lbl_mask, ll, 0.0)
-    count = jnp.maximum(lbl_mask.sum(), 1)
-    return -(ll.sum() / count)
+    # One head at a time: the (B, S, V) fp32 logits of a single head are
+    # already the standard trainer's peak activation — materializing all
+    # K at once ((B, S, K, V) + log_softmax temporaries, ~5 GB fp32 at the
+    # 8B/V=128k defaults) would OOM next to the frozen tower.
+    ll_sum = jnp.zeros((), jnp.float32)
+    count = jnp.zeros((), jnp.int32)
+    for k in range(K):
+        w_k = med_params["w"][k].astype(h.dtype)
+        b_k = med_params["b"][k].astype(h.dtype)
+        hk = h + jax.nn.silu(h @ w_k + b_k)            # (B, S, H)
+        logp = jax.nn.log_softmax(
+            decoder_logits(core_cfg, dec_params, hk), axis=-1)
+        tgt_pos = jnp.arange(S) + (2 + k)              # labels[t+2+k]
+        valid = tgt_pos < S
+        tgt_pos = jnp.clip(tgt_pos, 0, S - 1)
+        lbl = labels[:, tgt_pos]                       # (B, S)
+        lbl_mask = ((mask[:, tgt_pos] > 0) & valid[None]
+                    & (mask > 0) & (lbl >= 0))
+        ll = jnp.take_along_axis(logp, jnp.maximum(lbl, 0)[..., None],
+                                 axis=-1)[..., 0]
+        ll_sum += jnp.where(lbl_mask, ll, 0.0).sum()
+        count += lbl_mask.sum()
+    return -(ll_sum / jnp.maximum(count, 1))
 
 
 def make_medusa_train_step(core_cfg, tx):
