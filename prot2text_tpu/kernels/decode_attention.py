@@ -448,8 +448,6 @@ def _kernel_verify_qc(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
         cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         rowg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 0) // rep
         colg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 1)
-        tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
-        ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
         rows32 = jax.lax.broadcasted_iota(jnp.int32, (32, D), 0)
 
         for h in range(Hkv):                            # static head loop
@@ -498,21 +496,20 @@ def _kernel_verify_qc(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
             svo_ref[0, 0, pl.ds(h, 1), :] = snewv
 
             # -- int8 chunk write: both spanned tile groups in one pass.
-            # The stale groups are extracted from the bf16 converts already
-            # in VMEM with one-hot MXU contractions (exact: int8 values are
-            # exact in bf16, {0,1} selection with fp32 accumulation
-            # round-trips).  Group 0 goes straight to the aliased output;
-            # group 1 waits in scratch for the j=1 step.
+            # The stale groups load straight off the int8 ref with a
+            # DYNAMIC 32-aligned pl.ds (Mosaic lowers dynamic sublane
+            # starts on ref loads; it is value-level dynamic_slice that
+            # doesn't lower) — the previous one-hot MXU extraction cost
+            # 4 (32, T)x(T, D) contractions per head, ~3x the attention
+            # math itself at 25% MXU utilization.  Group 0 goes straight
+            # to the aliased output; group 1 waits in scratch for j=1.
             for jj in range(2):
                 tg = tg0 + jj
                 r = slot - tg * 32    # chunk start row within THIS group
-                sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)  # (32, T)
-                old_k = jax.lax.dot_general(
-                    sel, ckf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # (32, D)
-                old_v = jax.lax.dot_general(
-                    sel, cvf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                old_k = ck_ref[0, 0, h, pl.ds(tg * 32, 32), :].astype(
+                    jnp.float32)                                 # (32, D)
+                old_v = cv_ref[0, 0, h, pl.ds(tg * 32, 32), :].astype(
+                    jnp.float32)
                 new_k = old_k
                 new_v = old_v
                 for g in range(G):
