@@ -148,24 +148,16 @@ def _kernel_write(idx_ref, q_ref, kn_ref, vn_ref, mask_ref, ck_ref, cv_ref,
     o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
 
     # -- write the new slot's (Hkv, 8, D) tile group back -------------------
-    # The stale group is extracted from the tile ALREADY IN VMEM with a
-    # one-hot MXU contraction (a dynamic sublane slice is Mosaic-hostile;
-    # the 8×T one-hot matmul is ~0.1 µs and exact: bf16 · {0,1} with fp32
-    # accumulation round-trips bit-identically).
+    # The stale group loads straight off the ref with a DYNAMIC 8-aligned
+    # pl.ds (Mosaic lowers dynamic sublane starts on ref loads — proven by
+    # the chunk-verify kernel rework; the one-hot MXU contraction this
+    # replaces cost Hkv·8·T·D flops per side per (b, layer)).
     slot = idx_ref[1 + b]
     tg = slot // 8
     r = slot - tg * 8
-    tt = jax.lax.broadcasted_iota(jnp.int32, (8, T), 1)
-    ss = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0)
-    sel = (tt == tg * 8 + ss).astype(jnp.float32)       # (8, T) one-hot
-    selb = jnp.broadcast_to(sel[None], (Hkv, 8, T))
     rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 8, D), 1)
-    old_k = jax.lax.dot_general(
-        selb, ck.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # (Hkv, 8, D)
-    old_v = jax.lax.dot_general(
-        selb, cv.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    old_k = ck_ref[0, 0, :, pl.ds(tg * 8, 8), :].astype(jnp.float32)
+    old_v = cv_ref[0, 0, :, pl.ds(tg * 8, 8), :].astype(jnp.float32)
     cko_ref[0, 0] = jnp.where(
         rows == r, kn.astype(jnp.float32)[:, None, :], old_k
     ).astype(cko_ref.dtype)
@@ -279,25 +271,16 @@ def _kernel_write_q(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
     o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
 
     # -- quantized slot write: (Hkv, 32, D) int8 tile group ------------------
+    # The stale group loads straight off the int8 ref with a DYNAMIC
+    # 32-aligned pl.ds (Mosaic lowers dynamic sublane starts on ref
+    # loads); the one-hot MXU contraction this replaces cost Hkv·32·T·D
+    # flops per side per (b, layer) — more than the attention math itself
     slot = idx_ref[1 + b]
     tg = slot // 32
     r = slot - tg * 32
-    tt = jax.lax.broadcasted_iota(jnp.int32, (32, T), 1)
-    ss = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
-    sel = (tt == tg * 32 + ss).astype(jnp.bfloat16)     # (32, T) one-hot
-    selb = jnp.broadcast_to(sel[None], (Hkv, 32, T))
     rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 32, D), 1)
-    # extract the stale group from the tile already in VMEM — in bf16:
-    # int8 values are exact in bf16 and the one-hot matmul picks exactly
-    # one of them per output (fp32 accumulate), so it round-trips exactly;
-    # an f32 convert of the (Hkv, T, D) tiles here costs 2x4 MB of vector
-    # stack per side and blows the 16 MB scoped-vmem limit at T~1.9k
-    old_k = jax.lax.dot_general(
-        selb, ckf, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # (Hkv, 32, D)
-    old_v = jax.lax.dot_general(
-        selb, cvf, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    old_k = ck_ref[0, 0, :, pl.ds(tg * 32, 32), :].astype(jnp.float32)
+    old_v = cv_ref[0, 0, :, pl.ds(tg * 32, 32), :].astype(jnp.float32)
     cko_ref[0, 0] = jnp.where(rows == r, knq[:, None, :], old_k
                               ).astype(jnp.int8)
     cvo_ref[0, 0] = jnp.where(rows == r, vnq[:, None, :], old_v
