@@ -503,24 +503,29 @@ def bench_contrastive_flagship():
 
 
 def _bench_serving_flagship(name, kv_bits=None, slots=8,
-                            prompt_lookup_tokens=0):
+                            prompt_lookup_tokens=0, buckets=None):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
-    budget), prompt_pad buckets (512, 1664), ragged decode budgets.
+    budget), prompt_pad length buckets, ragged decode budgets.
     kv_bits=8 serves from the int8 KV pool, whose halved cache bytes are
     exactly what buys a 16-slot pool: bf16 KV at 16x1888 is ~4 GB and
     OOMs next to the 8.5 GB weights, int8 fits.  Slot sweep (round 3,
     kv8 + device submit, N=24): 8 slots 250 tok/s, 16 slots 277 (+11% —
     per-row cache reads grow with the pool, so slots saturate rather
-    than scale)."""
+    than scale).  Bucket granularity is the dominant end-to-end lever at
+    this workload: the coarse (512, 1664) ladder pads 33,024 prefill
+    tokens against 20,556 real ones, and prefill compute dominates the
+    run — the 7-bucket ladder measured 526 vs 334 useful tok/s (+58%)
+    on the spec-kv8-16-slot config (scripts/bench_serving_buckets.py)."""
     from prot2text_tpu.infer.serving import ContinuousBatcher
     from prot2text_tpu.models.llama import LlamaConfig
 
     cfg = LlamaConfig.llama_3_1_8b().core()
     params = _init_quantized_random(cfg, bits=8)
     SLOTS = slots
-    BUCKETS = (512, 1664)
+    BUCKETS = (buckets if buckets is not None
+               else (384, 512, 768, 1024, 1280, 1408, 1664))
     MAXNEW = 192
     N_REQ = 24
     rng = np.random.default_rng(0)
