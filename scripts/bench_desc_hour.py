@@ -33,6 +33,10 @@ from prot2text_tpu.models.qwen3 import Qwen3Config       # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 kv_bits = 8 if "kv8" in sys.argv[2:] else None
+# "auto" forces masked flash prefill (generate() maps auto->flash for the
+# prompt pass); "xla" materializes (B, Hq, S, T) fp32 prefill scores —
+# ~2.9 GB at B=40, the allocation that used to bound the sweep at B=32
+ATTN = "xla" if "xla" in sys.argv[2:] else "auto"
 PROT, NEW = 512, 256
 
 enc_cfg = ESMCConfig.esmc_600m()
@@ -58,7 +62,7 @@ def run():
     mask = jnp.ones((B, emb.shape[1]), jnp.int32)
     toks = generate(dec_cfg, dec_params, inputs_embeds=emb,
                     attention_mask=mask, gen_cfg=gen_cfg,
-                    attn_impl="xla", cache_dtype=jnp.bfloat16,
+                    attn_impl=ATTN, cache_dtype=jnp.bfloat16,
                     kv_bits=kv_bits)
     return np.asarray(toks)
 
@@ -67,6 +71,6 @@ run()                                         # compile + warmup
 t0 = time.perf_counter()
 run()
 dt = time.perf_counter() - t0
-print(f"B={B} kv_bits={kv_bits}: {dt:.2f}s/batch "
+print(f"B={B} kv_bits={kv_bits} attn={ATTN}: {dt:.2f}s/batch "
       f"-> {B * 3600 / dt:.0f} desc/h  "
       f"({B * NEW / dt:.0f} tok/s decode-inclusive)")
