@@ -103,6 +103,6 @@ def full_prefill(impl):
     return lambda: go(emb, cache)
 
 
-timeit(matmuls_only, "matmul-only floor")
+timeit(lambda: matmuls_only(x0), "matmul-only floor")
 timeit(full_prefill("flash"), "full prefill attn=flash")
 timeit(full_prefill("xla"), "full prefill attn=xla")
