@@ -45,6 +45,45 @@ def _xla_attention(q, k, v, bias):
     return out.astype(v.dtype)
 
 
+def _xla_attention_chunked(q, k, v, bias, chunk: int | None = None):
+    """Query-chunked XLA attention: per-row math identical to
+    `_xla_attention`, but a `lax.map` over Sq chunks bounds the fp32
+    scores transient to B*H*chunk*Skv (the unchunked scores for the
+    descriptions/hour prefill — B=40, Hq=40, S=544 — are a 1.9 GB fp32
+    array whose softmax pipeline peaks ~2.9 GB and OOMs the 16 GB chip
+    next to the 14B int4 weights).  Measured at that shape the full
+    XLA prefill beats the plain bias-carrying flash kernel by 0.8 s
+    (4.07 vs 4.88 s, scripts/bench_prefill_decomp.py) — flash's masked
+    block-skipping variant needs 128-tileable sequence lengths, so
+    non-tileable prefills route here instead."""
+    B, Hq, Sq, D = q.shape
+    Skv = k.shape[-2]
+    if chunk is None:
+        # smallest chunk count whose fp32 scores stay under ~512 MB, chunk
+        # rounded up to a sublane multiple — Sq=544 → 4 chunks of 136, no
+        # pad rows (pad waste at a fixed chunk=128 cost ~0.2 s/prefill)
+        budget = 512 * 1024 * 1024
+        nc_min = max(1, -(-(B * Hq * Sq * Skv * 4) // budget))
+        per_chunk = -(-Sq // nc_min)
+        chunk = max(8, 8 * (-(-per_chunk // 8)))
+    if Sq <= chunk:
+        return _xla_attention(q, k, v, bias)
+    nc = -(-Sq // chunk)
+    pad = nc * chunk - Sq
+    bias_f = jnp.broadcast_to(
+        bias.astype(jnp.float32), (B, bias.shape[1], Sq, Skv))
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    # pad-row bias stays 0 → a uniform softmax over garbage rows that are
+    # sliced off below; no -inf rows, so no NaNs
+    bp = jnp.pad(bias_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qc = jnp.moveaxis(qp.reshape(B, Hq, nc, chunk, D), 2, 0)
+    bc = jnp.moveaxis(bp.reshape(B, bias.shape[1], nc, chunk, Skv), 2, 0)
+    out = jax.lax.map(lambda ab: _xla_attention(ab[0], k, v, ab[1]),
+                      (qc, bc))
+    out = jnp.moveaxis(out, 0, 2).reshape(B, Hq, nc * chunk, D)
+    return out[:, :, :Sq]
+
+
 def _flash_blocks(sq: int, skv: int):
     """Pick legal Mosaic block sizes, or None if the shape can't tile."""
     for b in (256, 128):
@@ -118,13 +157,19 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
                 jnp.asarray(kv_len, jnp.int32), causal=causal,
                 block_q=b, block_k=b)
     if impl == "flash":
-        try:
-            from .flash_attention import flash_attention_tpu
+        tileable = (q.shape[-1] in (64, 128)
+                    and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)
+        if tileable:
+            try:
+                from .flash_attention import flash_attention_tpu
 
-            if (jax.default_backend() == "tpu"
-                    and pallas_single_device_ok()):
-                return flash_attention_tpu(q, k, v, bias)
-        except Exception:
-            pass
-        return _xla_attention(q, k, v, bias)
+                if (jax.default_backend() == "tpu"
+                        and pallas_single_device_ok()):
+                    return flash_attention_tpu(q, k, v, bias)
+            except Exception:
+                pass
+        # non-tileable flash request (e.g. the desc-hour 544-token prefill):
+        # chunked XLA is both faster than the bias flash kernel and bounded
+        # in transient memory (see _xla_attention_chunked docstring)
+        return _xla_attention_chunked(q, k, v, bias)
     return _xla_attention(q, k, v, bias)

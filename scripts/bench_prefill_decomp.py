@@ -6,6 +6,7 @@ each attention impl.  The desc-hour batch spends ~4.8 s in prefill
 
     python scripts/bench_prefill_decomp.py [B] [S]
 """
+import functools
 import sys
 import time
 
@@ -28,7 +29,9 @@ from prot2text_tpu.models.transformer import linear      # noqa: E402
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 544
 cfg = Qwen3Config.qwen3_14b().core()
+print(f"[{time.strftime('%H:%M:%S')}] init params...", flush=True)
 params = _init_quantized_random(cfg, bits=4)
+print(f"[{time.strftime('%H:%M:%S')}] params ready", flush=True)
 H = cfg.hidden_size
 rng = np.random.default_rng(0)
 x0 = jnp.asarray(rng.standard_normal((B * S, H)).astype(np.float32),
@@ -66,9 +69,11 @@ def timeit(fn, label):
 
 
 @jax.jit
-def matmuls_only(x):
+def matmuls_only(x, layers):
     """The 7 per-layer weight matmuls at prefill row count, nothing else —
-    same stacked-param scan structure as decoder_forward."""
+    same stacked-param scan structure as decoder_forward.  `layers` is an
+    ARGUMENT (a closure would inline 6.6 GB of captured constants into the
+    lowered module and the remote compile never finishes — CLAUDE.md)."""
     def body(h, li):
         lp = jax.tree_util.tree_map(lambda a: a[li], layers)
         q = linear(lp["q_proj"], h)
@@ -91,8 +96,8 @@ def full_prefill(impl):
     cache = init_kv_cache(cfg, B, T, jnp.bfloat16, kv_bits=8)
     bias = _prefill_bias(mask, T)
 
-    @jax.jit
-    def go(emb, cache):
+    @functools.partial(jax.jit, static_argnames=("impl",))
+    def go(params, emb, cache, bias, impl):
         h, cache = decoder_forward(
             cfg, params, inputs_embeds=emb, bias=bias,
             positions=jnp.broadcast_to(jnp.arange(S), (B, S)),
@@ -100,9 +105,9 @@ def full_prefill(impl):
             attn_lengths=contiguous_lengths(mask))
         return h[0, -1, :8]
 
-    return lambda: go(emb, cache)
+    return lambda: go(params, emb, cache, bias, impl=impl)
 
 
-timeit(lambda: matmuls_only(x0), "matmul-only floor")
+timeit(lambda: matmuls_only(x0, layers), "matmul-only floor")
 timeit(full_prefill("flash"), "full prefill attn=flash")
 timeit(full_prefill("xla"), "full prefill attn=xla")

@@ -269,3 +269,23 @@ def test_flash_masked_backward_bounded_with_unmasked_cotangent():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(gm[0])[1], np.asarray(gx[0])[1],
                                atol=2e-4, rtol=2e-4)
+
+
+def test_chunked_xla_matches_plain():
+    """_xla_attention_chunked is per-row identical math to _xla_attention;
+    non-multiple Sq exercises the internal pad+slice (desc-hour prefill is
+    Sq=544, chunk=128)."""
+    from prot2text_tpu.kernels.attention import _xla_attention_chunked
+
+    q, k, v = _qkv(B=2, H=3, Sq=37, Skv=50, D=16, seed=3)
+    mask = np.ones((2, 50), np.int32)
+    mask[1, 40:] = 0  # padded keys → -inf bias columns survive chunking
+    bias = make_attention_bias(jnp.asarray(mask))
+    ref = _xla_attention(q, k, v, bias)
+    out = _xla_attention_chunked(q, k, v, bias, chunk=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    # Sq <= chunk short-circuits to the plain path
+    out2 = _xla_attention_chunked(q, k, v, bias, chunk=64)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
