@@ -656,14 +656,17 @@ def bench_descriptions_per_hour():
     reference's ESMC-Qwen flagship scale (esmc_600m encoder + adapter +
     Qwen3-14B int4 decoder, esmc_qwen_arc.py:208) on ONE 16 GB chip.
     One batch = encoder forward + adapter + prefill + 256 greedy tokens —
-    the full per-description latency.  B=32 with the int8 KV cache is the
+    the full per-description latency.  B=48 with the int8 KV cache is the
     measured one-chip sweet spot (scripts/bench_desc_hour.py sweep:
-    B=8 bf16 4583, B=16 bf16 8701, B=24 bf16 10366, B=32 kv8 12815
-    desc/h; B>=40 OOMs) — the 14B int4 decode step is weights-streaming
-    bound, so batch rows are nearly free until HBM runs out.  Random
-    weights (zero-egress container); throughput does not depend on values.
-    The reference publishes no A6000 number to compare against
-    (BASELINE.md)."""
+    B=8 bf16 4583, B=16 bf16 8701, B=24 bf16 10366, B=32 kv8 12815,
+    B=40 kv8 13696, B=48 kv8 15054 desc/h; B=56 OOMs) — the 14B int4
+    decode step is weights-streaming bound, so batch rows are nearly free
+    until HBM runs out.  B>32 needs attn_impl="auto": the prefill routes
+    through the query-chunked XLA attention (kernels/attention.py
+    _xla_attention_chunked), which bounds the fp32 scores transient that
+    OOM'd the unchunked prefill at B=40.  Random weights (zero-egress
+    container); throughput does not depend on values.  The reference
+    publishes no A6000 number to compare against (BASELINE.md)."""
     from prot2text_tpu.infer.generate import GenerationConfig, generate
     from prot2text_tpu.models.adapters import (
         ModalityAdapterConfig, init_modality_adapter_params, modality_adapter)
@@ -671,7 +674,7 @@ def bench_descriptions_per_hour():
         ESMCConfig, esmc_encode, init_esmc_params)
     from prot2text_tpu.models.qwen3 import Qwen3Config
 
-    B, PROT, NEW = 32, 512, 256
+    B, PROT, NEW = 48, 512, 256
     enc_cfg = ESMCConfig.esmc_600m()
     dec_cfg = Qwen3Config.qwen3_14b().core()
     enc_params = init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
@@ -697,7 +700,7 @@ def bench_descriptions_per_hour():
         mask = jnp.ones((B, emb.shape[1]), jnp.int32)
         toks = generate(dec_cfg, dec_params, inputs_embeds=emb,
                         attention_mask=mask, gen_cfg=gen_cfg,
-                        attn_impl="xla", cache_dtype=jnp.bfloat16,
+                        attn_impl="auto", cache_dtype=jnp.bfloat16,
                         kv_bits=8)
         return np.asarray(toks)
 
