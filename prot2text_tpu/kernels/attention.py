@@ -99,13 +99,49 @@ def flash_eligible(q, k, causal: bool, min_seq: int = 0) -> bool:
     (training) it wins at S>=1024 (2.4x whole-train-step at S=2048, where
     XLA materializes the (B,H,S,S) fp32 logits) but loses ~4% at S=512.
     XLA keeps BIDIRECTIONAL encoder shapes (no blocks to skip, Mosaic
-    per-tile overhead)."""
+    per-tile overhead).  Non-128-tileable shapes stay on chunked XLA: the
+    pad-to-tileable masked-flash route (`masked_flash_padded`) was measured
+    SLOWER at the desc-hour prefill (B=40, Hq=40, S=544→640: 4.88 s vs
+    4.06 s chunked XLA, scripts/bench_prefill_decomp.py) — at B·H=1600 the
+    per-tile Mosaic overhead and VPU softmax lose to XLA's fused pipeline,
+    so padding is opt-in via P2T_PAD_FLASH=1 (useful at small B·H)."""
+    import os
+
+    tileable = (_flash_blocks(q.shape[-2], k.shape[-2]) is not None
+                or bool(os.environ.get("P2T_PAD_FLASH")))
     return (causal
+            and tileable
             and q.shape[-2] >= min_seq
             and jax.default_backend() == "tpu"
             and pallas_single_device_ok()
-            and q.shape[-1] in (64, 128)
-            and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)
+            and q.shape[-1] in (64, 128))
+
+
+def masked_flash_padded(q, k, v, kv_start, kv_len, causal: bool,
+                        interpret: bool = False):
+    """`flash_attention_masked` for arbitrary sequence lengths: pads Sq/Skv
+    up to the 128-block grid and slices the pad rows back off.  Padded KEYS
+    sit beyond kv_start+kv_len so the in-kernel mask excludes them (their
+    blocks are skipped entirely when fully out of range); padded QUERY rows
+    have sequence index >= every valid key's, so under `causal` they attend
+    to the full valid run — never a fully-masked row, never a NaN — and
+    their outputs are dropped by the final slice.  Pad-row FLOPs at the
+    desc-hour prefill shape (S=544 -> 640) are <1% of the attention math."""
+    from .flash_attention import flash_attention_masked
+
+    sq, skv = q.shape[-2], k.shape[-2]
+    b = _flash_blocks(sq, skv)
+    if b is None:
+        b = 128
+        pq, pk = (-sq) % b, (-skv) % b
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    out = flash_attention_masked(
+        q, k, v, jnp.asarray(kv_start, jnp.int32),
+        jnp.asarray(kv_len, jnp.int32), causal=causal,
+        block_q=b, block_k=b, interpret=interpret)
+    return out[:, :, :sq]
 
 
 def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
@@ -149,13 +185,7 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
         kv_start, kv_len, causal = lengths
         if flash_eligible(q, k, causal,
                           min_seq=1024 if impl == "auto" else 0):
-            from .flash_attention import flash_attention_masked
-
-            b = _flash_blocks(q.shape[-2], k.shape[-2])
-            return flash_attention_masked(
-                q, k, v, jnp.asarray(kv_start, jnp.int32),
-                jnp.asarray(kv_len, jnp.int32), causal=causal,
-                block_q=b, block_k=b)
+            return masked_flash_padded(q, k, v, kv_start, kv_len, causal)
     if impl == "flash":
         tileable = (q.shape[-1] in (64, 128)
                     and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)

@@ -289,3 +289,30 @@ def test_chunked_xla_matches_plain():
     out2 = _xla_attention_chunked(q, k, v, bias, chunk=64)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_masked_flash_padded_non_tileable():
+    """masked_flash_padded pads a non-128-tileable prefill (the desc-hour
+    S=544 shape, scaled down) onto the flash block grid: padded keys are
+    excluded by kv_len, padded query rows attend to the valid run (no NaN),
+    and the slice drops them.  Parity vs XLA on the valid rows."""
+    from prot2text_tpu.kernels.attention import masked_flash_padded
+
+    q, k, v = _qkv(Sq=90, Skv=90, seed=31)
+    mask = np.ones((2, 90), np.int32)
+    mask[0, :7] = 0    # left padding: start 7, len 83
+    mask[1, 60:] = 0   # right padding: start 0, len 60
+    pos = jnp.broadcast_to(jnp.arange(90), (2, 90))
+    bias = make_attention_bias(jnp.asarray(mask), causal=True,
+                               q_positions=pos, kv_positions=pos)
+    ref = _xla_attention(q, k, v, bias)
+    starts = jnp.asarray([7, 0], jnp.int32)
+    lens = jnp.asarray([83, 60], jnp.int32)
+    out = masked_flash_padded(q, k, v, starts, lens, causal=True,
+                              interpret=True)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
+    valid = np.asarray(mask).astype(bool)
+    o = np.asarray(out).transpose(0, 2, 1, 3)[valid]
+    r = np.asarray(ref).transpose(0, 2, 1, 3)[valid]
+    np.testing.assert_allclose(o, r, atol=2e-5, rtol=2e-5)
