@@ -487,13 +487,13 @@ class ContinuousBatcher:
         # G-wide tail region for speculative rounds, which also absorbs
         # rejected-draft writes) so a finished slot's real columns are
         # never overwritten; kv_mask there stays 0 forever, so it never
-        # enters attention.  Width rounds up to a multiple of 8 so the
-        # cache keeps Mosaic-tileable T and the Pallas grouped
-        # decode-attention kernel stays eligible
-        # (kernels/decode_attention.supports_decode_attention).
+        # enters attention.  Width rounds up to a multiple of 16 so the
+        # cache keeps Mosaic-tileable T and the fused attention+write
+        # kernel's aliased 16-sublane bf16 tile groups stay aligned
+        # (kernels/decode_attention.supports_decode_attention_write).
         # int8 KV pool (kv_bits=8): width rounds to the fused write
         # kernel's 32-sublane int8 tile groups instead
-        mult = 32 if kv_bits is not None else 8
+        mult = 32 if kv_bits is not None else 16
         slack = (self.spec_gamma + 1) if self.spec_gamma else 1
         if self.spec_gamma and kv_bits is not None:
             # the fused chunk-verify kernel needs chunk starts <= T - 64

@@ -70,16 +70,24 @@ def _xla_attention_chunked(q, k, v, bias, chunk: int | None = None):
         return _xla_attention(q, k, v, bias)
     nc = -(-Sq // chunk)
     pad = nc * chunk - Sq
-    bias_f = jnp.broadcast_to(
-        bias.astype(jnp.float32), (B, bias.shape[1], Sq, Skv))
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    # pad-row bias stays 0 → a uniform softmax over garbage rows that are
-    # sliced off below; no -inf rows, so no NaNs
-    bp = jnp.pad(bias_f, ((0, 0), (0, 0), (0, pad), (0, 0)))
     qc = jnp.moveaxis(qp.reshape(B, Hq, nc, chunk, D), 2, 0)
-    bc = jnp.moveaxis(bp.reshape(B, bias.shape[1], nc, chunk, Skv), 2, 0)
-    out = jax.lax.map(lambda ab: _xla_attention(ab[0], k, v, ab[1]),
-                      (qc, bc))
+    if bias.shape[2] == 1:
+        # query-invariant bias (pure KV mask): loop-invariant operand —
+        # never broadcast over Sq
+        out = jax.lax.map(lambda qi: _xla_attention(qi, k, v, bias), qc)
+    else:
+        # chunk the bias in its OWN dtype and batch/head dims;
+        # _xla_attention upcasts per chunk (broadcasting to a full
+        # (B, H, Sq, Skv) fp32 array here would re-materialize the exact
+        # transient this function exists to bound).  Pad-row bias stays 0
+        # → a uniform softmax over garbage rows that are sliced off
+        # below; no -inf rows, so no NaNs
+        Bb, Hb = bias.shape[0], bias.shape[1]
+        bp = jnp.pad(bias, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bc = jnp.moveaxis(bp.reshape(Bb, Hb, nc, chunk, Skv), 2, 0)
+        out = jax.lax.map(lambda ab: _xla_attention(ab[0], k, v, ab[1]),
+                          (qc, bc))
     out = jnp.moveaxis(out, 0, 2).reshape(B, Hq, nc * chunk, D)
     return out[:, :, :Sq]
 

@@ -105,6 +105,13 @@ def supports_decode_attention(cfg, cache_shape, cache_dtype=None) -> bool:
     return D % 128 == 0 and T % 8 == 0 and tile_bytes <= 24 * 1024 * 1024
 
 
+def supports_decode_attention_write(cfg, cache_shape, cache_dtype=None):
+    """Fused-write variant: the aliased slot write covers a 16-sublane
+    bf16 tile group, so T must additionally be a multiple of 16."""
+    return (supports_decode_attention(cfg, cache_shape, cache_dtype)
+            and cache_shape[3] % 16 == 0)
+
+
 # ---------------------------------------------------------------------------
 # fused attention + cache slot write
 #
@@ -147,17 +154,21 @@ def _kernel_write(idx_ref, q_ref, kn_ref, vn_ref, mask_ref, ck_ref, cv_ref,
     a = a + en[..., None] * vn.astype(jnp.float32)[:, None, :]
     o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
 
-    # -- write the new slot's (Hkv, 8, D) tile group back -------------------
-    # The stale group loads straight off the ref with a DYNAMIC 8-aligned
-    # pl.ds (Mosaic lowers dynamic sublane starts on ref loads — proven by
-    # the chunk-verify kernel rework; the one-hot MXU contraction this
-    # replaces cost Hkv·8·T·D flops per side per (b, layer)).
+    # -- write the new slot's (Hkv, 16, D) tile group back ------------------
+    # The stale group loads straight off the ref with a DYNAMIC pl.ds
+    # (Mosaic lowers dynamic sublane starts on ref loads — proven by the
+    # chunk-verify kernel rework; the one-hot MXU contraction this
+    # replaces cost Hkv·16·T·D flops per side per (b, layer)).  bf16 TPU
+    # tiles are 16 sublanes, so the group is 16 rows and the start is
+    # 16-aligned — an 8-row group would start mid-tile for odd groups
+    # (the int8 kernel below uses 32-row groups for the same reason).
+    # Callers must size T % 16 == 0 (supports_decode_attention_write).
     slot = idx_ref[1 + b]
-    tg = slot // 8
-    r = slot - tg * 8
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 8, D), 1)
-    old_k = ck_ref[0, 0, :, pl.ds(tg * 8, 8), :].astype(jnp.float32)
-    old_v = cv_ref[0, 0, :, pl.ds(tg * 8, 8), :].astype(jnp.float32)
+    tg = slot // 16
+    r = slot - tg * 16
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 16, D), 1)
+    old_k = ck_ref[0, 0, :, pl.ds(tg * 16, 16), :].astype(jnp.float32)
+    old_v = cv_ref[0, 0, :, pl.ds(tg * 16, 16), :].astype(jnp.float32)
     cko_ref[0, 0] = jnp.where(
         rows == r, kn.astype(jnp.float32)[:, None, :], old_k
     ).astype(cko_ref.dtype)
@@ -177,6 +188,7 @@ def decode_attention_stacked_write(qg, ck_all, cv_all, kv_mask, k_new, v_new,
     slots (the slot being written this step must be 0 — the current token's
     k/v ride in as the extra logit column); k_new/v_new: (B, Hkv, D);
     layer: scalar int32; slots: scalar or (B,) int32 cache slot per row.
+    T % 16 == 0 (bf16 tile groups — supports_decode_attention_write).
     Returns (attn (B, Hkv, rep, D), ck_all, cv_all)."""
     L, B, Hkv, T, D = ck_all.shape
     rep = qg.shape[2]
@@ -199,10 +211,10 @@ def decode_attention_stacked_write(qg, ck_all, cv_all, kv_mask, k_new, v_new,
         ],
         out_specs=[
             pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, Hkv, 8, D),
-                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0)),
-            pl.BlockSpec((1, 1, Hkv, 8, D),
-                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 8, 0)),
+            pl.BlockSpec((1, 1, Hkv, 16, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 16, 0)),
+            pl.BlockSpec((1, 1, Hkv, 16, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 16, 0)),
         ],
     )
     return pl.pallas_call(
@@ -601,6 +613,8 @@ def supports_verify_chunk(cfg, cache_shape, G: int) -> bool:
     tile_bytes = (2 * 2 * Hkv * T * D              # int8 pair, dbuffered
                   + 2 * T * D * 2                  # one head's bf16 pair
                   + 3 * GR * T * 4                 # logits/el/el·sv (f32)
-                  + 32 * T * 2 + 8 * T * 4)        # one-hot + scale rows
+                  + 4 * 32 * D * 4                 # stale tile groups (f32,
+                                                   #  k+v × ≤2 groups)
+                  + 8 * T * 4)                     # scale rows
     return (D % 128 == 0 and T % 32 == 0 and T >= 64 and G <= 32
             and tile_bytes <= 14 * 1024 * 1024)

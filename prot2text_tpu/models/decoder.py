@@ -680,10 +680,12 @@ def decoder_decode_step(
     #     scatter `.at[:, bidx, :, idx, :].set` copies the whole cache —
     #     → fused is default, P2T_NO_FUSED_CACHE_WRITE=1 opts out.
     per_row_slots = getattr(cache_index, "ndim", 0) == 1
-    use_fused_write = use_pallas_attn and (
-        bool(os.environ.get("P2T_FUSED_CACHE_WRITE"))
-        or (per_row_slots
-            and not os.environ.get("P2T_NO_FUSED_CACHE_WRITE")))
+    use_fused_write = (use_pallas_attn
+                       and ck_all.shape[3] % 16 == 0  # bf16 tile groups
+                       and (bool(os.environ.get("P2T_FUSED_CACHE_WRITE"))
+                            or (per_row_slots
+                                and not os.environ.get(
+                                    "P2T_NO_FUSED_CACHE_WRITE"))))
     if use_fused_write:
         from ..kernels.decode_attention import decode_attention_stacked_write
 

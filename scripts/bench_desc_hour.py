@@ -33,9 +33,11 @@ from prot2text_tpu.models.qwen3 import Qwen3Config       # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 kv_bits = 8 if "kv8" in sys.argv[2:] else None
-# "auto" forces masked flash prefill (generate() maps auto->flash for the
-# prompt pass); "xla" materializes (B, Hq, S, T) fp32 prefill scores —
-# ~2.9 GB at B=40, the allocation that used to bound the sweep at B=32
+# "auto": the S=544 prompt is NOT 128-tileable, so the prefill routes to
+# the query-chunked XLA attention (kernels/attention._xla_attention_chunked)
+# which bounds the fp32 scores transient; "xla" materializes the full
+# (B, Hq, S, T) fp32 prefill scores — ~2.9 GB at B=40, the allocation
+# that used to bound the sweep at B=32
 ATTN = "xla" if "xla" in sys.argv[2:] else "auto"
 PROT, NEW = 512, 256
 

@@ -8,6 +8,13 @@ question is whether the mixed dot already reaches the bf16 MXU peak
 dequantize-then-bf16-dot (extra ~3x weight-bytes HBM round trip,
 amortized over M rows) is faster for the compute-bound prefill path.
 
+MEASURED (M=1664, K=4096, N=14336, v5e): mixed 84.0 / pure-bf16 81.4 /
+dequant-then-dot 68.3 TFLOP/s — the mixed dot TIES the bf16 dot at
+prefill shapes (the in-stream convert amortizes) and materializing a
+dequantized copy only adds bytes.  The prefill path keeps the mixed dot.
+M sweep (mixed): 128→10.3, 512→39.6, 1024→57.5, 1664→82.1,
+3328→112.2 TFLOP/s.
+
 Times the op INSIDE one jit (loop via lax.fori_loop over a donated
 accumulator) to avoid the ~0.9 ms/call tunnel dispatch floor; reads one
 small slice to sync (block_until_ready does not reliably block through
@@ -43,7 +50,7 @@ def main():
     scale = jnp.asarray(rng.standard_normal((N,)) * 0.01, jnp.float32)
     wb = (wq.astype(jnp.float32) * scale).astype(jnp.bfloat16)
 
-    flops = 2 * M * K * N * ITERS
+    flops = 2 * M * K * N  # per dot (timeit returns per-op time)
 
     # The loop body must (a) consume EVERY output element (a sliced
     # accumulator lets XLA shrink the dot itself) and (b) feed the carry
@@ -93,15 +100,15 @@ def main():
         ("dequant_then_dot", dequant_then_dot, (x, wq, scale)),
     ):
         dt = timeit(fn, *args)
-        print(f"{name:20s} {dt*1e3/ITERS:7.3f} ms/op "
+        print(f"{name:20s} {dt*1e3:7.3f} ms/op "
               f"{flops/dt/1e12:7.1f} TFLOP/s")
 
     # M sweep for the mixed dot: where does conversion amortize?
     for Msw in (128, 256, 512, 1024, 1664, 3328):
         xs = jnp.asarray(rng.standard_normal((Msw, K)), jnp.bfloat16)
         dt = timeit(mixed, xs, wq, scale)
-        fl = 2 * Msw * K * N * ITERS
-        print(f"mixed M={Msw:5d}  {dt*1e3/ITERS:7.3f} ms/op "
+        fl = 2 * Msw * K * N
+        print(f"mixed M={Msw:5d}  {dt*1e3:7.3f} ms/op "
               f"{fl/dt/1e12:7.1f} TFLOP/s")
 
 

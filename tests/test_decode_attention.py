@@ -52,6 +52,11 @@ def test_supports_gate():
                                      jnp.bfloat16)
     assert not supports_decode_attention(C(), (2, 2, 8, 4096, 128),
                                          jnp.float32)
+    # fused-write variant additionally needs T % 16 (bf16 tile groups)
+    from prot2text_tpu.kernels.decode_attention import (
+        supports_decode_attention_write)
+    assert supports_decode_attention_write(C(), (32, 16, 8, 192, 128))
+    assert not supports_decode_attention_write(C(), (32, 16, 8, 184, 128))
 
 
 @pytest.mark.parametrize("per_row", [False, True])
@@ -59,7 +64,9 @@ def test_fused_write_matches_attention_and_updates_slot(per_row):
     """Fused kernel == plain kernel for attention; cache gets exactly the
     new slot written (per-row slots exercise the serving engine's path)."""
     rng = np.random.default_rng(1)
-    L, B, Hkv, rep, T, D = 3, 4, 2, 4, 16, 128
+    # T=48 spans three 16-row bf16 tile groups so per-row slots exercise
+    # the kernel's dynamic tile-group loads at odd (non-zero) groups
+    L, B, Hkv, rep, T, D = 3, 4, 2, 4, 48, 128
     ck = jnp.asarray(rng.standard_normal((L, B, Hkv, T, D)), jnp.float32)
     cv = jnp.asarray(rng.standard_normal((L, B, Hkv, T, D)), jnp.float32)
     q = jnp.asarray(rng.standard_normal((B, Hkv, rep, D)), jnp.float32)
