@@ -291,6 +291,29 @@ def test_chunked_xla_matches_plain():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_chunked_xla_bias_variants():
+    """The chunked path has two bias branches: a query-invariant
+    (B, Hb, 1, Skv) bias rides loop-invariant (never broadcast over Sq),
+    while a real-Sq bias (causal prefill) is chunked in its own
+    batch/head dims — incl. per-head (Hb=Hq) and broadcast-batch (Bb=1)
+    biases, which must NOT be materialized at (B, Hq, Sq, Skv) fp32."""
+    from prot2text_tpu.kernels.attention import (
+        _xla_attention, _xla_attention_chunked)
+
+    q, k, v = _qkv(B=2, H=3, Sq=37, Skv=50, D=16, seed=5)
+    rng = np.random.default_rng(5)
+    for shape in ((2, 1, 37, 50),   # causal-style real-Sq bias
+                  (2, 3, 37, 50),   # per-head real-Sq bias
+                  (1, 3, 37, 50),   # broadcast batch dim
+                  (2, 3, 1, 50)):   # query-invariant per-head bias
+        bias = jnp.asarray(
+            np.where(rng.random(shape) < 0.15, -1e9, 0.0), jnp.float32)
+        ref = _xla_attention(q, k, v, bias)
+        out = _xla_attention_chunked(q, k, v, bias, chunk=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_masked_flash_padded_non_tileable():
     """masked_flash_padded pads a non-128-tileable prefill (the desc-hour
     S=544 shape, scaled down) onto the flash block grid: padded keys are
