@@ -589,9 +589,11 @@ def bench_serving_flagship_spec():
     workload.  Random-weight greedy streams loop, so draft acceptance here
     is near the UPPER BOUND — treat this as the high-acceptance regime
     (repetitive outputs); low-acceptance streams degrade toward ~1 token
-    per verify round.  Measured A/B vs plain: 331.9 vs ~278 tok/s with
-    4.4x fewer decode steps; the fused verify round costs 21.9 ms vs
-    15.85 ms for a single-token step (scripts/bench_spec_floor.py)."""
+    per verify round.  Measured A/B vs plain: 331.9 vs ~278 tok/s at the
+    coarse (512, 1664) bucket ladder, 526.5 tok/s at the fine 7-bucket
+    default (scripts/bench_serving_buckets.py), with 4.4x fewer decode
+    steps; the fused verify round costs 21.9 ms vs 15.85 ms for a
+    single-token step (scripts/bench_spec_floor.py)."""
     _bench_serving_flagship(
         "serving_spec_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
         kv_bits=8, slots=16, prompt_lookup_tokens=4)

@@ -84,6 +84,14 @@ def build_parser():
                         "and b (K,H), cli/train_draft.py) — learned-draft "
                         "speculative serving; exclusive with "
                         "--prompt_lookup_tokens")
+    p.add_argument("--spec_break_even", type=float, default=0.0,
+                   help="adaptive speculation: fall back to plain decode "
+                        "when accepted tokens/verify-round EMA drops below "
+                        "this (1.4 ~= the measured 8B verify/step cost "
+                        "ratio; 0 = always speculate)")
+    p.add_argument("--spec_probe_every", type=int, default=8,
+                   help="while falling back, re-probe speculation every N "
+                        "plain dispatches")
     p.add_argument("--kv_bits", type=int, default=None,
                    help="8 = int8 KV cache pool (half the decode-attention "
                         "HBM bytes per slot; ~0.4%% logit RMS error)")
@@ -173,7 +181,9 @@ def main(argv=None):
         kv_bits=args.kv_bits,
         prompt_lookup_tokens=args.prompt_lookup_tokens,
         prompt_lookup_ngram=args.prompt_lookup_ngram,
-        medusa_params=medusa_params)
+        medusa_params=medusa_params,
+        spec_break_even=args.spec_break_even,
+        spec_probe_every=args.spec_probe_every)
 
     trues = {}
     results = {}

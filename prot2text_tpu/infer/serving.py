@@ -227,6 +227,19 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
                                   state["kv_mask"].shape[1] - 1),
             state["next_slot"])
         state["last_tok"] = jnp.where(advanced, tok, state["last_tok"])
+        if "hist" in state:
+            # keep the n-gram draft source fresh even on single-token
+            # dispatches, so the adaptive controller (spec_break_even) can
+            # fall back to plain rounds and later re-probe drafting over a
+            # complete history (stale history only hurts acceptance — the
+            # verify forward keeps any draft safe — but complete history
+            # keeps the re-probe honest)
+            HW = state["hist"].shape[1]
+            hpos = jnp.clip(state["hist_len"], 0, HW - 1)
+            state["hist"] = state["hist"].at[bidx, hpos].set(
+                jnp.where(advanced, tok, state["hist"][bidx, hpos]))
+            state["hist_len"] = state["hist_len"] + advanced.astype(
+                jnp.int32)
         if "last_hidden" in state:     # medusa frontier hidden stays fresh
             state["last_hidden"] = jnp.where(
                 advanced[:, None],
@@ -448,7 +461,9 @@ class ContinuousBatcher:
                  sync_every: int = 1, gen_cfg=None, rng=None, kv_bits=None,
                  prompt_lookup_tokens: int = 0,
                  prompt_lookup_ngram: int = 2,
-                 medusa_params=None):
+                 medusa_params=None,
+                 spec_break_even: float = 0.0,
+                 spec_probe_every: int = 8):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -482,6 +497,21 @@ class ContinuousBatcher:
             self.spec_gamma = int(medusa_params["w"].shape[0])
         if self.spec_gamma and gen_cfg is not None and gen_cfg.do_sample:
             raise ValueError("speculative serving is greedy-only")
+        # adaptive speculative fallback: a verify round costs ~1.38x a
+        # single-token step at the 8B flagship (scripts/bench_spec_floor.py:
+        # 21.9 vs 15.85 ms — both weights-streaming bound), so drafting
+        # only pays when the pool accepts > break_even tokens per round.
+        # spec_break_even > 0 enables the controller: it tracks an EMA of
+        # accepted tokens per (round, active slot); below the threshold
+        # decode rounds fall back to plain single-token dispatches, with
+        # one speculative PROBE dispatch every spec_probe_every plain
+        # dispatches to detect when the stream turns draftable again.
+        # 0.0 (default) = always speculate (the prior behavior).
+        self.spec_break_even = float(spec_break_even)
+        self.spec_probe_every = max(1, int(spec_probe_every))
+        self._accept_ema = None
+        self._plain_since_probe = 0
+        self.spec_fallbacks = 0        # plain dispatches taken while spec_gamma > 0
         # scratch columns: inactive rows' per-step kv writes are redirected
         # past the live region (the LAST column for single-token decode; a
         # G-wide tail region for speculative rounds, which also absorbs
@@ -653,9 +683,11 @@ class ContinuousBatcher:
     def _decode_round(self) -> Iterator[tuple]:
         """One decode round (sync_every tokens for every active slot),
         yielding (request_id, [tokens...]) for requests that finish."""
-        if self.spec_gamma:
+        if self.spec_gamma and self._spec_dispatch():
             yield from self._spec_decode_round()
             return
+        if self.spec_gamma:
+            self.spec_fallbacks += 1
         self._rng, key = jax.random.split(self._rng)
         self.state, packed = _decode_all(
             self.cfg, self.state, self.params, key,
@@ -676,6 +708,24 @@ class ContinuousBatcher:
                     self._slot_toks[slot] = []
                     yield req.request_id, toks
 
+    def _spec_dispatch(self) -> bool:
+        """Adaptive controller: speculate this dispatch?  Always True with
+        spec_break_even <= 0 (unconditional speculation).  Otherwise
+        speculate while the acceptance EMA clears the break-even, fall
+        back to plain single-token dispatches below it, and re-probe with
+        one speculative dispatch every spec_probe_every plain ones."""
+        if self.spec_break_even <= 0:
+            return True
+        if (self._accept_ema is None
+                or self._accept_ema >= self.spec_break_even):
+            self._plain_since_probe = 0
+            return True
+        self._plain_since_probe += 1
+        if self._plain_since_probe >= self.spec_probe_every:
+            self._plain_since_probe = 0
+            return True                 # probe: refresh the EMA
+        return False
+
     def _spec_decode_round(self) -> Iterator[tuple]:
         """Prompt-lookup speculative rounds (per-row acceptance): each
         dispatch runs ~sync_every/G verify rounds, each emitting 1..G
@@ -690,6 +740,16 @@ class ContinuousBatcher:
         self.steps += rounds               # one target forward per round
         packed = np.asarray(packed)        # (3, rounds, G, B)
         tok_h, emit_h, fin_h = packed[0], packed[1], packed[2]
+        if self.spec_break_even > 0:
+            # accepted tokens per (round, active slot): an active row always
+            # emits >= 1 token per round, so emit-count > 0 marks activity
+            per_row = emit_h.sum(axis=1)             # (rounds, B)
+            active = int((per_row > 0).sum())
+            if active:
+                rate = float(per_row.sum()) / active
+                self._accept_ema = (
+                    rate if self._accept_ema is None
+                    else 0.5 * self._accept_ema + 0.5 * rate)
         for r in range(rounds):
             for slot in range(self.max_slots):
                 if self._slot_req[slot] is None:

@@ -301,3 +301,58 @@ def test_engine_prompt_lookup_eos_and_acceleration():
     assert out2["r"] == _ref_tokens(params, emb, 24)
     assert len(out2["r"]) == 24
     assert eng2.steps < 23, eng2.steps   # plain greedy would need 23
+
+
+def test_engine_adaptive_spec_fallback_exact():
+    """Adaptive speculation (spec_break_even > 0): with an unreachable
+    break-even the engine falls back to plain single-token dispatches
+    after the first probe, re-probes every spec_probe_every dispatches,
+    and the MIXED spec/plain token stream stays greedy-exact."""
+    params = _params()
+    reqs = [("a", _prompt(1, 3), 8), ("b", _prompt(2, 5), 10),
+            ("c", _prompt(3, 8), 6)]
+    plain = {rid: _ref_tokens(params, emb, n) for rid, emb, n in reqs}
+
+    def run(break_even):
+        eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 10,
+                                prompt_pad=PAD, eos_token_id=-1,
+                                cache_dtype=jnp.float32, sync_every=3,
+                                prompt_lookup_tokens=3,
+                                spec_break_even=break_even,
+                                spec_probe_every=2)
+        for rid, emb, n in reqs:
+            eng.submit(rid, emb, max_new_tokens=n)
+        return eng, dict(eng.run())
+
+    # unreachable break-even: the engine demonstrably falls back (plain
+    # dispatches counted) yet every stream is exact, and the probe
+    # dispatches kept measuring acceptance
+    eng_hi, out_hi = run(1e9)
+    assert out_hi == plain
+    assert eng_hi.spec_fallbacks > 0
+    assert eng_hi._accept_ema is not None
+
+    # threshold 0 = the prior always-speculate behavior, also exact
+    eng0, out0 = run(0.0)
+    assert out0 == plain
+    assert eng0.spec_fallbacks == 0
+
+
+def test_engine_adaptive_plain_path_maintains_history():
+    """The plain fallback path keeps the n-gram history buffer fresh, so a
+    later probe drafts from the complete stream: after a mixed run the
+    slot's history equals its full emitted token stream."""
+    params = _params()
+    emb = _prompt(6, 4)
+    eng = ContinuousBatcher(CFG, params, max_slots=1, max_len=PAD + 12,
+                            prompt_pad=PAD, eos_token_id=-1,
+                            cache_dtype=jnp.float32, sync_every=2,
+                            prompt_lookup_tokens=3,
+                            spec_break_even=1e9, spec_probe_every=3)
+    eng.submit("h", emb, max_new_tokens=12)
+    out = dict(eng.run())
+    assert out["h"] == _ref_tokens(params, emb, 12)
+    assert eng.spec_fallbacks > 0              # mixed run, not pure spec
+    hl = int(eng.state["hist_len"][0])
+    assert hl == len(out["h"])
+    assert np.asarray(eng.state["hist"])[0, :hl].tolist() == out["h"]
