@@ -503,7 +503,8 @@ def bench_contrastive_flagship():
 
 
 def _bench_serving_flagship(name, kv_bits=None, slots=8,
-                            prompt_lookup_tokens=0, buckets=None):
+                            prompt_lookup_tokens=0, buckets=None,
+                            shared_prefix=0):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
@@ -529,38 +530,72 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
     MAXNEW = 192
     N_REQ = 24
     rng = np.random.default_rng(0)
-    plens = [300 + (i * 331) % 1300 for i in range(N_REQ)]   # 300..1600
+    if shared_prefix:
+        # real chat workload shape: every prompt = the shared-prefix
+        # system+template header + a private suffix; totals 600..1600
+        plens = [600 + (i * 331) % 1000 for i in range(N_REQ)]
+    else:
+        plens = [300 + (i * 331) % 1300 for i in range(N_REQ)]  # 300..1600
     budgets = [64 + 32 * (i % 5) for i in range(N_REQ)]      # 64..192
     # DEVICE-resident prompts (the engine's device-submit path): in
     # production the prompt embeddings come out of the encoder+adapter on
     # device — serving must not pay a host round-trip per request (the np
     # submit path measured ~3x slower end-to-end under remote dispatch)
-    prompts = []
-    for i, p in enumerate(plens):
-        pad = next(b for b in BUCKETS if p <= b)
-        e = np.zeros((pad, cfg.hidden_size), np.float32)
-        e[pad - p:] = rng.standard_normal((p, cfg.hidden_size))
-        prompts.append(jax.device_put(jnp.asarray(e, jnp.bfloat16)))
+    prefix_np = (rng.standard_normal((shared_prefix, cfg.hidden_size))
+                 .astype(np.float32) if shared_prefix else None)
+    prefix_dev = (jax.device_put(jnp.asarray(prefix_np, jnp.bfloat16))
+                  if shared_prefix else None)
 
-    def serve(n):
-        eng = ContinuousBatcher(cfg, params, max_slots=SLOTS,
-                                max_len=BUCKETS[-1] + MAXNEW,
-                                prompt_pad=BUCKETS, eos_token_id=-1,
-                                sync_every=16, kv_bits=kv_bits,
-                                prompt_lookup_tokens=prompt_lookup_tokens)
+    def padded(arr, plen):
+        pad = next(b for b in BUCKETS if plen <= b)
+        e = np.zeros((pad, cfg.hidden_size), np.float32)
+        e[pad - plen:] = arr
+        return jax.device_put(jnp.asarray(e, jnp.bfloat16))
+
+    prompts, suffixes = [], []
+    for i, p in enumerate(plens):
+        full = rng.standard_normal((p, cfg.hidden_size)).astype(np.float32)
+        if shared_prefix:
+            full[:shared_prefix] = prefix_np
+            suffixes.append(padded(full[shared_prefix:], p - shared_prefix))
+        prompts.append(padded(full, p))
+
+    def serve(n, use_prefix=False):
+        eng = ContinuousBatcher(
+            cfg, params, max_slots=SLOTS, max_len=BUCKETS[-1] + MAXNEW,
+            prompt_pad=BUCKETS, eos_token_id=-1, sync_every=16,
+            kv_bits=kv_bits, prompt_lookup_tokens=prompt_lookup_tokens,
+            shared_prefix_embeds=prefix_dev if use_prefix else None)
         for i in range(n):
-            eng.submit(i, prompts[i], max_new_tokens=budgets[i],
-                       prompt_len=plens[i])
+            if use_prefix:
+                eng.submit(i, suffixes[i], max_new_tokens=budgets[i],
+                           prompt_len=plens[i] - shared_prefix)
+            else:
+                eng.submit(i, prompts[i], max_new_tokens=budgets[i],
+                           prompt_len=plens[i])
         out = dict(eng.run())
         return eng.steps, sum(len(v) for v in out.values())
 
-    # warmup on the FULL workload: the prefill compiles per
-    # (install-rows, prompt-bucket) pair actually seen (serving.py), and
-    # the deterministic greedy run hits the same pairs both times
-    serve(len(plens))
-    t0 = time.perf_counter()
-    steps, useful = serve(len(plens))
-    dt = time.perf_counter() - t0
+    def timed(use_prefix=False):
+        # warmup on the FULL workload: the prefill compiles per
+        # (install-rows, prompt-bucket) pair actually seen (serving.py),
+        # and the deterministic greedy run hits the same pairs both times
+        serve(len(plens), use_prefix)
+        t0 = time.perf_counter()
+        steps, useful = serve(len(plens), use_prefix)
+        return steps, useful, time.perf_counter() - t0
+
+    extras = {}
+    if shared_prefix:
+        # same-workload A/B: full-prompt prefill vs prefix-shared prefill
+        _, useful_np, dt_np = timed(use_prefix=False)
+        extras["no_prefix_tokens_per_sec"] = round(useful_np / dt_np, 1)
+        extras["shared_prefix_tokens"] = shared_prefix
+        steps, useful, dt = timed(use_prefix=True)
+        extras["prefix_speedup"] = round((useful / dt) / (useful_np / dt_np),
+                                         3)
+    else:
+        steps, useful, dt = timed()
     lockstep_steps = sum(
         max(budgets[i:i + SLOTS]) for i in range(0, len(budgets), SLOTS))
     _emit(name,
@@ -568,7 +603,7 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
           lockstep_steps=lockstep_steps,
           step_reduction=round(1 - steps / lockstep_steps, 3),
           requests=len(plens), useful_tokens=useful,
-          prompt_buckets=list(BUCKETS))
+          prompt_buckets=list(BUCKETS), **extras)
 
 
 def bench_serving_flagship():
@@ -597,6 +632,19 @@ def bench_serving_flagship_spec():
     _bench_serving_flagship(
         "serving_spec_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
         kv_bits=8, slots=16, prompt_lookup_tokens=4)
+
+
+def bench_serving_flagship_prefix():
+    """Prefix-shared KV serving (infer/serving.py shared_prefix_embeds) on
+    the kv8 16-slot speculative flagship: every request shares a 512-token
+    system+template header whose KV is computed once and seeded into freed
+    slots by device copy, so prefill covers only the private suffix.
+    Emits a same-workload A/B (no_prefix_tokens_per_sec) — prefill compute
+    dominates this ragged workload, so skipping ~40-85% of each prompt's
+    prefill is the single largest end-to-end lever after bucketing."""
+    _bench_serving_flagship(
+        "serving_prefix_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
+        kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512)
 
 
 def bench_contrastive_step():
@@ -734,6 +782,7 @@ METRICS = (
     "bench_serving_flagship",
     "bench_serving_flagship_kv8",
     "bench_serving_flagship_spec",
+    "bench_serving_flagship_prefix",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----

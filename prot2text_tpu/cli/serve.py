@@ -95,6 +95,13 @@ def build_parser():
     p.add_argument("--kv_bits", type=int, default=None,
                    help="8 = int8 KV cache pool (half the decode-attention "
                         "HBM bytes per slot; ~0.4%% logit RMS error)")
+    p.add_argument("--shared_prefix", type=str2bool, default=True,
+                   help="prefix-shared KV: discover the common chat-template "
+                        "token prefix from the first batch, compute its KV "
+                        "ONCE, and prefill only each request's private "
+                        "suffix (requests are verified token-by-token; "
+                        "mismatches fall back to full-prompt prefill — "
+                        "greedy output is exact either way)")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="serve")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -171,60 +178,117 @@ def main(argv=None):
         medusa_params = {"w": jnp.asarray(z["w"], mdt),
                          "b": jnp.asarray(z["b"], mdt)}
     buckets = tuple(int(b) for b in str(args.prompt_pad).split(","))
-    eng = ContinuousBatcher(
-        llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
-        max_len=max(buckets) + args.max_new_tokens,
-        prompt_pad=buckets if len(buckets) > 1 else buckets[0],
-        eos_token_id=eos_id,
-        cache_dtype=args.model_dtype, sync_every=args.sync_every,
-        gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed),
-        kv_bits=args.kv_bits,
-        prompt_lookup_tokens=args.prompt_lookup_tokens,
-        prompt_lookup_ngram=args.prompt_lookup_ngram,
-        medusa_params=medusa_params,
-        spec_break_even=args.spec_break_even,
-        spec_probe_every=args.spec_probe_every)
+
+    def encode(batch):
+        embeds, attn = ESMCQwen.apply(
+            cfg, params,
+            protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
+            protein_attention_mask=jnp.asarray(
+                batch["protein_attention_mask"]),
+            input_ids=jnp.asarray(batch["input_ids"]),
+            attention_mask=jnp.asarray(batch["attention_mask"]),
+            return_decoder_inputs=True, attn_impl=args.attn_impl)
+        # embeddings STAY on device (engine device-submit path): only
+        # the tiny attention mask crosses to the host for lengths — a
+        # D2H+H2D round-trip of the embeddings costs seconds per batch
+        # under remote dispatch (~270 MB at the 14B flagship)
+        return embeds, np.asarray(attn)
 
     trues = {}
     results = {}
-
-    def _finish(name, toks):
-        pred = tok.decode(
-            [t for t in toks if t not in (pad_id, eos_id)],
-            skip_special_tokens=True)
-        results[name] = {"true": trues.pop(name), "pred": pred}
-
     t0 = time.time()
     with jax.set_mesh(mesh):
-        # submission interleaves with draining (eng.pump backpressure):
-        # at most ~2 batches of prompt embeddings (P×hidden fp32 each) are
-        # ever held on the host, instead of the whole test split at once
-        for batch in loader:
-            embeds, attn = ESMCQwen.apply(
-                cfg, params,
-                protein_input_ids=jnp.asarray(batch["protein_input_ids"]),
-                protein_attention_mask=jnp.asarray(
-                    batch["protein_attention_mask"]),
-                input_ids=jnp.asarray(batch["input_ids"]),
-                attention_mask=jnp.asarray(batch["attention_mask"]),
-                return_decoder_inputs=True, attn_impl=args.attn_impl)
-            # embeddings STAY on device (engine device-submit path): only
-            # the tiny attention mask crosses to the host for lengths — a
-            # D2H+H2D round-trip of the embeddings costs seconds per batch
-            # under remote dispatch (~270 MB at the 14B flagship)
-            attn = np.asarray(attn)
+        loader_it = iter(loader)
+        first = next(loader_it, None)
+        # prefix-shared KV discovery: the longest common token prefix of
+        # the first batch's prompts is the chat-template header (system
+        # message + user-turn opening).  Its embeddings are SLICED from
+        # the encoder output — bit-identical to what a full prefill would
+        # see — and its KV is computed once inside the engine.  Every
+        # request is verified against the prefix ids; mismatches prefill
+        # their full prompt (use_prefix=False), so output is exact always.
+        shared_ids = None
+        first_enc = None
+        if first is not None:
+            first_enc = encode(first)
+            if args.shared_prefix:
+                ids = np.asarray(first["input_ids"])
+                am = np.asarray(first["attention_mask"])
+                rows = [ids[i][am[i] > 0] for i in range(ids.shape[0])]
+                if len(rows) >= 2:
+                    L = min(len(r) for r in rows) - 1
+                    eq = np.ones(max(L, 0), bool)
+                    for r in rows[1:]:
+                        eq &= r[:L] == rows[0][:L]
+                    ncom = int(np.argmin(eq)) if not eq.all() else L
+                    ph = np.flatnonzero(
+                        rows[0][:ncom] == placeholder_id)
+                    if ph.size:        # placeholder rows are per-request
+                        ncom = int(ph[0])
+                    if ncom >= 16:     # too short to pay for a dispatch
+                        shared_ids = rows[0][:ncom].copy()
+                        print(f"[serve] shared prompt prefix: {ncom} tokens")
+        prefix_embeds = None
+        if shared_ids is not None:
+            embeds0, attn0 = first_enc
+            p0 = int(attn0[0].sum())
+            s0 = embeds0.shape[1] - p0     # row 0's left padding
+            prefix_embeds = embeds0[0, s0:s0 + len(shared_ids)]
+
+        eng = ContinuousBatcher(
+            llm_cfg.core(), params["llm_decoder"], max_slots=args.max_slots,
+            max_len=max(buckets) + args.max_new_tokens,
+            prompt_pad=buckets if len(buckets) > 1 else buckets[0],
+            eos_token_id=eos_id,
+            cache_dtype=args.model_dtype, sync_every=args.sync_every,
+            gen_cfg=gen_cfg, rng=jax.random.PRNGKey(args.random_seed),
+            kv_bits=args.kv_bits,
+            prompt_lookup_tokens=args.prompt_lookup_tokens,
+            prompt_lookup_ngram=args.prompt_lookup_ngram,
+            medusa_params=medusa_params,
+            spec_break_even=args.spec_break_even,
+            spec_probe_every=args.spec_probe_every,
+            shared_prefix_embeds=prefix_embeds)
+
+        def _finish(name, toks):
+            pred = tok.decode(
+                [t for t in toks if t not in (pad_id, eos_id)],
+                skip_special_tokens=True)
+            results[name] = {"true": trues.pop(name), "pred": pred}
+
+        def _submit_batch(batch, enc):
+            embeds, attn = enc
             plens = attn.sum(axis=1).astype(int)
+            ids = np.asarray(batch["input_ids"])
             for i, name in enumerate(batch["name"]):
-                if plens[i] > max(buckets):
+                plen = int(plens[i])
+                upfx = False
+                if shared_ids is not None and plen > len(shared_ids):
+                    row = ids[i][np.asarray(batch["attention_mask"][i]) > 0]
+                    upfx = bool(np.array_equal(row[:len(shared_ids)],
+                                               shared_ids))
+                eff = plen - len(shared_ids) if upfx else plen
+                if eff > max(buckets):
                     print(f"[serve] skipping {name}: prompt "
-                          f"{plens[i]} > --prompt_pad {max(buckets)}")
+                          f"{eff} > --prompt_pad {max(buckets)}")
                     continue
                 trues[name] = tok.decode(
                     [t for t in batch["description_input_ids"][i].tolist()
                      if t != pad_id],
                     skip_special_tokens=True)
-                eng.submit(name, embeds[i], prompt_len=int(plens[i]),
-                           max_new_tokens=args.max_new_tokens)
+                eng.submit(name, embeds[i], prompt_len=eff,
+                           max_new_tokens=args.max_new_tokens,
+                           use_prefix=upfx)
+
+        # submission interleaves with draining (eng.pump backpressure):
+        # at most ~2 batches of prompt embeddings (P×hidden fp32 each) are
+        # ever held on the host, instead of the whole test split at once
+        if first is not None:
+            _submit_batch(first, first_enc)
+            for name, toks in eng.pump(until_queue_below=args.max_slots):
+                _finish(name, toks)
+        for batch in loader_it:
+            _submit_batch(batch, encode(batch))
             for name, toks in eng.pump(until_queue_below=args.max_slots):
                 _finish(name, toks)
 

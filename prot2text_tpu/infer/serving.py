@@ -61,14 +61,42 @@ class _Request:
                                 # real tokens are the LAST prompt_len rows
     max_new_tokens: int
     prompt_len: int = 0
+    use_prefix: bool = False    # attend the engine's shared-prefix KV
+                                # (embeds then hold only the SUFFIX)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "prefix_cols", "kv_bits"))
+def _prefix_prefill(cfg: DecoderConfig, params, emb, mask, *,
+                    prefix_cols: int, kv_bits):
+    """ONE-TIME prefill of the shared prompt prefix (left-padded to
+    prefix_cols, a 128-multiple): returns the (L, 1, ...) KV slabs that
+    every install seeds into freed slots by device copy.  Ordinary causal
+    self-attention — identical math to the first prefix_len rows of a
+    full-prompt prefill, so prefix-shared streams stay greedy-exact."""
+    emb = jnp.where(mask[:, :, None] > 0, emb, 0)
+    cache = init_kv_cache(cfg, 1, prefix_cols, emb.dtype, kv_bits=kv_bits)
+    positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
+                         ).astype(jnp.int32)
+    idx = jnp.arange(prefix_cols)
+    causal = idx[None, :] <= idx[:, None]
+    ok = jnp.logical_and(causal[None, None], mask[:, None, None, :] > 0)
+    bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+    _, cache = decoder_forward(
+        cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
+        kv_cache=cache, cache_index=0, attn_impl="flash",
+        attn_lengths=contiguous_lengths(mask))
+    return cache
 
 
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "prompt_pad", "eos_token_id",
-                                    "gen_cfg"))
+                                    "gen_cfg", "prefix_cols", "prefix_len"))
 def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
-                          row_for_slot, install, plens, budgets, rng, *,
-                          prompt_pad: int, eos_token_id: int, gen_cfg=None):
+                          row_for_slot, install, plens, budgets, rng,
+                          pkv=None, *, prompt_pad: int, eos_token_id: int,
+                          gen_cfg=None, prefix_cols: int = 0,
+                          prefix_len: int = 0):
     """One dispatch installs ANY number of pending requests: an
     (R, prompt_pad)-wide prefill where R is the (bucketed) number of
     requests being installed — NOT the pool width; a single-slot refill
@@ -78,7 +106,19 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     `row_for_slot` (max_slots,) maps each slot to its prefill row (any
     valid index for slots not in `install`); rows not being installed
     keep their current contents exactly.  Returns (state,
-    tok0 (max_slots,) in SLOT order)."""
+    tok0 (max_slots,) in SLOT order).
+
+    PREFIX-SHARED KV (prefix_cols > 0): `pkv` holds the precomputed KV of
+    a prompt prefix SHARED by every request (the chat system+template
+    header — ContinuousBatcher computes it ONCE per engine).  It is
+    seeded into cache columns [0, prefix_cols) by a device copy —
+    prefill then runs only over the PRIVATE suffix (cache_index =
+    prefix_cols), attending [shared ‖ suffix].  prefix_len is the real
+    prefix token count; the prefix is left-padded to prefix_cols (a
+    lane-tile multiple) so its valid columns are [prefix_cols -
+    prefix_len, prefix_cols).  Copying beats recomputing: the prefix KV
+    copy is ~bytes(prefix_cols) per row while the skipped prefill is a
+    full forward over prefix_len tokens per request."""
     B = state["pos"].shape[0]
     R = emb.shape[0]
     # device-submitted prompts keep whatever their padding rows held (the
@@ -87,21 +127,63 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     # attention path (0 * NaN = NaN even at softmax weight 0)
     emb = jnp.where(mask[:, :, None] > 0, emb, 0)
     kv_bits = 8 if "k_scale" in state else None   # dict structure is static
-    cache = init_kv_cache(cfg, R, prompt_pad, emb.dtype, kv_bits=kv_bits)
+    W = prefix_cols + prompt_pad          # prefill cache width
+    cache = init_kv_cache(cfg, R, W, emb.dtype, kv_bits=kv_bits)
     positions = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None
-                         ).astype(jnp.int32)
+                         ).astype(jnp.int32) + prefix_len
     idx = jnp.arange(prompt_pad)
     causal = idx[None, :] <= idx[:, None]
     ok = jnp.logical_and(causal[None, None], mask[:, None, None, :] > 0)
-    bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
-    # forward-only prefill: masked flash where eligible — at the real
-    # ~1.6k-token chat prompts the XLA einsum path materializes the
-    # (B, H, P, P) fp32 logits (~3 GB at 8 slots x 1664 on the 8B), which
-    # both costs bandwidth and pressures XLA compilation at pool scale
-    h, cache = decoder_forward(
-        cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
-        kv_cache=cache, cache_index=0, attn_impl="flash",
-        attn_lengths=contiguous_lengths(mask))
+    if prefix_cols:
+        # seed the shared prefix KV into every prefill row (broadcast copy)
+        if kv_cache_layout(cfg) == "bktd":    # pkv (L, 1, K, prefix_cols, D)
+            cache["k"] = cache["k"].at[:, :, :, :prefix_cols, :].set(
+                jnp.broadcast_to(pkv["k"].astype(cache["k"].dtype),
+                                 (cache["k"].shape[0], R)
+                                 + pkv["k"].shape[2:]))
+            cache["v"] = cache["v"].at[:, :, :, :prefix_cols, :].set(
+                jnp.broadcast_to(pkv["v"].astype(cache["v"].dtype),
+                                 (cache["v"].shape[0], R)
+                                 + pkv["v"].shape[2:]))
+            if kv_bits is not None:           # scales (L, 1, K, prefix_cols)
+                for s in ("k_scale", "v_scale"):
+                    cache[s] = cache[s].at[:, :, :, :prefix_cols].set(
+                        jnp.broadcast_to(pkv[s], (cache[s].shape[0], R)
+                                         + pkv[s].shape[2:]))
+        else:                                 # pkv (L, prefix_cols, 1, K, D)
+            cache["k"] = cache["k"].at[:, :prefix_cols].set(
+                jnp.broadcast_to(pkv["k"].astype(cache["k"].dtype),
+                                 pkv["k"].shape[:2] + (R,)
+                                 + pkv["k"].shape[3:]))
+            cache["v"] = cache["v"].at[:, :prefix_cols].set(
+                jnp.broadcast_to(pkv["v"].astype(cache["v"].dtype),
+                                 pkv["v"].shape[:2] + (R,)
+                                 + pkv["v"].shape[3:]))
+        # suffix queries attend the prefix's VALID columns plus the causal
+        # window; the left-pad columns [0, prefix_cols - prefix_len) stay
+        # masked forever
+        pvalid = jnp.arange(prefix_cols) >= (prefix_cols - prefix_len)
+        okp = jnp.broadcast_to(pvalid[None, None, None, :],
+                               (R, 1, prompt_pad, prefix_cols))
+        bias = jnp.where(jnp.concatenate([okp, ok], axis=-1),
+                         0.0, jnp.finfo(jnp.float32).min)
+        # bias-carrying attention (flash when tileable, chunked XLA
+        # otherwise): the masked-flash fast path asserts self-attention
+        # over [0, S) and cannot see the seeded prefix columns
+        h, cache = decoder_forward(
+            cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
+            kv_cache=cache, cache_index=prefix_cols, attn_impl="flash")
+    else:
+        bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
+        # forward-only prefill: masked flash where eligible — at the real
+        # ~1.6k-token chat prompts the XLA einsum path materializes the
+        # (B, H, P, P) fp32 logits (~3 GB at 8 slots x 1664 on the 8B),
+        # which both costs bandwidth and pressures XLA compilation at
+        # pool scale
+        h, cache = decoder_forward(
+            cfg, params, inputs_embeds=emb, bias=bias, positions=positions,
+            kv_cache=cache, cache_index=0, attn_impl="flash",
+            attn_lengths=contiguous_lengths(mask))
     logits = decoder_logits(cfg, params, h[:, -1:])[:, 0]
     if gen_cfg is not None and gen_cfg.do_sample:
         from .generate import filter_logits
@@ -117,38 +199,45 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
         sel = inst[None, :, None, None, None]
         ck = jnp.take(cache["k"], row_for_slot, axis=1)
         cv = jnp.take(cache["v"], row_for_slot, axis=1)
-        state["k"] = state["k"].at[:, :, :, :prompt_pad, :].set(
+        state["k"] = state["k"].at[:, :, :, :W, :].set(
             jnp.where(sel, ck.astype(state["k"].dtype),
-                      state["k"][:, :, :, :prompt_pad, :]))
-        state["v"] = state["v"].at[:, :, :, :prompt_pad, :].set(
+                      state["k"][:, :, :, :W, :]))
+        state["v"] = state["v"].at[:, :, :, :W, :].set(
             jnp.where(sel, cv.astype(state["v"].dtype),
-                      state["v"][:, :, :, :prompt_pad, :]))
+                      state["v"][:, :, :, :W, :]))
         if kv_bits is not None:            # scale slabs (L, B, K, P)
             sel3 = inst[None, :, None, None]
             for s in ("k_scale", "v_scale"):
-                state[s] = state[s].at[:, :, :, :prompt_pad].set(
+                state[s] = state[s].at[:, :, :, :W].set(
                     jnp.where(sel3, jnp.take(cache[s], row_for_slot, axis=1),
-                              state[s][:, :, :, :prompt_pad]))
+                              state[s][:, :, :, :W]))
     else:                                  # (L, P, B, K, D) seq-leading
         sel = inst[None, None, :, None, None]
         ck = jnp.take(cache["k"], row_for_slot, axis=2)
         cv = jnp.take(cache["v"], row_for_slot, axis=2)
-        state["k"] = state["k"].at[:, :prompt_pad].set(
+        state["k"] = state["k"].at[:, :W].set(
             jnp.where(sel, ck.astype(state["k"].dtype),
-                      state["k"][:, :prompt_pad]))
-        state["v"] = state["v"].at[:, :prompt_pad].set(
+                      state["k"][:, :W]))
+        state["v"] = state["v"].at[:, :W].set(
             jnp.where(sel, cv.astype(state["v"].dtype),
-                      state["v"][:, :prompt_pad]))
+                      state["v"][:, :W]))
     T = state["kv_mask"].shape[1]
     pads = (prompt_pad - plens)[:, None]   # per-row left padding
-    row_mask = jnp.logical_and(jnp.arange(T)[None, :] < prompt_pad,
-                               jnp.arange(T)[None, :] >= pads
-                               ).astype(jnp.int32)
+    colsT = jnp.arange(T)[None, :]
+    # valid columns: the prefix's real tokens (when prefix-shared) plus the
+    # left-padded suffix window [prefix_cols + pads, W)
+    row_mask = jnp.logical_and(colsT < W,
+                               colsT >= prefix_cols + pads).astype(jnp.int32)
+    if prefix_cols:
+        row_mask = jnp.maximum(
+            row_mask,
+            jnp.logical_and(colsT >= prefix_cols - prefix_len,
+                            colsT < prefix_cols).astype(jnp.int32))
     finished0 = jnp.logical_or(tok0 == eos_token_id, budgets <= 1)
     i2 = inst[:, None]
     state["kv_mask"] = jnp.where(i2, row_mask, state["kv_mask"])
-    state["pos"] = jnp.where(inst, plens - 1, state["pos"])
-    state["next_slot"] = jnp.where(inst, prompt_pad, state["next_slot"])
+    state["pos"] = jnp.where(inst, prefix_len + plens - 1, state["pos"])
+    state["next_slot"] = jnp.where(inst, W, state["next_slot"])
     state["active"] = jnp.where(inst, ~finished0, state["active"])
     state["last_tok"] = jnp.where(inst, tok0, state["last_tok"])
     state["budget"] = jnp.where(inst, budgets - 1, state["budget"])
@@ -463,7 +552,8 @@ class ContinuousBatcher:
                  prompt_lookup_ngram: int = 2,
                  medusa_params=None,
                  spec_break_even: float = 0.0,
-                 spec_probe_every: int = 8):
+                 spec_probe_every: int = 8,
+                 shared_prefix_embeds=None):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -523,13 +613,39 @@ class ContinuousBatcher:
         # (kernels/decode_attention.supports_decode_attention_write).
         # int8 KV pool (kv_bits=8): width rounds to the fused write
         # kernel's 32-sublane int8 tile groups instead
+        # shared-prefix KV (TODO r3 #3 / the real chat workload): every
+        # request shares the system+template prompt header, so its KV is
+        # computed ONCE here and seeded into freed slots by device copy at
+        # install — prefill then covers only the private suffix (submit
+        # passes suffix embeddings + suffix prompt_len; buckets size to
+        # SUFFIX lengths).  Columns [0, prefix_cols) of every slot hold the
+        # prefix; the decode/verify paths are kv_mask-driven, so the masked
+        # gap between the prefix and a left-padded suffix window is free.
+        self.prefix_kv = None
+        self.prefix_cols = 0
+        self.prefix_len = 0
+        if shared_prefix_embeds is not None:
+            pe = (shared_prefix_embeds
+                  if isinstance(shared_prefix_embeds, jax.Array)
+                  else jnp.asarray(np.asarray(shared_prefix_embeds)))
+            Ps = int(pe.shape[0])
+            if Ps <= 0:
+                raise ValueError("shared_prefix_embeds must be (Ps>0, H)")
+            Pc = -(-Ps // 128) * 128        # flash/lane-tile aligned width
+            pemb = jnp.pad(pe.astype(cache_dtype),
+                           ((Pc - Ps, 0), (0, 0)))[None]
+            pmask = (jnp.arange(Pc) >= Pc - Ps).astype(jnp.int32)[None]
+            self.prefix_kv = _prefix_prefill(
+                cfg, params, pemb, pmask, prefix_cols=Pc, kv_bits=kv_bits)
+            self.prefix_cols = Pc
+            self.prefix_len = Ps
         mult = 32 if kv_bits is not None else 16
         slack = (self.spec_gamma + 1) if self.spec_gamma else 1
         if self.spec_gamma and kv_bits is not None:
             # the fused chunk-verify kernel needs chunk starts <= T - 64
             # (its aliased write covers two 32-sublane int8 tile groups)
             slack = max(slack, 64)
-        T_cache = -(-(max_len + slack) // mult) * mult
+        T_cache = -(-(self.prefix_cols + max_len + slack) // mult) * mult
         cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype,
                               kv_bits=kv_bits)
         self.state = {
@@ -561,7 +677,7 @@ class ContinuousBatcher:
             from ..models.decoder import supports_verify_chunk_step
 
             self._spec_fused = (
-                T_cache - 64 >= max_len
+                T_cache - 64 >= self.prefix_cols + max_len
                 and supports_verify_chunk_step(cfg, self.state,
                                                self.spec_gamma + 1))
         self.queue: deque[_Request] = deque()
@@ -578,7 +694,8 @@ class ContinuousBatcher:
             f"{self.prompt_buckets[-1]}")
 
     def submit(self, request_id, prompt_embeds, *, max_new_tokens: int = 64,
-               prompt_len: Optional[int] = None):
+               prompt_len: Optional[int] = None,
+               use_prefix: Optional[bool] = None):
         """prompt_embeds: (W, H) with the real tokens occupying the LAST
         `prompt_len` rows (left-padding convention; prompt_len defaults to
         W, i.e. an unpadded prompt).  A `jax.Array` stays ON DEVICE: the
@@ -586,7 +703,15 @@ class ContinuousBatcher:
         no host round-trip.  This is the production handoff: the encoder/
         adapter output is already device-resident, and pulling it to the
         host only to push it back costs seconds per batch under remote
-        dispatch (a 14B-flagship batch of prompt embeddings is ~270 MB)."""
+        dispatch (a 14B-flagship batch of prompt embeddings is ~270 MB).
+
+        With an engine-level shared prefix (shared_prefix_embeds), the
+        real tokens are the SUFFIX that follows the shared prefix — the
+        prefix KV is seeded by copy, never recomputed.  The caller owns
+        the contract that each prefix-shared prompt actually starts with
+        the shared prefix (cli/serve.py verifies token ids per request and
+        routes mismatches through use_prefix=False, which prefills the
+        full prompt self-contained — the two kinds can share the pool)."""
         emb = (prompt_embeds if isinstance(prompt_embeds, jax.Array)
                else np.asarray(prompt_embeds))
         plen = int(prompt_len) if prompt_len is not None else emb.shape[0]
@@ -595,7 +720,12 @@ class ContinuousBatcher:
         self._bucket_for(plen)              # validate length
         if max_new_tokens > self.max_len - self.prompt_pad:
             raise ValueError("max_new_tokens exceeds the slot cache width")
-        self.queue.append(_Request(request_id, emb, max_new_tokens, plen))
+        upfx = bool(self.prefix_cols) if use_prefix is None else use_prefix
+        if upfx and not self.prefix_cols:
+            raise ValueError("use_prefix=True on an engine without "
+                             "shared_prefix_embeds")
+        self.queue.append(_Request(request_id, emb, max_new_tokens, plen,
+                                   upfx))
 
     def _fill_free_slots(self) -> Iterator[tuple]:
         """Install queued requests into ALL free slots — one prefill
@@ -611,11 +741,13 @@ class ContinuousBatcher:
         by_bucket: dict = {}
         for slot, req in installs.items():
             by_bucket.setdefault(
-                self._bucket_for(req.prompt_len), {})[slot] = req
-        for pad, group in sorted(by_bucket.items()):
-            yield from self._install_group(group, pad)
+                (self._bucket_for(req.prompt_len), req.use_prefix), {}
+            )[slot] = req
+        for (pad, upfx), group in sorted(by_bucket.items()):
+            yield from self._install_group(group, pad, upfx)
 
-    def _install_group(self, installs: dict, pad: int) -> Iterator[tuple]:
+    def _install_group(self, installs: dict, pad: int,
+                       use_prefix: bool = False) -> Iterator[tuple]:
         B = self.max_slots
         reqs = list(installs.values())
         Hd = reqs[0].embeds.shape[1]
@@ -669,8 +801,10 @@ class ContinuousBatcher:
             emb_dev, jnp.asarray(mask),
             jnp.asarray(row_for_slot),
             jnp.asarray(inst), jnp.asarray(plens), jnp.asarray(budgets),
-            key, prompt_pad=pad,
-            eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg)
+            key, self.prefix_kv if use_prefix else None, prompt_pad=pad,
+            eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg,
+            prefix_cols=self.prefix_cols if use_prefix else 0,
+            prefix_len=self.prefix_len if use_prefix else 0)
         tok0 = np.asarray(tok0)
         for slot, req in installs.items():
             t0 = int(tok0[slot])

@@ -240,3 +240,43 @@ def test_serving_kv8_matches_generate_kv8():
                         attention_mask=jnp.asarray(m), gen_cfg=gen,
                         kv_bits=8)
         assert got[i] == list(np.asarray(want)[0][:len(got[i])]), i
+
+
+def test_serving_kv8_shared_prefix_matches_generate_kv8():
+    """Prefix-shared serving on the int8 KV pool (bktd layout): the prefix
+    KV is QUANTIZED once at engine construction and seeded by copy —
+    quantize_kv is per-(head, token) vector, so the copied int8 values and
+    scales are bit-identical to a full-prompt prefill's, and the stream
+    matches generate(kv_bits=8) on the full prompt exactly."""
+    H = CFG.hidden_size
+    params = init_decoder_params(CFG, jax.random.PRNGKey(0), jnp.bfloat16)
+    rng = np.random.default_rng(3)
+    prefix = rng.standard_normal((6, H)).astype(np.float32)
+    suffixes = [rng.standard_normal((4 + 3 * i, H)).astype(np.float32)
+                for i in range(3)]
+    budgets = [6, 4, 8]
+
+    eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=64,
+                            prompt_pad=16, eos_token_id=-1, kv_bits=8,
+                            shared_prefix_embeds=prefix)
+    assert eng.state["k"].dtype == jnp.int8
+    assert "k_scale" in eng.prefix_kv
+    for i, (s, n) in enumerate(zip(suffixes, budgets)):
+        eng.submit(i, s, max_new_tokens=n)
+    got = dict(eng.run())
+
+    W = 32
+    for i, (s, n) in enumerate(zip(suffixes, budgets)):
+        full = np.concatenate([prefix, s], axis=0)
+        P = full.shape[0]
+        emb = np.zeros((1, W, H), np.float32)
+        emb[0, W - P:] = full
+        m = np.zeros((1, W), np.int32)
+        m[0, W - P:] = 1
+        gen = GenerationConfig(max_new_tokens=n, eos_token_id=-1,
+                               pad_token_id=0)
+        want = generate(CFG, params,
+                        inputs_embeds=jnp.asarray(emb, jnp.bfloat16),
+                        attention_mask=jnp.asarray(m), gen_cfg=gen,
+                        kv_bits=8)
+        assert got[i] == list(np.asarray(want)[0][:len(got[i])]), i

@@ -356,3 +356,83 @@ def test_engine_adaptive_plain_path_maintains_history():
     hl = int(eng.state["hist_len"][0])
     assert hl == len(out["h"])
     assert np.asarray(eng.state["hist"])[0, :hl].tolist() == out["h"]
+
+
+PREFIX = np.random.default_rng(99).standard_normal(
+    (5, CFG.hidden_size)).astype(np.float32)
+
+
+def _ref_tokens_prefixed(params, suffix_unpadded, max_new, eos=-1):
+    """Reference stream for a prefix-shared request: generate() on the FULL
+    (prefix + suffix) prompt — prefix sharing must be invisible."""
+    return _ref_tokens(params,
+                       np.concatenate([PREFIX, suffix_unpadded], axis=0),
+                       max_new, eos=eos, pad=PREFIX.shape[0] + PAD + 8)
+
+
+def test_engine_shared_prefix_exact():
+    """Shared-prefix KV serving (prefix computed once, seeded into slots by
+    device copy; prefill covers only the suffix) is token-identical to
+    generate() on the full prefix+suffix prompt — across refills, ragged
+    suffix lengths, and suffix length buckets."""
+    params = _params()
+    reqs = [("a", _prompt(1, 3), 6), ("b", _prompt(2, 5), 8),
+            ("c", _prompt(3, 8), 4), ("d", _prompt(4, 2), 7),
+            ("e", _prompt(5, 6), 5)]
+    eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 8,
+                            prompt_pad=(4, PAD), eos_token_id=-1,
+                            cache_dtype=jnp.float32, sync_every=2,
+                            shared_prefix_embeds=PREFIX)
+    assert eng.prefix_cols == 128 and eng.prefix_len == PREFIX.shape[0]
+    for rid, s, n in reqs:
+        eng.submit(rid, s, max_new_tokens=n)
+    out = dict(eng.run())
+    for rid, s, n in reqs:
+        assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
+
+
+def test_engine_shared_prefix_mixed_with_full_prompts():
+    """use_prefix=False requests (full self-contained prompts) share the
+    pool with prefix-shared ones; a full prompt equal to prefix+suffix
+    yields the identical stream as the prefix-shared suffix request."""
+    params = _params()
+    s = _prompt(11, 4)
+    full = np.concatenate([PREFIX, s], axis=0)        # 9 tokens
+    eng = ContinuousBatcher(CFG, params, max_slots=2,
+                            max_len=PREFIX.shape[0] + PAD + 8,
+                            prompt_pad=(PAD, PREFIX.shape[0] + PAD),
+                            eos_token_id=-1, cache_dtype=jnp.float32,
+                            shared_prefix_embeds=PREFIX)
+    eng.submit("pfx", s, max_new_tokens=7)            # defaults to prefix
+    eng.submit("full", full, max_new_tokens=7, use_prefix=False)
+    out = dict(eng.run())
+    want = _ref_tokens_prefixed(params, s, 7)
+    assert out["pfx"] == want
+    assert out["full"] == want
+
+
+def test_engine_shared_prefix_speculative_exact():
+    """Prefix-shared pool + prompt-lookup speculative rounds stay
+    greedy-exact (per-row acceptance over [shared ‖ private] kv_mask)."""
+    params = _params()
+    reqs = [("a", _prompt(21, 3), 10), ("b", _prompt(22, 6), 8),
+            ("c", _prompt(23, 5), 12)]
+    eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 14,
+                            prompt_pad=PAD, eos_token_id=-1,
+                            cache_dtype=jnp.float32, sync_every=3,
+                            prompt_lookup_tokens=3,
+                            shared_prefix_embeds=PREFIX)
+    for rid, s, n in reqs:
+        eng.submit(rid, s, max_new_tokens=n)
+    out = dict(eng.run())
+    for rid, s, n in reqs:
+        assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
+
+
+def test_engine_shared_prefix_rejects_bad_use_prefix():
+    params = _params()
+    eng = ContinuousBatcher(CFG, params, max_slots=1, max_len=PAD + 4,
+                            prompt_pad=PAD, eos_token_id=-1,
+                            cache_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="use_prefix"):
+        eng.submit("x", _prompt(1, 3), max_new_tokens=2, use_prefix=True)
