@@ -91,12 +91,13 @@ def _prefix_prefill(cfg: DecoderConfig, params, emb, mask, *,
 
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "prompt_pad", "eos_token_id",
-                                    "gen_cfg", "prefix_cols", "prefix_len"))
+                                    "gen_cfg", "prefix_cols", "prefix_len",
+                                    "dedup"))
 def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
                           row_for_slot, install, plens, budgets, rng,
                           pkv=None, *, prompt_pad: int, eos_token_id: int,
                           gen_cfg=None, prefix_cols: int = 0,
-                          prefix_len: int = 0):
+                          prefix_len: int = 0, dedup: bool = False):
     """One dispatch installs ANY number of pending requests: an
     (R, prompt_pad)-wide prefill where R is the (bucketed) number of
     requests being installed — NOT the pool width; a single-slot refill
@@ -118,7 +119,16 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     lane-tile multiple) so its valid columns are [prefix_cols -
     prefix_len, prefix_cols).  Copying beats recomputing: the prefix KV
     copy is ~bytes(prefix_cols) per row while the skipped prefill is a
-    full forward over prefix_len tokens per request."""
+    full forward over prefix_len tokens per request.
+
+    DEDUP mode (dedup=True): the pool does NOT hold the prefix at all —
+    the decode/verify steps read `pkv` directly as a batch-broadcast
+    second cache operand (HBM holds ONE prefix copy instead of
+    max_slots).  The prefill still seeds the prefix into its own
+    transient R-row cache (identical forward math), but only the SUFFIX
+    columns [prefix_cols, W) are copied into pool columns
+    [0, prompt_pad), and state["use_pfx"] records which slots attend
+    the shared prefix at decode time."""
     B = state["pos"].shape[0]
     R = emb.shape[0]
     # device-submitted prompts keep whatever their padding rows held (the
@@ -195,40 +205,49 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     tok0 = tok0[row_for_slot]                                  # (B,)
 
     inst = install                                             # (B,) bool
+    # dedup: only the suffix columns [off, W) of the transient prefill
+    # cache enter the pool (at columns [0, Wp)); the prefix stays in `pkv`
+    off = prefix_cols if dedup else 0
+    Wp = W - off
     if kv_cache_layout(cfg) == "bktd":     # pool slab (L, B, K, P, D)
         sel = inst[None, :, None, None, None]
-        ck = jnp.take(cache["k"], row_for_slot, axis=1)
-        cv = jnp.take(cache["v"], row_for_slot, axis=1)
-        state["k"] = state["k"].at[:, :, :, :W, :].set(
+        ck = jnp.take(cache["k"], row_for_slot, axis=1)[:, :, :, off:, :]
+        cv = jnp.take(cache["v"], row_for_slot, axis=1)[:, :, :, off:, :]
+        state["k"] = state["k"].at[:, :, :, :Wp, :].set(
             jnp.where(sel, ck.astype(state["k"].dtype),
-                      state["k"][:, :, :, :W, :]))
-        state["v"] = state["v"].at[:, :, :, :W, :].set(
+                      state["k"][:, :, :, :Wp, :]))
+        state["v"] = state["v"].at[:, :, :, :Wp, :].set(
             jnp.where(sel, cv.astype(state["v"].dtype),
-                      state["v"][:, :, :, :W, :]))
+                      state["v"][:, :, :, :Wp, :]))
         if kv_bits is not None:            # scale slabs (L, B, K, P)
             sel3 = inst[None, :, None, None]
             for s in ("k_scale", "v_scale"):
-                state[s] = state[s].at[:, :, :, :W].set(
-                    jnp.where(sel3, jnp.take(cache[s], row_for_slot, axis=1),
-                              state[s][:, :, :, :W]))
+                state[s] = state[s].at[:, :, :, :Wp].set(
+                    jnp.where(sel3,
+                              jnp.take(cache[s], row_for_slot,
+                                       axis=1)[:, :, :, off:],
+                              state[s][:, :, :, :Wp]))
     else:                                  # (L, P, B, K, D) seq-leading
         sel = inst[None, None, :, None, None]
-        ck = jnp.take(cache["k"], row_for_slot, axis=2)
-        cv = jnp.take(cache["v"], row_for_slot, axis=2)
-        state["k"] = state["k"].at[:, :W].set(
+        ck = jnp.take(cache["k"], row_for_slot, axis=2)[:, off:]
+        cv = jnp.take(cache["v"], row_for_slot, axis=2)[:, off:]
+        state["k"] = state["k"].at[:, :Wp].set(
             jnp.where(sel, ck.astype(state["k"].dtype),
-                      state["k"][:, :W]))
-        state["v"] = state["v"].at[:, :W].set(
+                      state["k"][:, :Wp]))
+        state["v"] = state["v"].at[:, :Wp].set(
             jnp.where(sel, cv.astype(state["v"].dtype),
-                      state["v"][:, :W]))
+                      state["v"][:, :Wp]))
     T = state["kv_mask"].shape[1]
     pads = (prompt_pad - plens)[:, None]   # per-row left padding
     colsT = jnp.arange(T)[None, :]
-    # valid columns: the prefix's real tokens (when prefix-shared) plus the
-    # left-padded suffix window [prefix_cols + pads, W)
-    row_mask = jnp.logical_and(colsT < W,
-                               colsT >= prefix_cols + pads).astype(jnp.int32)
-    if prefix_cols:
+    # valid pool columns: the left-padded suffix window; plus (replicated
+    # mode only) the prefix's real tokens at [prefix_cols - prefix_len,
+    # prefix_cols) — in dedup mode the prefix never occupies the pool and
+    # its validity is the decode-time prefix bias gated by use_pfx
+    base = 0 if dedup else prefix_cols
+    row_mask = jnp.logical_and(colsT < base + prompt_pad,
+                               colsT >= base + pads).astype(jnp.int32)
+    if prefix_cols and not dedup:
         row_mask = jnp.maximum(
             row_mask,
             jnp.logical_and(colsT >= prefix_cols - prefix_len,
@@ -237,7 +256,11 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     i2 = inst[:, None]
     state["kv_mask"] = jnp.where(i2, row_mask, state["kv_mask"])
     state["pos"] = jnp.where(inst, prefix_len + plens - 1, state["pos"])
-    state["next_slot"] = jnp.where(inst, W, state["next_slot"])
+    state["next_slot"] = jnp.where(inst, base + prompt_pad,
+                                   state["next_slot"])
+    if "use_pfx" in state:         # dedup: which slots see the shared prefix
+        state["use_pfx"] = jnp.where(
+            inst, 1 if (dedup and prefix_cols) else 0, state["use_pfx"])
     state["active"] = jnp.where(inst, ~finished0, state["active"])
     state["last_tok"] = jnp.where(inst, tok0, state["last_tok"])
     state["budget"] = jnp.where(inst, budgets - 1, state["budget"])
@@ -252,11 +275,24 @@ def _prefill_install_pool(cfg: DecoderConfig, state, params, emb, mask,
     return state, tok0
 
 
+def _prefix_row_bias(state, pkv, prefix_len: int, layout: str):
+    """(B, 1, 1, Pc) fp32 additive bias over the shared-prefix columns:
+    valid = the prefix's real tokens AND the row opted into the prefix
+    (use_pfx — full-prompt requests sharing a dedup pool must not see
+    it).  Constant within a dispatch (use_pfx only changes at install)."""
+    Pc = pkv["k"].shape[3] if layout == "bktd" else pkv["k"].shape[1]
+    pvalid = jnp.arange(Pc) >= Pc - prefix_len
+    ok = jnp.logical_and(state["use_pfx"][:, None] > 0, pvalid[None, :])
+    return jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min
+                     )[:, None, None, :]
+
+
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "eos_token_id", "chunk",
-                                    "gen_cfg"))
-def _decode_all(cfg: DecoderConfig, state, params, rng, *,
-                eos_token_id: int, chunk: int = 1, gen_cfg=None):
+                                    "gen_cfg", "prefix_len"))
+def _decode_all(cfg: DecoderConfig, state, params, rng, pkv=None, *,
+                eos_token_id: int, chunk: int = 1, gen_cfg=None,
+                prefix_len: int = 0):
     """`chunk` tokens for every active slot, device-side (one host sync per
     chunk — slots that finish mid-chunk stop advancing on device, so the
     per-request token streams are identical for any chunk size; refills
@@ -270,6 +306,8 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
     cdt = state["k"].dtype
     if cdt == jnp.int8:                    # quantized pool: compute in bf16
         cdt = jnp.bfloat16
+    pbias = (None if pkv is None else
+             _prefix_row_bias(state, pkv, prefix_len, kv_cache_layout(cfg)))
 
     def step(carry, _):
         state, rng = carry
@@ -289,7 +327,8 @@ def _decode_all(cfg: DecoderConfig, state, params, rng, *,
             kv["v_scale"] = state["v_scale"]
         h, cache = decoder_decode_step(
             cfg, params, token_embeds=emb, bias_old=bias, positions=pos,
-            kv_cache=kv, cache_index=write_idx)
+            kv_cache=kv, cache_index=write_idx,
+            prefix_kv=pkv, prefix_bias=pbias)
         for key_ in cache:
             state[key_] = cache[key_]
         state["kv_mask"] = state["kv_mask"].at[bidx, write_idx].set(
@@ -394,10 +433,10 @@ def ngram_drafts(hist, hist_len, *, gamma: int, ngram: int,
 
 @functools.partial(jax.jit, donate_argnums=(1,),
                    static_argnames=("cfg", "eos_token_id", "gamma", "ngram",
-                                    "rounds", "use_fused"))
-def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
-                 gamma: int, ngram: int, rounds: int = 1,
-                 use_fused: bool = False, medusa=None):
+                                    "rounds", "use_fused", "prefix_len"))
+def _spec_rounds(cfg: DecoderConfig, state, params, pkv=None, *,
+                 eos_token_id: int, gamma: int, ngram: int, rounds: int = 1,
+                 use_fused: bool = False, medusa=None, prefix_len: int = 0):
     """`rounds` prompt-lookup speculative verify rounds with PER-ROW
     acceptance — the serving counterpart of infer/speculative.
     prompt_lookup_generate, without its batch-minimum lockstep: every slot
@@ -423,6 +462,8 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
     cdt = state["k"].dtype
     if cdt == jnp.int8:
         cdt = jnp.bfloat16
+    pbias = (None if pkv is None else
+             _prefix_row_bias(state, pkv, prefix_len, kv_cache_layout(cfg)))
 
     def one_round(state, _):
         if medusa is not None:
@@ -467,7 +508,8 @@ def _spec_rounds(cfg: DecoderConfig, state, params, *, eos_token_id: int,
             bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min)
             h, kv = decoder_forward(
                 cfg, params, inputs_embeds=emb, bias=bias, positions=pos,
-                kv_cache=kv, cache_index=start, attn_impl="xla")
+                kv_cache=kv, cache_index=start, attn_impl="xla",
+                prefix_kv=pkv, prefix_bias=pbias)
         for key_ in kv:
             state[key_] = kv[key_]
         tgt = jnp.argmax(
@@ -553,7 +595,8 @@ class ContinuousBatcher:
                  medusa_params=None,
                  spec_break_even: float = 0.0,
                  spec_probe_every: int = 8,
-                 shared_prefix_embeds=None):
+                 shared_prefix_embeds=None,
+                 prefix_dedup: bool = False):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -621,6 +664,18 @@ class ContinuousBatcher:
         # SUFFIX lengths).  Columns [0, prefix_cols) of every slot hold the
         # prefix; the decode/verify paths are kv_mask-driven, so the masked
         # gap between the prefix and a left-padded suffix window is free.
+        # prefix_dedup: the shared prefix KV lives ONCE in HBM and rides
+        # into decode/verify as a batch-broadcast second cache operand —
+        # the pool holds only private columns (max_slots × prefix_cols
+        # cache bytes returned, ~0.5 GB at the 8B kv8 16×512 flagship =
+        # room for more slots), and the Pallas kernels fetch the
+        # constant-index prefix block once per layer instead of once per
+        # pool row.  False replicates the prefix into every slot (the
+        # round-3 behavior, kept for A/B).
+        self.dedup = bool(prefix_dedup)
+        if self.dedup and shared_prefix_embeds is None:
+            raise ValueError("prefix_dedup=True requires "
+                             "shared_prefix_embeds")
         self.prefix_kv = None
         self.prefix_cols = 0
         self.prefix_len = 0
@@ -645,7 +700,8 @@ class ContinuousBatcher:
             # the fused chunk-verify kernel needs chunk starts <= T - 64
             # (its aliased write covers two 32-sublane int8 tile groups)
             slack = max(slack, 64)
-        T_cache = -(-(self.prefix_cols + max_len + slack) // mult) * mult
+        pcols_pool = 0 if self.dedup else self.prefix_cols
+        T_cache = -(-(pcols_pool + max_len + slack) // mult) * mult
         cache = init_kv_cache(cfg, max_slots, T_cache, cache_dtype,
                               kv_bits=kv_bits)
         self.state = {
@@ -660,6 +716,8 @@ class ContinuousBatcher:
         if kv_bits is not None:
             self.state["k_scale"] = cache["k_scale"]
             self.state["v_scale"] = cache["v_scale"]
+        if self.dedup:
+            self.state["use_pfx"] = jnp.zeros((max_slots,), jnp.int32)
         if self.spec_gamma and self.medusa is None:
             # per-slot generated-token history (the n-gram match source;
             # prompts are fused EMBEDDINGS, so unlike HF's prompt lookup
@@ -673,11 +731,13 @@ class ContinuousBatcher:
             self.state["last_hidden"] = jnp.zeros(
                 (max_slots, cfg.hidden_size), cache_dtype)
         self._spec_fused = False
-        if self.spec_gamma:
+        if self.spec_gamma and not self.dedup:
+            # dedup verify needs the prefix-aware chunk kernel — until it
+            # lands, dedup speculative rounds take the XLA fallback
             from ..models.decoder import supports_verify_chunk_step
 
             self._spec_fused = (
-                T_cache - 64 >= self.prefix_cols + max_len
+                T_cache - 64 >= pcols_pool + max_len
                 and supports_verify_chunk_step(cfg, self.state,
                                                self.spec_gamma + 1))
         self.queue: deque[_Request] = deque()
@@ -804,7 +864,8 @@ class ContinuousBatcher:
             key, self.prefix_kv if use_prefix else None, prompt_pad=pad,
             eos_token_id=self.eos_token_id, gen_cfg=self.gen_cfg,
             prefix_cols=self.prefix_cols if use_prefix else 0,
-            prefix_len=self.prefix_len if use_prefix else 0)
+            prefix_len=self.prefix_len if use_prefix else 0,
+            dedup=self.dedup)
         tok0 = np.asarray(tok0)
         for slot, req in installs.items():
             t0 = int(tok0[slot])
@@ -825,8 +886,10 @@ class ContinuousBatcher:
         self._rng, key = jax.random.split(self._rng)
         self.state, packed = _decode_all(
             self.cfg, self.state, self.params, key,
+            self.prefix_kv if self.dedup else None,
             eos_token_id=self.eos_token_id, chunk=self.sync_every,
-            gen_cfg=self.gen_cfg)
+            gen_cfg=self.gen_cfg,
+            prefix_len=self.prefix_len if self.dedup else 0)
         self.steps += self.sync_every
         packed = np.asarray(packed)        # ONE transfer per round
         tok_h, fin_h, adv_h = packed[0], packed[1], packed[2]
@@ -868,9 +931,11 @@ class ContinuousBatcher:
         rounds = max(1, self.sync_every // G)
         self.state, packed = _spec_rounds(
             self.cfg, self.state, self.params,
+            self.prefix_kv if self.dedup else None,
             eos_token_id=self.eos_token_id, gamma=self.spec_gamma,
             ngram=self.spec_ngram, rounds=rounds,
-            use_fused=self._spec_fused, medusa=self.medusa)
+            use_fused=self._spec_fused, medusa=self.medusa,
+            prefix_len=self.prefix_len if self.dedup else 0)
         self.steps += rounds               # one target forward per round
         packed = np.asarray(packed)        # (3, rounds, G, B)
         tok_h, emit_h, fin_h = packed[0], packed[1], packed[2]

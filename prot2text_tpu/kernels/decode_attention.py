@@ -618,3 +618,154 @@ def supports_verify_chunk(cfg, cache_shape, G: int) -> bool:
                   + 8 * T * 4)                     # scale rows
     return (D % 128 == 0 and T % 32 == 0 and T >= 64 and G <= 32
             and tile_bytes <= 14 * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------------
+# SHARED-PREFIX (dedup) variants: a second, batch-broadcast cache operand
+#
+# Serving's real chat workload shares the system+template header across
+# every request.  The dedup engine (infer/serving.ContinuousBatcher
+# prefix_dedup=True) stores that prefix's KV ONCE as (L, 1, Hkv, Pc, D)
+# instead of replicating it into all max_slots pool slots — ~0.5 GB of
+# HBM back at the 8B kv8 16-slot × 512-token flagship — and the kernels
+# below read it as extra operands whose index_map is CONSTANT across the
+# batch grid: Pallas fetches a block only when its index changes, so the
+# prefix tiles stream from HBM ONCE PER LAYER instead of once per pool
+# row (the replicated layout paid B× that in the per-step cache read).
+#
+# Numerics: the prefix logits get their own masked columns in the same
+# fp32 softmax ([prefix ‖ pool-cache ‖ current-token] order — the same
+# column order as a prefix physically seeded at the start of each slot's
+# cache).  The per-row prefix mask (pmask) gates rows that must not see
+# the prefix (full-prompt requests sharing a dedup pool).  The aliased
+# slot/chunk writes are identical to the non-prefix kernels — the prefix
+# operand is read-only.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_write_p(idx_ref, q_ref, kn_ref, vn_ref, mask_ref, pmask_ref,
+                    ck_ref, cv_ref, pk_ref, pv_ref,
+                    o_ref, cko_ref, cvo_ref, *, rep: int):
+    b = pl.program_id(0)
+    Hkv, T, D = ck_ref.shape[2], ck_ref.shape[3], ck_ref.shape[4]
+    ck = ck_ref[0, 0]                                   # (Hkv, T, D)
+    cv = cv_ref[0, 0]
+    pk = pk_ref[0, 0]                                   # (Hkv, Pc, D)
+    pv = pv_ref[0, 0]
+    q = q_ref[0]                                        # (Hkv, rep, D)
+    kn = kn_ref[0]                                      # (Hkv, D)
+    vn = vn_ref[0]
+    logits = jax.lax.dot_general(
+        q, ck, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, T)
+    mask = mask_ref[b]                                  # (T,)
+    logits = jnp.where(mask[None, None, :] > 0, logits, NEG)
+    lp = jax.lax.dot_general(
+        q, pk, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, Pc)
+    pmask = pmask_ref[b]                                # (Pc,)
+    lp = jnp.where(pmask[None, None, :] > 0, lp, NEG)
+    ln = jnp.sum(q.astype(jnp.float32)
+                 * kn.astype(jnp.float32)[:, None, :],
+                 axis=-1)                               # (Hkv, rep)
+    m = jnp.maximum(
+        jnp.maximum(jnp.max(logits, axis=-1), jnp.max(lp, axis=-1)), ln)
+    el = jnp.exp(logits - m[..., None])
+    ep = jnp.exp(lp - m[..., None])
+    en = jnp.exp(ln - m)
+    denom = jnp.sum(el, axis=-1) + jnp.sum(ep, axis=-1) + en
+    a = jax.lax.dot_general(
+        el.astype(cv.dtype), cv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    a = a + jax.lax.dot_general(
+        ep.astype(pv.dtype), pv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    a = a + en[..., None] * vn.astype(jnp.float32)[:, None, :]
+    o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
+
+    # aliased slot write — identical to _kernel_write (16-row bf16 groups)
+    slot = idx_ref[1 + b]
+    tg = slot // 16
+    r = slot - tg * 16
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 16, D), 1)
+    old_k = ck_ref[0, 0, :, pl.ds(tg * 16, 16), :].astype(jnp.float32)
+    old_v = cv_ref[0, 0, :, pl.ds(tg * 16, 16), :].astype(jnp.float32)
+    cko_ref[0, 0] = jnp.where(
+        rows == r, kn.astype(jnp.float32)[:, None, :], old_k
+    ).astype(cko_ref.dtype)
+    cvo_ref[0, 0] = jnp.where(
+        rows == r, vn.astype(jnp.float32)[:, None, :], old_v
+    ).astype(cvo_ref.dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_write_prefix(
+        qg, ck_all, cv_all, kv_mask, k_new, v_new, layer, slots,
+        pk_all, pv_all, pmask, *, interpret: bool = False):
+    """decode_attention_stacked_write + a batch-broadcast shared-prefix
+    operand.  pk_all/pv_all: (L, 1, Hkv, Pc, D) read-only prefix KV
+    (fetched once per call — its block index never changes across the
+    grid); pmask: (B, Pc) 0/1 per-row prefix validity.  Everything else
+    as decode_attention_stacked_write."""
+    L, B, Hkv, T, D = ck_all.shape
+    Pc = pk_all.shape[3]
+    rep = qg.shape[2]
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((B, T), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, Pc), lambda b, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, idx: (idx[0], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, idx: (idx[0], 0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 16, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 16, 0)),
+            pl.BlockSpec((1, 1, Hkv, 16, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 16, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_write_p, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, ck_all.dtype),
+            jax.ShapeDtypeStruct(cv_all.shape, cv_all.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg, k_new, v_new, kv_mask.astype(jnp.int32),
+      pmask.astype(jnp.int32), ck_all, cv_all,
+      pk_all.astype(ck_all.dtype), pv_all.astype(cv_all.dtype))
+
+
+def supports_decode_attention_write_prefix(cfg, cache_shape,
+                                           prefix_cols: int,
+                                           cache_dtype=None) -> bool:
+    """bf16 fused-write + prefix eligibility: prefix tiles are fetched
+    once but budgeted double-buffered; Pc must be sublane-tileable."""
+    L, B, Hkv, T, D = cache_shape
+    itemsize = 2 if cache_dtype is None else jnp.dtype(cache_dtype).itemsize
+    tile_bytes = 2 * Hkv * (T + 2 * prefix_cols) * D * itemsize
+    return (D % 128 == 0 and T % 16 == 0 and prefix_cols % 16 == 0
+            and prefix_cols > 0 and tile_bytes <= 24 * 1024 * 1024)

@@ -168,6 +168,15 @@ def decoder_forward(
                             # assertion → masked flash under attn_impl="auto"
     num_layers: Optional[int] = None,  # run only the first N layers
     final_norm: bool = True,           # skip for HF hidden_states[N] parity
+    prefix_kv=None,         # optional SHARED-prefix KV, stored ONCE for the
+                            # whole batch (HBM dedup): {"k","v"[,scales]}
+                            # with batch dim 1, per kv_cache_layout(cfg).
+                            # Every query additionally attends these Pc
+                            # columns (placed BEFORE the cache columns, the
+                            # same order as a prefix seeded into the cache)
+    prefix_bias=None,       # fp32 additive (B, 1, 1, Pc) or (B, 1, S, Pc)
+                            # over the prefix columns (per-row gating: a
+                            # row that must not see the prefix masks it)
 ):
     """Returns (hidden_states, new_kv_cache).
 
@@ -196,6 +205,20 @@ def decoder_forward(
                         layers=jax.tree_util.tree_map(
                             lambda a: a[:num_layers], lora["layers"]))
 
+    if prefix_kv is not None:
+        # batch-broadcast second cache operand (serving prefix-KV dedup:
+        # the shared chat-template header's KV lives ONCE in HBM instead
+        # of replicated per slot).  XLA einsum attention only — the
+        # flash/ring kernels assert self-contained windows.
+        if attn_impl != "xla":
+            raise ValueError("prefix_kv requires attn_impl='xla'")
+        if attn_lengths is not None:
+            raise ValueError("prefix_kv is incompatible with attn_lengths")
+        if kv_cache is None:
+            raise ValueError("prefix_kv requires a kv_cache")
+        if prefix_bias is None:
+            raise ValueError("prefix_kv requires prefix_bias")
+
     if attn_impl == "ring":
         # ring = training/uncached path only; cached prefill (generation)
         # attends over a wider cache whose T dim is not sequence-sharded
@@ -214,7 +237,23 @@ def decoder_forward(
     scaling = D ** -0.5
     lora_layers = lora["layers"] if lora is not None else None
 
-    def block(lp, ll, x, layer_cache):
+    # shared-prefix leaves normalized to batch-dim-1 (1, Hkv, Pc, D) views
+    # (the tbkd layout stores (L, Pc, 1, Hkv, D)) and zipped into the layer
+    # scan as extra xs — read-only, never written back
+    pfx_xs = None
+    if prefix_kv is not None:
+        if kv_cache_layout(cfg) == "bktd":
+            pk_all, pv_all = prefix_kv["k"], prefix_kv["v"]
+        else:
+            pk_all = prefix_kv["k"].transpose(0, 2, 3, 1, 4)
+            pv_all = prefix_kv["v"].transpose(0, 2, 3, 1, 4)
+        if "k_scale" in prefix_kv:
+            pfx_xs = (pk_all, pv_all,
+                      prefix_kv["k_scale"], prefix_kv["v_scale"])
+        else:
+            pfx_xs = (pk_all, pv_all)
+
+    def block(lp, ll, x, layer_cache, layer_pfx=None):
         def proj(name, x_):
             lo = None
             if ll is not None:
@@ -326,6 +365,30 @@ def decoder_forward(
         else:
             k_full, v_full = k, v
             new_cache = None
+        bias_l = bias
+        if layer_pfx is not None:
+            # prepend the batch-broadcast shared-prefix columns: ONE
+            # concatenated einsum keeps the softmax/weighted-sum reduction
+            # identical to a prefix physically seeded into the cache
+            if len(layer_pfx) == 4:
+                pk, pv, psk, psv = layer_pfx
+                pkf = (pk.astype(jnp.float32)
+                       * psk[..., None]).astype(k_full.dtype)
+                pvf = (pv.astype(jnp.float32)
+                       * psv[..., None]).astype(v_full.dtype)
+            else:
+                pkf = layer_pfx[0].astype(k_full.dtype)
+                pvf = layer_pfx[1].astype(v_full.dtype)
+            Pc = pkf.shape[2]
+            k_full = jnp.concatenate(
+                [jnp.broadcast_to(pkf, (B,) + pkf.shape[1:]), k_full],
+                axis=2)
+            v_full = jnp.concatenate(
+                [jnp.broadcast_to(pvf, (B,) + pvf.shape[1:]), v_full],
+                axis=2)
+            pb = jnp.broadcast_to(prefix_bias.astype(jnp.float32),
+                                  (B, 1, S, Pc))
+            bias_l = jnp.concatenate([pb, bias], axis=-1)
         q = (q.astype(jnp.float32) * scaling).astype(q.dtype)
         if attn_lengths is not None:
             # self-attention covers kv slots [0, S) even under a wider
@@ -339,8 +402,8 @@ def decoder_forward(
             )
         else:
             a = attention(
-                q, repeat_kv(k_full, n_rep), repeat_kv(v_full, n_rep), bias,
-                impl=attn_impl,
+                q, repeat_kv(k_full, n_rep), repeat_kv(v_full, n_rep),
+                bias_l, impl=attn_impl,
             )
         a = a.transpose(0, 2, 1, 3).reshape(B, S, H * D)
         x = x + proj("o_proj", a)
@@ -359,26 +422,25 @@ def decoder_forward(
             raise ValueError("int8 KV cache requires the bktd layout")
 
         def step(c, xs):
-            lp, ll, ck, cv, sk, sv = xs
-            c, new_cache = body(lp, ll, c, (ck, cv, sk, sv))
+            c, new_cache = body(xs[0], xs[1], c, xs[2:6], xs[6:] or None)
             return c, new_cache
 
         h, caches = jax.lax.scan(
             step, h,
             (params["layers"], lora_layers, kv_cache["k"], kv_cache["v"],
-             kv_cache["k_scale"], kv_cache["v_scale"])
+             kv_cache["k_scale"], kv_cache["v_scale"]) + (pfx_xs or ())
         )
         new_kv = {"k": caches[0], "v": caches[1],
                   "k_scale": caches[2], "v_scale": caches[3]}
     elif kv_cache is not None:
         def step(c, xs):
-            lp, ll, ck, cv = xs
-            c, new_cache = body(lp, ll, c, (ck, cv))
+            c, new_cache = body(xs[0], xs[1], c, xs[2:4], xs[4:] or None)
             return c, new_cache
 
         h, caches = jax.lax.scan(
             step, h,
             (params["layers"], lora_layers, kv_cache["k"], kv_cache["v"])
+            + (pfx_xs or ())
         )
         new_kv = {"k": caches[0], "v": caches[1]}
     else:
@@ -489,6 +551,12 @@ def decoder_decode_step(
                          # stacked params stay FULL — the layer scan and the
                          # scalar-prefetch kernels just index li < N, so no
                          # weight slice/copy ever materializes)
+    prefix_kv=None,      # optional batch-broadcast SHARED-prefix KV, batch
+                         # dim 1 per layout (serving prefix-KV dedup: the
+                         # shared chat header's KV lives once in HBM, not
+                         # replicated per slot); its Pc columns sit BEFORE
+                         # the cache columns in the softmax
+    prefix_bias=None,    # fp32 (B, 1, 1, Pc) additive over those columns
 ):
     """Single-token decode step optimized from profiler evidence: the
     generic scan-over-(params, cache) path spends ~45% of decode time
@@ -532,11 +600,56 @@ def decoder_decode_step(
 
     import os
 
+    if prefix_kv is not None and prefix_bias is None:
+        raise ValueError("prefix_kv requires prefix_bias")
+    # the prefix-aware Pallas kernels land with the dedup serving path;
+    # until then prefix_kv routes every branch to its XLA fallback
     use_pallas_attn = (on_tpu_q4 and layout == "bktd"
+                       and prefix_kv is None
                        and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
                        and supports_decode_attention(cfg, ck_all.shape,
                                                      ck_all.dtype))
     kv_mask01 = (bias_o[:, 0, 0, :] >= -1e30).astype(jnp.int32)  # (B, T)
+    B_ = B
+
+    def _pfx_cat(li, ck, cv, sk=None, sv=None, bias_full=None):
+        """Prepend the layer's batch-broadcast prefix columns to the cache
+        operands + bias — one concatenated einsum keeps the reduction
+        identical to a prefix physically seeded into the cache."""
+        pk = jax.lax.dynamic_index_in_dim(prefix_kv["k"], li, 0,
+                                          keepdims=False)
+        pv = jax.lax.dynamic_index_in_dim(prefix_kv["v"], li, 0,
+                                          keepdims=False)
+        if layout == "bktd":                   # (1, Hkv, Pc, D) → batch cat
+            Pc = pk.shape[2]
+            ck = jnp.concatenate(
+                [jnp.broadcast_to(pk.astype(ck.dtype),
+                                  (B_,) + pk.shape[1:]), ck], axis=2)
+            cv = jnp.concatenate(
+                [jnp.broadcast_to(pv.astype(cv.dtype),
+                                  (B_,) + pv.shape[1:]), cv], axis=2)
+        else:                                  # (Pc, 1, Hkv, D) seq-leading
+            Pc = pk.shape[0]
+            ck = jnp.concatenate(
+                [jnp.broadcast_to(pk.astype(ck.dtype),
+                                  (Pc, B_) + pk.shape[2:]), ck], axis=0)
+            cv = jnp.concatenate(
+                [jnp.broadcast_to(pv.astype(cv.dtype),
+                                  (Pc, B_) + pv.shape[2:]), cv], axis=0)
+        out = [ck, cv]
+        if sk is not None:
+            psk = jax.lax.dynamic_index_in_dim(prefix_kv["k_scale"], li, 0,
+                                               keepdims=False)
+            psv = jax.lax.dynamic_index_in_dim(prefix_kv["v_scale"], li, 0,
+                                               keepdims=False)
+            out.append(jnp.concatenate(
+                [jnp.broadcast_to(psk, (B_,) + psk.shape[1:]), sk], axis=2))
+            out.append(jnp.concatenate(
+                [jnp.broadcast_to(psv, (B_,) + psv.shape[1:]), sv], axis=2))
+        out.append(jnp.concatenate(
+            [jnp.broadcast_to(prefix_bias.astype(jnp.float32),
+                              (B_, 1, 1, Pc)), bias_full], axis=-1))
+        return out
 
     fetch = _fetch_layer
 
@@ -585,6 +698,7 @@ def decoder_decode_step(
         )
 
         use_pallas_q = (on_tpu_q4 and layout == "bktd"
+                        and prefix_kv is None
                         and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
                         and supports_decode_attention_q(cfg, ck_all.shape))
         if use_pallas_q:
@@ -616,24 +730,29 @@ def decoder_decode_step(
             cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
             sk = jax.lax.dynamic_index_in_dim(sk_all, li, 0, keepdims=False)
             sv = jax.lax.dynamic_index_in_dim(sv_all, li, 0, keepdims=False)
+            bias_full = bias_o
+            if prefix_kv is not None:
+                ck, cv, sk, sv, bias_full = _pfx_cat(li, ck, cv, sk, sv,
+                                                     bias_full)
+            Tc = ck.shape[2]
             # same numerics as the fused kernel: bf16 q·Kᵀ_int → fp32, then
             # the per-column scale; value side folds v_scale into the
             # softmax weights before the ·V matmul
             logits_old = jnp.einsum(
                 "bkrd,bktd->bkrt", qg, ck.astype(qg.dtype),
                 preferred_element_type=jnp.float32
-            ) * sk[:, :, None, :] + bias_o
+            ) * sk[:, :, None, :] + bias_full
             knf = kq * ks[..., None]                     # (B, Hkv, D) f32
             logit_new = jnp.einsum(
                 "bkrd,bkd->bkr", qg.astype(jnp.float32), knf,
                 preferred_element_type=jnp.float32)[..., None]
             logits = jnp.concatenate([logits_old, logit_new], axis=-1)
             w = jax.nn.softmax(logits, axis=-1)
-            w_old = (w[..., :T] * sv[:, :, None, :]).astype(qg.dtype)
+            w_old = (w[..., :Tc] * sv[:, :, None, :]).astype(qg.dtype)
             a = jnp.einsum("bkrt,bktd->bkrd", w_old, cv.astype(qg.dtype),
                            preferred_element_type=jnp.float32)
             vnf = vq * vs[..., None]
-            a = a + w[..., T:] * vnf[:, :, None, :]
+            a = a + w[..., Tc:] * vnf[:, :, None, :]
             x = post_attn(x, a.astype(x.dtype), li)
             return x, (kq.astype(jnp.int8), vq.astype(jnp.int8),
                        ks.astype(jnp.float32), vs.astype(jnp.float32))
@@ -714,20 +833,25 @@ def decoder_decode_step(
         else:
             ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
+            bias_full = bias_o
+            if prefix_kv is not None:
+                ck, cv, bias_full = _pfx_cat(li, ck, cv,
+                                             bias_full=bias_full)
+            Tc = ck.shape[2] if layout == "bktd" else ck.shape[0]
             # grouped-head attention over the stale cache + the current
             # token — einsum subscripts follow the layout so no operand
             # transposes are ever materialized
             ck_sub = "bktd" if layout == "bktd" else "tbkd"
             logits_old = jnp.einsum(
                 f"bkrd,{ck_sub}->bkrt", qg, ck,
-                preferred_element_type=jnp.float32) + bias_o
+                preferred_element_type=jnp.float32) + bias_full
             logit_new = jnp.einsum(
                 "bkrd,bkd->bkr", qg, k.astype(qg.dtype),
                 preferred_element_type=jnp.float32)[..., None]
             logits = jnp.concatenate([logits_old, logit_new], axis=-1)
             w = jax.nn.softmax(logits, axis=-1)
-            w_old = w[..., :T].astype(cv.dtype)
-            w_new = w[..., T:].astype(v.dtype)
+            w_old = w[..., :Tc].astype(cv.dtype)
+            w_new = w[..., Tc:].astype(v.dtype)
             a = jnp.einsum(f"bkrt,{ck_sub}->bkrd", w_old, cv,
                            preferred_element_type=jnp.float32
                            ).astype(x.dtype)

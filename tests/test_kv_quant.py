@@ -242,12 +242,14 @@ def test_serving_kv8_matches_generate_kv8():
         assert got[i] == list(np.asarray(want)[0][:len(got[i])]), i
 
 
-def test_serving_kv8_shared_prefix_matches_generate_kv8():
+@pytest.mark.parametrize("dedup", [False, True])
+def test_serving_kv8_shared_prefix_matches_generate_kv8(dedup):
     """Prefix-shared serving on the int8 KV pool (bktd layout): the prefix
-    KV is QUANTIZED once at engine construction and seeded by copy —
-    quantize_kv is per-(head, token) vector, so the copied int8 values and
-    scales are bit-identical to a full-prompt prefill's, and the stream
-    matches generate(kv_bits=8) on the full prompt exactly."""
+    KV is QUANTIZED once at engine construction — quantize_kv is
+    per-(head, token) vector, so whether seeded by copy (dedup=False) or
+    read as the batch-broadcast dedup operand, the int8 values and scales
+    are bit-identical to a full-prompt prefill's, and the stream matches
+    generate(kv_bits=8) on the full prompt exactly."""
     H = CFG.hidden_size
     params = init_decoder_params(CFG, jax.random.PRNGKey(0), jnp.bfloat16)
     rng = np.random.default_rng(3)
@@ -258,7 +260,8 @@ def test_serving_kv8_shared_prefix_matches_generate_kv8():
 
     eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=64,
                             prompt_pad=16, eos_token_id=-1, kv_bits=8,
-                            shared_prefix_embeds=prefix)
+                            shared_prefix_embeds=prefix,
+                            prefix_dedup=dedup)
     assert eng.state["k"].dtype == jnp.int8
     assert "k_scale" in eng.prefix_kv
     for i, (s, n) in enumerate(zip(suffixes, budgets)):

@@ -370,11 +370,14 @@ def _ref_tokens_prefixed(params, suffix_unpadded, max_new, eos=-1):
                        max_new, eos=eos, pad=PREFIX.shape[0] + PAD + 8)
 
 
-def test_engine_shared_prefix_exact():
-    """Shared-prefix KV serving (prefix computed once, seeded into slots by
-    device copy; prefill covers only the suffix) is token-identical to
-    generate() on the full prefix+suffix prompt — across refills, ragged
-    suffix lengths, and suffix length buckets."""
+@pytest.mark.parametrize("dedup", [False, True])
+def test_engine_shared_prefix_exact(dedup):
+    """Shared-prefix KV serving (prefix computed once; prefill covers only
+    the suffix) is token-identical to generate() on the full prefix+suffix
+    prompt — across refills, ragged suffix lengths, and suffix length
+    buckets.  dedup=True keeps the prefix OUT of the pool (one HBM copy,
+    read as a batch-broadcast operand at decode time); dedup=False seeds
+    it into every slot by device copy."""
     params = _params()
     reqs = [("a", _prompt(1, 3), 6), ("b", _prompt(2, 5), 8),
             ("c", _prompt(3, 8), 4), ("d", _prompt(4, 2), 7),
@@ -382,8 +385,12 @@ def test_engine_shared_prefix_exact():
     eng = ContinuousBatcher(CFG, params, max_slots=2, max_len=PAD + 8,
                             prompt_pad=(4, PAD), eos_token_id=-1,
                             cache_dtype=jnp.float32, sync_every=2,
-                            shared_prefix_embeds=PREFIX)
+                            shared_prefix_embeds=PREFIX,
+                            prefix_dedup=dedup)
     assert eng.prefix_cols == 128 and eng.prefix_len == PREFIX.shape[0]
+    # dedup pool excludes the 128 prefix columns entirely
+    Tpool = eng.state["kv_mask"].shape[1]
+    assert (Tpool < 128) if dedup else (Tpool >= 128)
     for rid, s, n in reqs:
         eng.submit(rid, s, max_new_tokens=n)
     out = dict(eng.run())
@@ -391,10 +398,13 @@ def test_engine_shared_prefix_exact():
         assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
 
 
-def test_engine_shared_prefix_mixed_with_full_prompts():
+@pytest.mark.parametrize("dedup", [False, True])
+def test_engine_shared_prefix_mixed_with_full_prompts(dedup):
     """use_prefix=False requests (full self-contained prompts) share the
     pool with prefix-shared ones; a full prompt equal to prefix+suffix
-    yields the identical stream as the prefix-shared suffix request."""
+    yields the identical stream as the prefix-shared suffix request.
+    Under dedup this also proves the per-row use_pfx gate: the full-prompt
+    slot must NOT attend the broadcast prefix operand."""
     params = _params()
     s = _prompt(11, 4)
     full = np.concatenate([PREFIX, s], axis=0)        # 9 tokens
@@ -402,7 +412,8 @@ def test_engine_shared_prefix_mixed_with_full_prompts():
                             max_len=PREFIX.shape[0] + PAD + 8,
                             prompt_pad=(PAD, PREFIX.shape[0] + PAD),
                             eos_token_id=-1, cache_dtype=jnp.float32,
-                            shared_prefix_embeds=PREFIX)
+                            shared_prefix_embeds=PREFIX,
+                            prefix_dedup=dedup)
     eng.submit("pfx", s, max_new_tokens=7)            # defaults to prefix
     eng.submit("full", full, max_new_tokens=7, use_prefix=False)
     out = dict(eng.run())
@@ -411,7 +422,8 @@ def test_engine_shared_prefix_mixed_with_full_prompts():
     assert out["full"] == want
 
 
-def test_engine_shared_prefix_speculative_exact():
+@pytest.mark.parametrize("dedup", [False, True])
+def test_engine_shared_prefix_speculative_exact(dedup):
     """Prefix-shared pool + prompt-lookup speculative rounds stay
     greedy-exact (per-row acceptance over [shared ‖ private] kv_mask)."""
     params = _params()
@@ -421,12 +433,21 @@ def test_engine_shared_prefix_speculative_exact():
                             prompt_pad=PAD, eos_token_id=-1,
                             cache_dtype=jnp.float32, sync_every=3,
                             prompt_lookup_tokens=3,
-                            shared_prefix_embeds=PREFIX)
+                            shared_prefix_embeds=PREFIX,
+                            prefix_dedup=dedup)
     for rid, s, n in reqs:
         eng.submit(rid, s, max_new_tokens=n)
     out = dict(eng.run())
     for rid, s, n in reqs:
         assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
+
+
+def test_engine_prefix_dedup_requires_shared_prefix():
+    params = _params()
+    with pytest.raises(ValueError, match="prefix_dedup"):
+        ContinuousBatcher(CFG, params, max_slots=1, max_len=PAD + 4,
+                          prompt_pad=PAD, cache_dtype=jnp.float32,
+                          prefix_dedup=True)
 
 
 def test_engine_shared_prefix_rejects_bad_use_prefix():
