@@ -490,13 +490,16 @@ def _spec_rounds(cfg: DecoderConfig, state, params, pkv=None, *,
             kv["v_scale"] = state["v_scale"]
         if use_fused:
             # fused Pallas chunk kernel: int8 tiles stream once, chunk
-            # slots written in place (models/decoder.decoder_verify_chunk)
+            # slots written in place (models/decoder.decoder_verify_chunk);
+            # under dedup the shared prefix rides as the batch-broadcast
+            # read-only operand
             from ..models.decoder import decoder_verify_chunk
 
             h, kv = decoder_verify_chunk(
                 cfg, params, token_embeds=emb,
                 kv_mask01=state["kv_mask"], positions=pos,
-                kv_cache=kv, cache_index=start)
+                kv_cache=kv, cache_index=start,
+                prefix_kv=pkv, prefix_bias=pbias)
         else:
             cols = jnp.arange(T)[None, None, None, :]
             rows = jnp.arange(G)[None, None, :, None]
@@ -731,15 +734,14 @@ class ContinuousBatcher:
             self.state["last_hidden"] = jnp.zeros(
                 (max_slots, cfg.hidden_size), cache_dtype)
         self._spec_fused = False
-        if self.spec_gamma and not self.dedup:
-            # dedup verify needs the prefix-aware chunk kernel — until it
-            # lands, dedup speculative rounds take the XLA fallback
+        if self.spec_gamma:
             from ..models.decoder import supports_verify_chunk_step
 
             self._spec_fused = (
                 T_cache - 64 >= pcols_pool + max_len
-                and supports_verify_chunk_step(cfg, self.state,
-                                               self.spec_gamma + 1))
+                and supports_verify_chunk_step(
+                    cfg, self.state, self.spec_gamma + 1,
+                    prefix_cols=self.prefix_cols if self.dedup else 0))
         self.queue: deque[_Request] = deque()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]

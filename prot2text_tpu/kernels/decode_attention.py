@@ -769,3 +769,378 @@ def supports_decode_attention_write_prefix(cfg, cache_shape,
     tile_bytes = 2 * Hkv * (T + 2 * prefix_cols) * D * itemsize
     return (D % 128 == 0 and T % 16 == 0 and prefix_cols % 16 == 0
             and prefix_cols > 0 and tile_bytes <= 24 * 1024 * 1024)
+
+
+def _kernel_write_q_p(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
+                      mask_ref, pmask_ref, ck_ref, cv_ref, sk_ref, sv_ref,
+                      pk_ref, pv_ref, psk_ref, psv_ref,
+                      o_ref, cko_ref, cvo_ref, sko_ref, svo_ref, *,
+                      rep: int):
+    b = pl.program_id(0)
+    Hkv, T, D = ck_ref.shape[2], ck_ref.shape[3], ck_ref.shape[4]
+    ckf = ck_ref[0, 0].astype(jnp.bfloat16)             # (Hkv, T, D) exact
+    cvf = cv_ref[0, 0].astype(jnp.bfloat16)
+    sk = sk_ref[0, 0]                                   # (Hkv, T) f32
+    sv = sv_ref[0, 0]
+    pkf = pk_ref[0, 0].astype(jnp.bfloat16)             # (Hkv, Pc, D)
+    pvf = pv_ref[0, 0].astype(jnp.bfloat16)
+    psk = psk_ref[0, 0]                                 # (Hkv, Pc) f32
+    psv = psv_ref[0, 0]
+    q = q_ref[0]                                        # (Hkv, rep, D)
+    knq = knq_ref[0]                                    # (Hkv, D) f32 ints
+    vnq = vnq_ref[0]
+    kns = kns_ref[b]                                    # (Hkv,) f32
+    vns = vns_ref[b]
+    logits = jax.lax.dot_general(
+        q, ckf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, T)
+    logits = logits * sk[:, None, :]
+    mask = mask_ref[b]                                  # (T,)
+    logits = jnp.where(mask[None, None, :] > 0, logits, NEG)
+    lp = jax.lax.dot_general(
+        q, pkf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, Pc)
+    lp = lp * psk[:, None, :]
+    pmask = pmask_ref[b]                                # (Pc,)
+    lp = jnp.where(pmask[None, None, :] > 0, lp, NEG)
+    knf = knq * kns[:, None]                            # dequant (Hkv, D)
+    ln = jnp.sum(q.astype(jnp.float32) * knf[:, None, :], axis=-1)
+    m = jnp.maximum(
+        jnp.maximum(jnp.max(logits, axis=-1), jnp.max(lp, axis=-1)), ln)
+    el = jnp.exp(logits - m[..., None])                 # (Hkv, rep, T)
+    ep = jnp.exp(lp - m[..., None])                     # (Hkv, rep, Pc)
+    en = jnp.exp(ln - m)
+    denom = jnp.sum(el, axis=-1) + jnp.sum(ep, axis=-1) + en
+    a = jax.lax.dot_general(
+        (el * sv[:, None, :]).astype(jnp.bfloat16), cvf,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)             # (Hkv, rep, D)
+    a = a + jax.lax.dot_general(
+        (ep * psv[:, None, :]).astype(jnp.bfloat16), pvf,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    a = a + (en * vns[:, None])[..., None] * vnq[:, None, :]
+    o_ref[0] = (a / denom[..., None]).astype(o_ref.dtype)
+
+    # aliased quantized slot write — identical to _kernel_write_q
+    slot = idx_ref[1 + b]
+    tg = slot // 32
+    r = slot - tg * 32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Hkv, 32, D), 1)
+    old_k = ck_ref[0, 0, :, pl.ds(tg * 32, 32), :].astype(jnp.float32)
+    old_v = cv_ref[0, 0, :, pl.ds(tg * 32, 32), :].astype(jnp.float32)
+    cko_ref[0, 0] = jnp.where(rows == r, knq[:, None, :], old_k
+                              ).astype(jnp.int8)
+    cvo_ref[0, 0] = jnp.where(rows == r, vnq[:, None, :], old_v
+                              ).astype(jnp.int8)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T), 1)
+    sko_ref[0, 0] = jnp.where(cols == slot, kns[:, None], sk)
+    svo_ref[0, 0] = jnp.where(cols == slot, vns[:, None], sv)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_write_q_prefix(
+        qg, ck_all, cv_all, sk_all, sv_all, kv_mask, k_new_q, v_new_q,
+        k_new_s, v_new_s, layer, slots, pk_all, pv_all, psk_all, psv_all,
+        pmask, *, interpret: bool = False):
+    """decode_attention_stacked_write_q + a batch-broadcast shared-prefix
+    operand.  pk_all/pv_all: (L, 1, Hkv, Pc, D) int8 with psk_all/psv_all
+    (L, 1, Hkv, Pc) f32 scales, all read-only (fetched once per call);
+    pmask: (B, Pc) 0/1 per-row prefix validity.  Everything else as
+    decode_attention_stacked_write_q."""
+    L, B, Hkv, T, D = ck_all.shape
+    Pc = pk_all.shape[3]
+    rep = qg.shape[2]
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, idx: (b, 0, 0)),
+            pl.BlockSpec((B, Hkv), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, Hkv), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, T), lambda b, idx: (0, 0)),
+            pl.BlockSpec((B, Pc), lambda b, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, idx: (idx[0], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, idx: (idx[0], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc),
+                         lambda b, idx: (idx[0], 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc),
+                         lambda b, idx: (idx[0], 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, rep, D), lambda b, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 32, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, idx: (idx[0], b, 0, idx[1 + b] // 32, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, idx: (idx[0], b, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_write_q_p, rep=rep),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(cv_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(sk_all.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sv_all.shape, jnp.float32),
+        ],
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg,
+      k_new_q.astype(jnp.float32), v_new_q.astype(jnp.float32),
+      k_new_s.astype(jnp.float32), v_new_s.astype(jnp.float32),
+      kv_mask.astype(jnp.int32), pmask.astype(jnp.int32),
+      ck_all, cv_all, sk_all, sv_all,
+      pk_all.astype(jnp.int8), pv_all.astype(jnp.int8),
+      psk_all.astype(jnp.float32), psv_all.astype(jnp.float32))
+
+
+def supports_decode_attention_q_prefix(cfg, cache_shape,
+                                       prefix_cols: int) -> bool:
+    """int8 fused-write + prefix eligibility (VMEM: per-batch cache tile
+    pair double-buffered + prefix pair, both with bf16 converts)."""
+    L, B, Hkv, T, D = cache_shape
+    tile_bytes = 2 * Hkv * (T + 2 * prefix_cols) * D * (1 + 2)
+    return (D % 128 == 0 and T % 32 == 0 and prefix_cols % 32 == 0
+            and prefix_cols > 0 and tile_bytes <= 20 * 1024 * 1024)
+
+
+def _kernel_verify_qc_p(idx_ref, q_ref, knq_ref, vnq_ref, kns_ref, vns_ref,
+                        mask_ref, pmask_ref, ck_ref, cv_ref, sk_ref, sv_ref,
+                        pk_ref, pv_ref, psk_ref, psv_ref,
+                        o_ref, cko_ref, cvo_ref, sko_ref, svo_ref,
+                        g1k_ref, g1v_ref, *, rep: int, G: int, Hkv: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    T, D = ck_ref.shape[3], ck_ref.shape[4]
+    GR = G * rep
+    slot = idx_ref[1 + b]                               # chunk start column
+    tg0 = slot // 32
+
+    @pl.when(j == 1)
+    def _():
+        cko_ref[0, 0] = g1k_ref[...]
+        cvo_ref[0, 0] = g1v_ref[...]
+
+    @pl.when(j == 0)
+    def _():
+        mask = mask_ref[b]                              # (T,)
+        pmask = pmask_ref[b]                            # (Pc,)
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 0) // rep
+        colg = jax.lax.broadcasted_iota(jnp.int32, (GR, G), 1)
+        rows32 = jax.lax.broadcasted_iota(jnp.int32, (32, D), 0)
+
+        for h in range(Hkv):                            # static head loop
+            ckf = ck_ref[0, 0, h].astype(jnp.bfloat16)  # (T, D) exact
+            cvf = cv_ref[0, 0, h].astype(jnp.bfloat16)
+            sk = sk_ref[0, 0, pl.ds(h, 1), :]           # (1, T) f32
+            sv = sv_ref[0, 0, pl.ds(h, 1), :]
+            pkf = pk_ref[0, 0, h].astype(jnp.bfloat16)  # (Pc, D) exact
+            pvf = pv_ref[0, 0, h].astype(jnp.bfloat16)
+            psk = psk_ref[0, 0, pl.ds(h, 1), :]         # (1, Pc) f32
+            psv = psv_ref[0, 0, pl.ds(h, 1), :]
+            knq = knq_ref[0, h]                         # (G, D) f32 ints
+            vnq = vnq_ref[0, h]
+            kns = kns_ref[b, pl.ds(h, 1), :]            # (1, G) f32
+            vns = vns_ref[b, pl.ds(h, 1), :]
+
+            q = q_ref[0, h]                             # (G·rep, D) bf16
+            logits = jax.lax.dot_general(
+                q, ckf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (GR, T)
+            logits = logits * sk
+            logits = jnp.where(mask[None, :] > 0, logits, NEG)
+            lp = jax.lax.dot_general(
+                q, pkf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (GR, Pc)
+            lp = lp * psk
+            lp = jnp.where(pmask[None, :] > 0, lp, NEG)
+            ln = jax.lax.dot_general(
+                q.astype(jnp.float32), knq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * kns   # (GR, G)
+            ln = jnp.where(colg <= rowg, ln, NEG)       # intra-chunk causal
+            m = jnp.maximum(
+                jnp.maximum(jnp.max(logits, axis=-1), jnp.max(lp, axis=-1)),
+                jnp.max(ln, axis=-1))
+            el = jnp.exp(logits - m[:, None])           # (GR, T)
+            ep = jnp.exp(lp - m[:, None])               # (GR, Pc)
+            en = jnp.exp(ln - m[:, None])               # (GR, G)
+            denom = (jnp.sum(el, axis=-1) + jnp.sum(ep, axis=-1)
+                     + jnp.sum(en, axis=-1))
+            a = jax.lax.dot_general(
+                (el * sv).astype(jnp.bfloat16), cvf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (GR, D)
+            a = a + jax.lax.dot_general(
+                (ep * psv).astype(jnp.bfloat16), pvf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a = a + jax.lax.dot_general(
+                en * vns, vnq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h] = (a / denom[:, None]).astype(o_ref.dtype)
+
+            snewk = sk
+            snewv = sv
+            for g in range(G):
+                snewk = jnp.where(cols1 == slot + g, kns[0, g], snewk)
+                snewv = jnp.where(cols1 == slot + g, vns[0, g], snewv)
+            sko_ref[0, 0, pl.ds(h, 1), :] = snewk
+            svo_ref[0, 0, pl.ds(h, 1), :] = snewv
+
+            for jj in range(2):
+                tg = tg0 + jj
+                r = slot - tg * 32
+                old_k = ck_ref[0, 0, h, pl.ds(tg * 32, 32), :].astype(
+                    jnp.float32)                                 # (32, D)
+                old_v = cv_ref[0, 0, h, pl.ds(tg * 32, 32), :].astype(
+                    jnp.float32)
+                new_k = old_k
+                new_v = old_v
+                for g in range(G):
+                    new_k = jnp.where(rows32 == r + g, knq[g][None, :],
+                                      new_k)
+                    new_v = jnp.where(rows32 == r + g, vnq[g][None, :],
+                                      new_v)
+                if jj == 0:
+                    cko_ref[0, 0, h] = new_k.astype(jnp.int8)
+                    cvo_ref[0, 0, h] = new_v.astype(jnp.int8)
+                else:
+                    g1k_ref[h] = new_k.astype(jnp.int8)
+                    g1v_ref[h] = new_v.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4),
+                   static_argnames=("interpret",))
+def decode_attention_stacked_verify_qc_prefix(
+        qg, ck_all, cv_all, sk_all, sv_all, kv_mask, k_new_q, v_new_q,
+        k_new_s, v_new_s, layer, slots, pk_all, pv_all, psk_all, psv_all,
+        pmask, *, interpret: bool = False):
+    """decode_attention_stacked_verify_qc + a batch-broadcast shared-prefix
+    operand (read-only, fetched once per call — constant block index).
+    pk_all/pv_all: (L, 1, Hkv, Pc, D) int8; psk_all/psv_all:
+    (L, 1, Hkv, Pc) f32; pmask: (B, Pc) 0/1 per-row prefix validity."""
+    L, B, Hkv, T, D = ck_all.shape
+    Pc = pk_all.shape[3]
+    G = k_new_q.shape[2]
+    GR = qg.shape[2]
+    rep = GR // G
+    slots = jnp.broadcast_to(
+        jnp.asarray(slots, jnp.int32).reshape(-1), (B,))
+    idx = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), slots])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, 2),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, GR, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, G, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, G, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, Hkv, G), lambda b, j, idx: (0, 0, 0)),
+            pl.BlockSpec((B, T), lambda b, j, idx: (0, 0)),
+            pl.BlockSpec((B, Pc), lambda b, j, idx: (0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, j, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D),
+                         lambda b, j, idx: (idx[0], b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, j, idx: (idx[0], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc, D),
+                         lambda b, j, idx: (idx[0], 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc),
+                         lambda b, j, idx: (idx[0], 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, Pc),
+                         lambda b, j, idx: (idx[0], 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hkv, GR, D), lambda b, j, idx: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, j, idx: (idx[0], b, 0,
+                                            idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, 1, Hkv, 32, D),
+                         lambda b, j, idx: (idx[0], b, 0,
+                                            idx[1 + b] // 32 + j, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T),
+                         lambda b, j, idx: (idx[0], b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, 32, D), jnp.int8),
+            pltpu.VMEM((Hkv, 32, D), jnp.int8),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_verify_qc_p, rep=rep, G=G, Hkv=Hkv),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, GR, D), qg.dtype),
+            jax.ShapeDtypeStruct(ck_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(cv_all.shape, jnp.int8),
+            jax.ShapeDtypeStruct(sk_all.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sv_all.shape, jnp.float32),
+        ],
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True),
+        interpret=interpret,
+    )(idx, qg,
+      k_new_q.astype(jnp.float32), v_new_q.astype(jnp.float32),
+      k_new_s.astype(jnp.float32), v_new_s.astype(jnp.float32),
+      kv_mask.astype(jnp.int32), pmask.astype(jnp.int32),
+      ck_all, cv_all, sk_all, sv_all,
+      pk_all.astype(jnp.int8), pv_all.astype(jnp.int8),
+      psk_all.astype(jnp.float32), psv_all.astype(jnp.float32))
+
+
+def supports_verify_chunk_prefix(cfg, cache_shape, G: int,
+                                 prefix_cols: int) -> bool:
+    """Chunk-verify + prefix eligibility: the non-prefix budget plus the
+    double-buffered prefix int8 pair, one head's bf16 prefix converts, and
+    the (GR, Pc) fp32 logit temps."""
+    L, B, Hkv, T, D = cache_shape
+    GR = G * (cfg.num_heads // cfg.num_kv_heads)
+    tile_bytes = (2 * 2 * Hkv * T * D              # int8 pair, dbuffered
+                  + 2 * T * D * 2                  # one head's bf16 pair
+                  + 3 * GR * T * 4                 # logits/el/el·sv (f32)
+                  + 4 * 32 * D * 4                 # stale tile groups
+                  + 8 * T * 4                      # scale rows
+                  + 2 * 2 * Hkv * prefix_cols * D  # prefix int8 pair, dbuf
+                  + 2 * prefix_cols * D * 2        # one head's bf16 pair
+                  + 3 * GR * prefix_cols * 4       # prefix logit temps
+                  + 8 * prefix_cols * 4)
+    return (D % 128 == 0 and T % 32 == 0 and T >= 64 and G <= 32
+            and prefix_cols % 32 == 0 and prefix_cols > 0
+            and tile_bytes <= 14 * 1024 * 1024)

@@ -697,21 +697,47 @@ def decoder_decode_step(
             decode_attention_stacked_write_q, supports_decode_attention_q,
         )
 
-        use_pallas_q = (on_tpu_q4 and layout == "bktd"
-                        and prefix_kv is None
-                        and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
-                        and supports_decode_attention_q(cfg, ck_all.shape))
+        if prefix_kv is None:
+            use_pallas_q = (
+                on_tpu_q4 and layout == "bktd"
+                and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+                and supports_decode_attention_q(cfg, ck_all.shape))
+        else:
+            from ..kernels.decode_attention import (
+                decode_attention_stacked_write_q_prefix,
+                supports_decode_attention_q_prefix,
+            )
+
+            use_pallas_q = (
+                on_tpu_q4 and layout == "bktd"
+                and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+                and "k_scale" in prefix_kv
+                and supports_decode_attention_q_prefix(
+                    cfg, ck_all.shape, prefix_kv["k"].shape[3]))
         if use_pallas_q:
             slots = jnp.asarray(cache_index, jnp.int32)
+            if prefix_kv is not None:
+                pmask01 = (prefix_bias[:, 0, 0, :] >= -1e30
+                           ).astype(jnp.int32)         # (B, Pc)
 
             def block_fused_q(carry, li):
                 x, ck_a, cv_a, sk_a, sv_a = carry
                 qg, k, v = qkv(x, li)
                 kq, ks = quantize_kv(k)
                 vq, vs = quantize_kv(v)
-                a, ck_a, cv_a, sk_a, sv_a = decode_attention_stacked_write_q(
-                    qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
-                    li, slots)
+                if prefix_kv is not None:
+                    a, ck_a, cv_a, sk_a, sv_a = (
+                        decode_attention_stacked_write_q_prefix(
+                            qg, ck_a, cv_a, sk_a, sv_a, kv_mask01,
+                            kq, vq, ks, vs, li, slots,
+                            prefix_kv["k"], prefix_kv["v"],
+                            prefix_kv["k_scale"], prefix_kv["v_scale"],
+                            pmask01))
+                else:
+                    a, ck_a, cv_a, sk_a, sv_a = (
+                        decode_attention_stacked_write_q(
+                            qg, ck_a, cv_a, sk_a, sv_a, kv_mask01,
+                            kq, vq, ks, vs, li, slots))
                 return (post_attn(x, a.astype(x.dtype), li),
                         ck_a, cv_a, sk_a, sv_a), None
 
@@ -799,23 +825,45 @@ def decoder_decode_step(
     #     scatter `.at[:, bidx, :, idx, :].set` copies the whole cache —
     #     → fused is default, P2T_NO_FUSED_CACHE_WRITE=1 opts out.
     per_row_slots = getattr(cache_index, "ndim", 0) == 1
-    use_fused_write = (use_pallas_attn
-                       and ck_all.shape[3] % 16 == 0  # bf16 tile groups
-                       and (bool(os.environ.get("P2T_FUSED_CACHE_WRITE"))
-                            or (per_row_slots
-                                and not os.environ.get(
-                                    "P2T_NO_FUSED_CACHE_WRITE"))))
+    write_policy = (bool(os.environ.get("P2T_FUSED_CACHE_WRITE"))
+                    or (per_row_slots
+                        and not os.environ.get("P2T_NO_FUSED_CACHE_WRITE")))
+    if prefix_kv is not None:
+        from ..kernels.decode_attention import (
+            decode_attention_stacked_write_prefix,
+            supports_decode_attention_write_prefix,
+        )
+
+        use_fused_write = (
+            on_tpu_q4 and layout == "bktd" and write_policy
+            and "k_scale" not in prefix_kv
+            and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
+            and supports_decode_attention_write_prefix(
+                cfg, ck_all.shape, prefix_kv["k"].shape[3], ck_all.dtype))
+    else:
+        use_fused_write = (use_pallas_attn
+                           and ck_all.shape[3] % 16 == 0  # bf16 tile groups
+                           and write_policy)
     if use_fused_write:
         from ..kernels.decode_attention import decode_attention_stacked_write
 
         slots = jnp.asarray(cache_index, jnp.int32)
+        if prefix_kv is not None:
+            pmask01 = (prefix_bias[:, 0, 0, :] >= -1e30
+                       ).astype(jnp.int32)               # (B, Pc)
 
         def block_fused(carry, li):
             x, ck_a, cv_a = carry
             qg, k, v = qkv(x, li)
-            a, ck_a, cv_a = decode_attention_stacked_write(
-                qg, ck_a, cv_a, kv_mask01, k.astype(qg.dtype),
-                v.astype(qg.dtype), li, slots)
+            if prefix_kv is not None:
+                a, ck_a, cv_a = decode_attention_stacked_write_prefix(
+                    qg, ck_a, cv_a, kv_mask01, k.astype(qg.dtype),
+                    v.astype(qg.dtype), li, slots,
+                    prefix_kv["k"], prefix_kv["v"], pmask01)
+            else:
+                a, ck_a, cv_a = decode_attention_stacked_write(
+                    qg, ck_a, cv_a, kv_mask01, k.astype(qg.dtype),
+                    v.astype(qg.dtype), li, slots)
             return (post_attn(x, a.astype(x.dtype), li), ck_a, cv_a), None
 
         (h, ck_all, cv_all), _ = jax.lax.scan(
@@ -916,20 +964,28 @@ def decoder_decode_step(
     return h, {"k": ck_all, "v": cv_all}
 
 
-def supports_verify_chunk_step(cfg, kv_cache, G: int) -> bool:
+def supports_verify_chunk_step(cfg, kv_cache, G: int,
+                               prefix_cols: int = 0) -> bool:
     """Eligibility for the fused chunk-verify path (decoder_verify_chunk):
-    int8 bktd cache, single-device TPU, kernel working set in VMEM."""
+    int8 bktd cache, single-device TPU, kernel working set in VMEM.
+    prefix_cols > 0 checks the shared-prefix (dedup) kernel variant."""
     import os
 
     from ..kernels.attention import pallas_single_device_ok
-    from ..kernels.decode_attention import supports_verify_chunk
+    from ..kernels.decode_attention import (
+        supports_verify_chunk, supports_verify_chunk_prefix,
+    )
 
-    return (jax.default_backend() == "tpu"
+    if not (jax.default_backend() == "tpu"
             and pallas_single_device_ok()
             and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
             and kv_cache_layout(cfg) == "bktd"
-            and "k_scale" in kv_cache
-            and supports_verify_chunk(cfg, kv_cache["k"].shape, G))
+            and "k_scale" in kv_cache):
+        return False
+    if prefix_cols:
+        return supports_verify_chunk_prefix(cfg, kv_cache["k"].shape, G,
+                                            prefix_cols)
+    return supports_verify_chunk(cfg, kv_cache["k"].shape, G)
 
 
 def decoder_verify_chunk(
@@ -941,6 +997,9 @@ def decoder_verify_chunk(
     positions,           # (B, G) rope positions of the chunk tokens
     kv_cache,            # int8 KV: {"k","v","k_scale","v_scale"} bktd
     cache_index,         # (B,) int32 per-row chunk-start columns, <= T-64
+    prefix_kv=None,      # optional batch-broadcast shared-prefix int8 KV
+                         # (L, 1, Hkv, Pc, D) + scales (serving dedup)
+    prefix_bias=None,    # fp32 (B, 1, 1, Pc) additive over prefix columns
 ):
     """Fused G-token chunk-verify step for speculative serving
     (infer/serving._spec_rounds): the chunk generalization of
@@ -953,7 +1012,10 @@ def decoder_verify_chunk(
     materialization or full-cache scan-ys rewrites.  Callers gate on
     supports_verify_chunk_step.  Returns (h (B, G, Hid), new_cache)."""
     from .quant import quantize_kv
-    from ..kernels.decode_attention import decode_attention_stacked_verify_qc
+    from ..kernels.decode_attention import (
+        decode_attention_stacked_verify_qc,
+        decode_attention_stacked_verify_qc_prefix,
+    )
 
     B, G, _ = token_embeds.shape
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -998,14 +1060,25 @@ def decoder_verify_chunk(
         up = proj("up_proj", li, xn).astype(jnp.float32)
         return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
 
+    if prefix_kv is not None:
+        pmask01 = (prefix_bias[:, 0, 0, :] >= -1e30
+                   ).astype(jnp.int32)             # (B, Pc)
+
     def block(carry, li):
         x, ck_a, cv_a, sk_a, sv_a = carry
         qg, k, v = qkv(x, li)
         kq, ks = quantize_kv(k)                    # (B, Hkv, G, ·)
         vq, vs = quantize_kv(v)
-        a, ck_a, cv_a, sk_a, sv_a = decode_attention_stacked_verify_qc(
-            qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
-            li, slots)
+        if prefix_kv is not None:
+            a, ck_a, cv_a, sk_a, sv_a = (
+                decode_attention_stacked_verify_qc_prefix(
+                    qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
+                    li, slots, prefix_kv["k"], prefix_kv["v"],
+                    prefix_kv["k_scale"], prefix_kv["v_scale"], pmask01))
+        else:
+            a, ck_a, cv_a, sk_a, sv_a = decode_attention_stacked_verify_qc(
+                qg, ck_a, cv_a, sk_a, sv_a, kv_mask01, kq, vq, ks, vs,
+                li, slots)
         return (post_attn(x, a.astype(x.dtype), li),
                 ck_a, cv_a, sk_a, sv_a), None
 
