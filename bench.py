@@ -504,7 +504,8 @@ def bench_contrastive_flagship():
 
 def _bench_serving_flagship(name, kv_bits=None, slots=8,
                             prompt_lookup_tokens=0, buckets=None,
-                            shared_prefix=0):
+                            shared_prefix=0, prefix_dedup=False,
+                            dedup_slots=None):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
@@ -558,14 +559,19 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
         if shared_prefix:
             full[:shared_prefix] = prefix_np
             suffixes.append(padded(full[shared_prefix:], p - shared_prefix))
-        prompts.append(padded(full, p))
+        if not prefix_dedup:
+            # the dedup A/B never submits full prompts (whose lengths can
+            # exceed a suffix-sized bucket ladder)
+            prompts.append(padded(full, p))
 
-    def serve(n, use_prefix=False):
+    def serve(n, use_prefix=False, dedup=False, n_slots=None):
         eng = ContinuousBatcher(
-            cfg, params, max_slots=SLOTS, max_len=BUCKETS[-1] + MAXNEW,
+            cfg, params, max_slots=n_slots or SLOTS,
+            max_len=BUCKETS[-1] + MAXNEW,
             prompt_pad=BUCKETS, eos_token_id=-1, sync_every=16,
             kv_bits=kv_bits, prompt_lookup_tokens=prompt_lookup_tokens,
-            shared_prefix_embeds=prefix_dev if use_prefix else None)
+            shared_prefix_embeds=prefix_dev if use_prefix else None,
+            prefix_dedup=dedup)
         for i in range(n):
             if use_prefix:
                 eng.submit(i, suffixes[i], max_new_tokens=budgets[i],
@@ -576,17 +582,31 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
         out = dict(eng.run())
         return eng.steps, sum(len(v) for v in out.values())
 
-    def timed(use_prefix=False):
+    def timed(use_prefix=False, dedup=False, n_slots=None):
         # warmup on the FULL workload: the prefill compiles per
         # (install-rows, prompt-bucket) pair actually seen (serving.py),
         # and the deterministic greedy run hits the same pairs both times
-        serve(len(plens), use_prefix)
+        serve(len(plens), use_prefix, dedup, n_slots)
         t0 = time.perf_counter()
-        steps, useful = serve(len(plens), use_prefix)
+        steps, useful = serve(len(plens), use_prefix, dedup, n_slots)
         return steps, useful, time.perf_counter() - t0
 
     extras = {}
-    if shared_prefix:
+    if shared_prefix and prefix_dedup:
+        # same-workload A/B: replicated prefix at SLOTS vs DEDUP at
+        # dedup_slots — the HBM freed by storing the prefix once (~0.5 GB
+        # at 16 slots x 512 kv8) converted into pool capacity
+        # (scripts/bench_serving_prefix_dedup.py: 400 -> 491 tok/s)
+        _, useful_r, dt_r = timed(use_prefix=True)
+        extras["replicated_tokens_per_sec"] = round(useful_r / dt_r, 1)
+        extras["replicated_slots"] = SLOTS
+        extras["shared_prefix_tokens"] = shared_prefix
+        steps, useful, dt = timed(use_prefix=True, dedup=True,
+                                  n_slots=dedup_slots or SLOTS)
+        extras["dedup_slots"] = dedup_slots or SLOTS
+        extras["dedup_speedup"] = round((useful / dt) / (useful_r / dt_r),
+                                        3)
+    elif shared_prefix:
         # same-workload A/B: full-prompt prefill vs prefix-shared prefill
         _, useful_np, dt_np = timed(use_prefix=False)
         extras["no_prefix_tokens_per_sec"] = round(useful_np / dt_np, 1)
@@ -635,16 +655,23 @@ def bench_serving_flagship_spec():
 
 
 def bench_serving_flagship_prefix():
-    """Prefix-shared KV serving (infer/serving.py shared_prefix_embeds) on
-    the kv8 16-slot speculative flagship: every request shares a 512-token
-    system+template header whose KV is computed once and seeded into freed
-    slots by device copy, so prefill covers only the private suffix.
-    Emits a same-workload A/B (no_prefix_tokens_per_sec) — prefill compute
-    dominates this ragged workload, so skipping ~40-85% of each prompt's
-    prefill is the single largest end-to-end lever after bucketing."""
+    """Prefix-shared KV serving with HBM DEDUP (infer/serving.py
+    prefix_dedup=True) on the kv8 speculative flagship: every request
+    shares a 512-token system+template header whose KV is computed once,
+    stored ONCE, and read by the fused decode/verify kernels as a
+    batch-broadcast constant-index operand (fetched once per layer, not
+    once per slot).  The ~0.5 GB the 16-slot replicated layout spent on
+    prefix copies buys a 24-SLOT pool at 25% LESS footprint — measured
+    (scripts/bench_serving_prefix_dedup.py): replicated_16 400.2 /
+    replicated_24 456.7 / dedup_24 491.1 useful tok/s (+7.5% at equal
+    slots, +23% vs the round-3 16-slot config).  The prefix-vs-full-
+    prompt prefill A/B (+19%) is round 3's no_prefix_tokens_per_sec,
+    recorded in REPORT_r3.md."""
     _bench_serving_flagship(
-        "serving_prefix_tokens_per_sec_int8_kv8_llama31_8b_16slots_1664ctx",
-        kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512)
+        "serving_prefix_dedup_tokens_per_sec_int8_kv8_llama31_8b_24slots",
+        kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512,
+        prefix_dedup=True, dedup_slots=24,
+        buckets=(384, 512, 768, 1024, 1280))
 
 
 def bench_contrastive_step():

@@ -102,6 +102,13 @@ def build_parser():
                         "suffix (requests are verified token-by-token; "
                         "mismatches fall back to full-prompt prefill — "
                         "greedy output is exact either way)")
+    p.add_argument("--prefix_dedup", type=str2bool, default=True,
+                   help="store the shared prefix KV ONCE in HBM (batch-"
+                        "broadcast kernel operand) instead of replicating "
+                        "it into every slot — frees max_slots x prefix "
+                        "cache bytes for a bigger pool and reads the "
+                        "prefix once per layer instead of once per slot; "
+                        "only applies with --shared_prefix")
     p.add_argument("--output_dir", type=str, default="./generation_results")
     p.add_argument("--output_identifier", type=str, default="serve")
     p.add_argument("--debug_trim_generate_split", type=int, default=None)
@@ -248,7 +255,8 @@ def main(argv=None):
             medusa_params=medusa_params,
             spec_break_even=args.spec_break_even,
             spec_probe_every=args.spec_probe_every,
-            shared_prefix_embeds=prefix_embeds)
+            shared_prefix_embeds=prefix_embeds,
+            prefix_dedup=args.prefix_dedup and prefix_embeds is not None)
 
         def _finish(name, toks):
             pred = tok.decode(
