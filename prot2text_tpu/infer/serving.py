@@ -599,7 +599,8 @@ class ContinuousBatcher:
                  spec_break_even: float = 0.0,
                  spec_probe_every: int = 8,
                  shared_prefix_embeds=None,
-                 prefix_dedup: bool = False):
+                 prefix_dedup: bool = False,
+                 max_prefill_rows: int = 16):
         buckets = ((prompt_pad,) if isinstance(prompt_pad, int)
                    else tuple(sorted(prompt_pad)))
         if not buckets or buckets[-1] >= max_len:
@@ -645,6 +646,14 @@ class ContinuousBatcher:
         # 0.0 (default) = always speculate (the prior behavior).
         self.spec_break_even = float(spec_break_even)
         self.spec_probe_every = max(1, int(spec_probe_every))
+        # cap on rows per prefill dispatch: the transient prefill cache is
+        # R x (prefix_cols + prompt_pad) wide PER ROW — a 32-row install at
+        # the 8B kv8 flagship is a ~3.8 GB transient that OOMs next to the
+        # weights + pool.  Bigger pools refill in chunks of this many rows
+        # (one dispatch each); <= 16 keeps the transient under ~2 GB at
+        # flagship shapes with no measurable cost (prefill is
+        # compute-bound, so chunking loses only dispatch overhead).
+        self.max_prefill_rows = max(1, int(max_prefill_rows))
         self._accept_ema = None
         self._plain_since_probe = 0
         self.spec_fallbacks = 0        # plain dispatches taken while spec_gamma > 0
@@ -806,7 +815,10 @@ class ContinuousBatcher:
                 (self._bucket_for(req.prompt_len), req.use_prefix), {}
             )[slot] = req
         for (pad, upfx), group in sorted(by_bucket.items()):
-            yield from self._install_group(group, pad, upfx)
+            items = list(group.items())
+            for i in range(0, len(items), self.max_prefill_rows):
+                yield from self._install_group(
+                    dict(items[i:i + self.max_prefill_rows]), pad, upfx)
 
     def _install_group(self, installs: dict, pad: int,
                        use_prefix: bool = False) -> Iterator[tuple]:

@@ -442,6 +442,24 @@ def test_engine_shared_prefix_speculative_exact(dedup):
         assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
 
 
+def test_engine_chunked_installs_match_generate():
+    """max_prefill_rows caps rows per prefill dispatch (the transient
+    prefill cache is R x width per row — a full-pool install at flagship
+    shapes is a multi-GB transient).  Chunked installs must be stream-
+    identical to one-shot installs."""
+    params = _params()
+    reqs = [(f"r{i}", _prompt(30 + i, 2 + (i % 6)), 3 + (i % 4))
+            for i in range(6)]
+    eng = ContinuousBatcher(CFG, params, max_slots=6, max_len=PAD + 6,
+                            prompt_pad=PAD, eos_token_id=-1,
+                            cache_dtype=jnp.float32, max_prefill_rows=2)
+    for rid, emb, n in reqs:
+        eng.submit(rid, emb, max_new_tokens=n)
+    out = dict(eng.run())
+    for rid, emb, n in reqs:
+        assert out[rid] == _ref_tokens(params, emb, n), rid
+
+
 def test_engine_prefix_dedup_requires_shared_prefix():
     params = _params()
     with pytest.raises(ValueError, match="prefix_dedup"):
