@@ -505,7 +505,7 @@ def bench_contrastive_flagship():
 def _bench_serving_flagship(name, kv_bits=None, slots=8,
                             prompt_lookup_tokens=0, buckets=None,
                             shared_prefix=0, prefix_dedup=False,
-                            dedup_slots=None):
+                            dedup_slots=None, n_req=24):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
@@ -529,7 +529,7 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
     BUCKETS = (buckets if buckets is not None
                else (384, 512, 768, 1024, 1280, 1408, 1664))
     MAXNEW = 192
-    N_REQ = 24
+    N_REQ = n_req
     rng = np.random.default_rng(0)
     if shared_prefix:
         # real chat workload shape: every prompt = the shared-prefix
