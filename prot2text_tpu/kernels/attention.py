@@ -23,11 +23,19 @@ def pallas_single_device_ok() -> bool:
     in the CLI trainers, or a real multi-chip slice), the XLA paths — which
     GSPMD partitions correctly — must win the dispatch.  Size 0 means no
     ambient mesh (plain single-chip jit); size 1 is a degenerate mesh
-    (the 1-chip CLI default) where pallas is safe.  The explicitly
-    shard_map'd kernels (ring attention) manage their own mesh axes and
-    bypass this gate."""
+    (the 1-chip CLI default) where pallas is safe.  INSIDE a shard_map
+    region (every mesh axis Manual — kernels/shard.batch_shard_ctx wraps
+    the batch-parallel paths that way) the trace is a per-device program
+    and pallas is safe again; a partially-manual region is safe when the
+    remaining auto axes carry one device.  The explicitly shard_map'd
+    kernels (ring attention) manage their own mesh axes and bypass this
+    gate."""
     m = jax.sharding.get_abstract_mesh()
-    return m is None or m.size <= 1
+    if m is None or m.size <= 1:
+        return True
+    from .shard import non_manual_size
+
+    return non_manual_size(m) <= 1
 
 
 def _xla_attention(q, k, v, bias):
@@ -115,13 +123,18 @@ def flash_eligible(q, k, causal: bool, min_seq: int = 0) -> bool:
     so padding is opt-in via P2T_PAD_FLASH=1 (useful at small B·H)."""
     import os
 
+    from .shard import batch_shard_ctx, kernel_backend_ok
+
     tileable = (_flash_blocks(q.shape[-2], k.shape[-2]) is not None
                 or bool(os.environ.get("P2T_PAD_FLASH")))
     return (causal
             and tileable
             and q.shape[-2] >= min_seq
-            and jax.default_backend() == "tpu"
-            and pallas_single_device_ok()
+            and kernel_backend_ok()
+            and (pallas_single_device_ok()
+                 # on a batch-axes-only mesh the dispatch shard_maps the
+                 # kernel over (dp, fsdp) — kernels/shard.py
+                 or batch_shard_ctx(q.shape[0]) is not None)
             and q.shape[-1] in (64, 128))
 
 
@@ -193,17 +206,41 @@ def dot_product_attention(q, k, v, bias, impl: str = "xla", lengths=None):
         kv_start, kv_len, causal = lengths
         if flash_eligible(q, k, causal,
                           min_seq=1024 if impl == "auto" else 0):
-            return masked_flash_padded(q, k, v, kv_start, kv_len, causal)
+            from .shard import (
+                batch_shard_ctx, force_interpret, shard_map_over_batch,
+            )
+
+            interp = force_interpret()
+            if not pallas_single_device_ok():
+                # flash_eligible passed on a >1-device mesh ⇒ batch-axes-
+                # only mesh: run the kernel per device over batch shards
+                ctx = batch_shard_ctx(q.shape[0])
+                return shard_map_over_batch(
+                    lambda q_, k_, v_, s_, l_: masked_flash_padded(
+                        q_, k_, v_, s_, l_, causal, interpret=interp),
+                    ctx, (q, k, v, jnp.asarray(kv_start, jnp.int32),
+                          jnp.asarray(kv_len, jnp.int32)),
+                    (0, 0, 0, 0, 0), 0)
+            return masked_flash_padded(q, k, v, kv_start, kv_len, causal,
+                                       interpret=interp)
     if impl == "flash":
         tileable = (q.shape[-1] in (64, 128)
                     and _flash_blocks(q.shape[-2], k.shape[-2]) is not None)
         if tileable:
             try:
                 from .flash_attention import flash_attention_tpu
+                from .shard import batch_shard_ctx, shard_map_over_batch
 
                 if (jax.default_backend() == "tpu"
                         and pallas_single_device_ok()):
                     return flash_attention_tpu(q, k, v, bias)
+                if jax.default_backend() == "tpu":
+                    ctx = batch_shard_ctx(q.shape[0])
+                    if ctx is not None and bias.shape[0] in (1, q.shape[0]):
+                        bdim = 0 if bias.shape[0] == q.shape[0] else None
+                        return shard_map_over_batch(
+                            flash_attention_tpu, ctx, (q, k, v, bias),
+                            (0, 0, 0, bdim), 0)
             except Exception:
                 pass
         # non-tileable flash request (e.g. the desc-hour 544-token prefill):

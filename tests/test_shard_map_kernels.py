@@ -1,0 +1,230 @@
+"""Pallas kernel paths under multi-device meshes (VERDICT r3 #2).
+
+The decode / verify-chunk steps shard_map themselves over the mesh batch
+axes (kernels/shard.py + models/decoder.py), so the Pallas kernels keep
+running per device instead of yielding to XLA fallbacks.  CPU never takes
+the Pallas dispatch on its own, so these tests force it with
+P2T_PALLAS_FORCE_INTERPRET=1 (kernels run in interpret mode) and pin:
+
+  * batch_shard_ctx's mesh gating (dp/fsdp only, divisibility, manual);
+  * the sharded decode step == the single-device decode step, bf16 fused
+    write + int8 KV fused write_q + plain stacked attention paths;
+  * the sharded verify chunk == the single-device verify chunk;
+  * the Pallas kernel is ACTUALLY invoked under the mesh (call counter);
+  * end-to-end generate() parity under a dp-sharded mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from prot2text_tpu.core.mesh import MeshConfig, make_mesh
+from prot2text_tpu.infer.kvcache import init_kv_cache
+from prot2text_tpu.models.decoder import (
+    DecoderConfig, decoder_decode_step, decoder_verify_chunk,
+    init_decoder_params, supports_verify_chunk_step,
+)
+
+CFG = DecoderConfig(
+    vocab_size=128, hidden_size=256, num_layers=2, num_heads=4,
+    num_kv_heads=2, intermediate_size=512, head_dim=128, rope_theta=1e4)
+PARAMS = init_decoder_params(CFG, jax.random.PRNGKey(0), jnp.bfloat16)
+B, T = 8, 64     # T % 32 == 0: int8-KV tile groups (supports_..._q)
+
+
+def _mesh84():
+    return make_mesh(MeshConfig(dp=4, fsdp=2), jax.devices())
+
+
+def _decode_inputs(kv_bits=None, per_row=True):
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size)) * 0.1,
+                      jnp.bfloat16)
+    filled = 16
+    mask = np.zeros((B, T), np.float32)
+    mask[:, :filled] = 1.0
+    bias = jnp.asarray(
+        np.where(mask, 0.0, np.finfo(np.float32).min)[:, None, None, :])
+    positions = jnp.full((B, 1), filled, jnp.int32)
+    cache = init_kv_cache(CFG, B, T, jnp.bfloat16, kv_bits=kv_bits)
+    k0 = jnp.asarray(rng.standard_normal(cache["k"].shape) * 0.3,
+                     jnp.bfloat16)
+    v0 = jnp.asarray(rng.standard_normal(cache["v"].shape) * 0.3,
+                     jnp.bfloat16)
+    if kv_bits:
+        cache = dict(cache,
+                     k=(k0 * 127).astype(jnp.int8),
+                     v=(v0 * 127).astype(jnp.int8))
+    else:
+        cache = {"k": k0, "v": v0}
+    idx = (jnp.asarray(rng.integers(filled, T, (B,)), jnp.int32) if per_row
+           else jnp.asarray(filled, jnp.int32))
+    return emb, bias, positions, cache, idx
+
+
+def _step(emb, bias, positions, cache, idx):
+    return jax.jit(lambda c: decoder_decode_step(
+        CFG, PARAMS, token_embeds=emb, bias_old=bias, positions=positions,
+        kv_cache=c, cache_index=idx))(cache)
+
+
+def test_batch_shard_ctx_gating(monkeypatch):
+    from prot2text_tpu.kernels.shard import batch_shard_ctx
+
+    assert batch_shard_ctx(8) is None                 # no mesh
+    with jax.set_mesh(_mesh84()):
+        m, axes = batch_shard_ctx(8)
+        assert axes == ("dp", "fsdp")
+        assert batch_shard_ctx(6) is None             # not divisible
+        monkeypatch.setenv("P2T_NO_SHARD_MAP_BATCH", "1")
+        assert batch_shard_ctx(8) is None             # escape hatch
+        monkeypatch.delenv("P2T_NO_SHARD_MAP_BATCH")
+    devs = np.array(jax.devices()).reshape(4, 2)
+    with jax.set_mesh(Mesh(devs, ("dp", "tp"))):
+        assert batch_shard_ctx(8) is None             # tp carries devices
+
+
+@pytest.mark.parametrize("kv_bits,per_row", [
+    (None, True),       # bf16 fused write (per-row serving path)
+    (None, False),      # bf16 split attention + cache_slot_write
+    (8, True),          # int8 KV fused write_q
+])
+def test_decode_step_sharded_matches_single(monkeypatch, kv_bits, per_row):
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    import prot2text_tpu.kernels.decode_attention as da
+
+    emb, bias, positions, cache, idx = _decode_inputs(kv_bits, per_row)
+    h_ref, cache_ref = _step(emb, bias, positions, cache, idx)
+    h_ref, cache_ref = np.asarray(h_ref), jax.tree_util.tree_map(
+        np.asarray, cache_ref)
+
+    # count kernel dispatches under the mesh (trace-time: dispatch happens
+    # once per trace inside the layer scan)
+    target = ("decode_attention_stacked_write_q" if kv_bits
+              else ("decode_attention_stacked_write" if per_row
+                    else "decode_attention_stacked"))
+    calls = {"n": 0}
+    orig = getattr(da, target)
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(da, target, counting)
+    with jax.set_mesh(_mesh84()):
+        h_s, cache_s = _step(emb, bias, positions, cache, idx)
+        h_s, cache_s = np.asarray(h_s), jax.tree_util.tree_map(
+            np.asarray, cache_s)
+    assert calls["n"] > 0, "Pallas kernel not dispatched under the mesh"
+    np.testing.assert_array_equal(h_s, h_ref)
+    for key in cache_ref:
+        np.testing.assert_array_equal(cache_s[key], cache_ref[key])
+
+
+def test_verify_chunk_sharded_matches_single(monkeypatch):
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    G = 3
+    rng = np.random.default_rng(1)
+    Tc = 128
+    emb = jnp.asarray(rng.standard_normal((B, G, CFG.hidden_size)) * 0.1,
+                      jnp.bfloat16)
+    filled = 32
+    mask01 = np.zeros((B, Tc), np.int32)
+    mask01[:, :filled] = 1
+    mask01 = jnp.asarray(mask01)
+    positions = jnp.broadcast_to(jnp.arange(G)[None] + filled, (B, G))
+    cache = init_kv_cache(CFG, B, Tc, jnp.bfloat16, kv_bits=8)
+    cache = dict(
+        cache,
+        k=jnp.asarray(rng.integers(-127, 128, cache["k"].shape), jnp.int8),
+        v=jnp.asarray(rng.integers(-127, 128, cache["v"].shape), jnp.int8),
+        k_scale=jnp.asarray(rng.random(cache["k_scale"].shape) * 0.02,
+                            jnp.float32),
+        v_scale=jnp.asarray(rng.random(cache["v_scale"].shape) * 0.02,
+                            jnp.float32))
+    starts = jnp.full((B,), filled, jnp.int32)
+
+    assert supports_verify_chunk_step(CFG, cache, G)
+
+    def run(c):
+        return jax.jit(lambda cc: decoder_verify_chunk(
+            CFG, PARAMS, token_embeds=emb, kv_mask01=mask01,
+            positions=positions, kv_cache=cc, cache_index=starts))(c)
+
+    h_ref, cache_ref = run(cache)
+    with jax.set_mesh(_mesh84()):
+        # the support gate must hold under the mesh too (per-shard shapes)
+        assert supports_verify_chunk_step(CFG, cache, G)
+        h_s, cache_s = run(cache)
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_ref))
+    for key in cache_ref:
+        np.testing.assert_array_equal(np.asarray(cache_s[key]),
+                                      np.asarray(cache_ref[key]))
+
+
+def test_masked_flash_sharded_matches_single(monkeypatch):
+    """Prefill/training flash attention under a dp/fsdp mesh: the dispatch
+    shard_maps the masked-flash kernel over batch (kernels/attention.py);
+    forward AND gradients match the single-device kernel path."""
+    from prot2text_tpu.kernels.attention import dot_product_attention
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    Bq, H, S, D = 8, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((Bq, H, S, D)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((Bq, H, S, D)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((Bq, H, S, D)) * 0.1, jnp.float32)
+    kv_start = jnp.zeros((Bq,), jnp.int32)
+    kv_len = jnp.full((Bq,), S, jnp.int32)
+    bias = jnp.zeros((Bq, 1, S, S), jnp.float32)
+
+    def fwd_and_grads(q_, k_, v_):
+        def loss(q__, k__, v__):
+            out = dot_product_attention(q__, k__, v__, bias, impl="flash",
+                                        lengths=(kv_start, kv_len, True))
+            # per-row quadratic loss: batch rows stay independent, so the
+            # sharded/unsharded comparison is elementwise (a scalar .sum()
+            # would differ by cross-shard reduction ORDER, not math)
+            return out.astype(jnp.float32) ** 2
+
+        out = dot_product_attention(q_, k_, v_, bias, impl="flash",
+                                    lengths=(kv_start, kv_len, True))
+        grads = jax.grad(lambda *a: loss(*a).sum(), argnums=(0, 1, 2))(
+            q_, k_, v_)
+        return out, grads
+
+    ref, ref_grads = jax.jit(fwd_and_grads)(q, k, v)
+    with jax.set_mesh(_mesh84()):
+        got, got_grads = jax.jit(fwd_and_grads)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    for g_ref, g_got in zip(ref_grads, got_grads):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_generate_sharded_pallas_matches_single(monkeypatch):
+    """End-to-end: generate() under a dp/fsdp mesh takes the shard_map'd
+    decode path with the Pallas kernels live and matches the no-mesh
+    token stream."""
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    rng = np.random.default_rng(2)
+    Pp = 6
+    emb = jnp.asarray(rng.standard_normal((B, Pp, CFG.hidden_size)) * 0.1,
+                      jnp.bfloat16)
+    mask = jnp.ones((B, Pp), jnp.int32)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1, pad_token_id=0)
+    want = np.asarray(generate(CFG, PARAMS, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen))
+    mesh = _mesh84()
+    with jax.set_mesh(mesh):
+        emb_s = jax.device_put(emb, NamedSharding(mesh, P(("dp", "fsdp"))))
+        mask_s = jax.device_put(mask, NamedSharding(mesh, P(("dp", "fsdp"))))
+        got = np.asarray(generate(CFG, PARAMS, inputs_embeds=emb_s,
+                                  attention_mask=mask_s, gen_cfg=gen))
+    np.testing.assert_array_equal(got, want)
