@@ -23,11 +23,17 @@ import time
 
 import numpy as np
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if _os.environ.get("BENCH_PLATFORM"):
+    # runner plumbing tests force CPU (the axon sitecustomize overrides
+    # JAX_PLATFORMS, so an env var alone does not stick)
+    jax.config.update("jax_platforms", _os.environ["BENCH_PLATFORM"])
 
 V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_GBPS = 819.0
@@ -843,14 +849,22 @@ def _run_group(names, timeout_s, inactivity_s, on_line):
     proc = subprocess.Popen(
         [sys.executable, "-u", __file__, "--group", ",".join(names)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-    lines, lock = [], threading.Lock()
+    done, lock = set(), threading.Lock()
     last_line_t = [time.monotonic()]
 
     def reader():
+        # forward each metric line IMMEDIATELY — the driver's outer kill
+        # can land mid-group and must only lose the in-flight metric
         for ln in proc.stdout:
+            ln = ln.rstrip("\n")
             with lock:
-                lines.append(ln.rstrip("\n"))
                 last_line_t[0] = time.monotonic()
+                if ln.startswith("{"):
+                    try:
+                        done.add(json.loads(ln).get("bench_fn"))
+                    except Exception:
+                        pass
+                    on_line(ln)
 
     th = threading.Thread(target=reader, daemon=True)
     th.start()
@@ -865,16 +879,8 @@ def _run_group(names, timeout_s, inactivity_s, on_line):
         time.sleep(2)
     proc.wait(timeout=15)
     th.join(timeout=5)
-    done = set()
     with lock:
-        for ln in lines:
-            if ln.startswith("{"):
-                try:
-                    done.add(json.loads(ln).get("bench_fn"))
-                except Exception:
-                    pass
-                on_line(ln)
-    return done
+        return set(done)
 
 
 def main():
@@ -895,6 +901,13 @@ def main():
     budget = float(os.environ.get("BENCH_DEADLINE_SECS", "1200"))
     t_start = time.monotonic()
     headline_line = None
+
+    # plumbing-test hook: restrict the run to a comma-list of metric fns
+    global METRICS
+    only = os.environ.get("BENCH_ONLY_METRICS")
+    if only:
+        keep = only.split(",")
+        METRICS = tuple(n for n in METRICS if n in keep)
 
     def remaining():
         return budget - (time.monotonic() - t_start)
@@ -1009,6 +1022,12 @@ if __name__ == "__main__":
             except Exception as e:
                 print(f"[bench] {fn} failed: {e}", file=sys.stderr)
                 rc = 1
+            # consecutive flagship metrics share one 16 GB chip: drop the
+            # previous metric's device buffers (locals died on return;
+            # collect breaks any lingering cycles) before the next init
+            import gc
+
+            gc.collect()
         sys.exit(rc)
     else:
         main()

@@ -549,10 +549,11 @@ def _mm_i4w_stacked_kernel(idx_ref, x_ref, wp_ref, s_ref, c_ref, o_ref,
                     * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_k8",
-                                              "block_n"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                             "block_k8", "block_n"))
 def quant_matmul_int4_pairs_stacked(x, w_pairs_all, scale_all, layer, *,
                                     out_dtype=jnp.bfloat16,
+                                    interpret: bool = False,
                                     block_k8: int = 0, block_n: int = 0):
     """x: (R, K) bf16; w_pairs_all: (L, K/8, N) int32 (pack_int4_pairs);
     scale_all: (L, 1, N) f32; layer: scalar int32 — scalar-prefetch layer
@@ -586,6 +587,7 @@ def quant_matmul_int4_pairs_stacked(x, w_pairs_all, scale_all, layer, *,
         out_shape=jax.ShapeDtypeStruct((Rp, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
     )(idx, xt, w_pairs_all, scale_all, corr)
     return out[:R]
 

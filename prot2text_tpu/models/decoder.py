@@ -465,7 +465,7 @@ def _fetch_layer(sub, li):
         sub)
 
 
-def _stacked_proj(layers, name, li, x_, on_tpu_q4):
+def _stacked_proj(layers, name, li, x_, on_tpu_q4, interpret=False):
     """Layer-li projection over the STACKED weight buffers, shared by the
     single-token decode step and the chunk-verify step.  int4 leaves go
     through the scalar-prefetch STACKED kernel — a pallas operand must be
@@ -494,7 +494,7 @@ def _stacked_proj(layers, name, li, x_, on_tpu_q4):
             lead = x_.shape[:-1]
             y = quant_matmul_int4_pairs_stacked(
                 x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                out_dtype=x_.dtype)
+                out_dtype=x_.dtype, interpret=interpret)
             if "bias" in sub:
                 y = y + jax.lax.dynamic_index_in_dim(
                     sub["bias"], li, 0, keepdims=False).astype(y.dtype)
@@ -511,7 +511,7 @@ def _stacked_proj(layers, name, li, x_, on_tpu_q4):
             lead = x_.shape[:-1]
             y = quant_matmul_int4_planes_stacked(
                 x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                out_dtype=x_.dtype)
+                out_dtype=x_.dtype, interpret=interpret)
             if "bias" in sub:
                 y = y + jax.lax.dynamic_index_in_dim(
                     sub["bias"], li, 0, keepdims=False).astype(y.dtype)
@@ -528,7 +528,7 @@ def _stacked_proj(layers, name, li, x_, on_tpu_q4):
             lead = x_.shape[:-1]
             y = quant_matmul_int4_stacked(
                 x_.reshape(-1, x_.shape[-1]), wp, sub["scale"], li,
-                out_dtype=x_.dtype)
+                out_dtype=x_.dtype, interpret=interpret)
             if "bias" in sub:
                 y = y + jax.lax.dynamic_index_in_dim(
                     sub["bias"], li, 0, keepdims=False).astype(y.dtype)
@@ -713,7 +713,8 @@ def _decoder_decode_step_impl(
     fetch = _fetch_layer
 
     def proj(name, li, x_):
-        return _stacked_proj(layers, name, li, x_, on_tpu_q4)
+        return _stacked_proj(layers, name, li, x_, on_tpu_q4,
+                             interpret=interp)
 
     def qkv(x, li):
         xn = rms_norm(fetch(layers["input_ln"], li), x, cfg.rms_norm_eps)
@@ -1155,7 +1156,7 @@ def _decoder_verify_chunk_impl(
     kv_mask01 = kv_mask01.astype(jnp.int32)
 
     def proj(name, li, x_):
-        return _stacked_proj(layers, name, li, x_, True)
+        return _stacked_proj(layers, name, li, x_, True, interpret=interp)
 
     def qkv(x, li):
         xn = rms_norm(_fetch_layer(layers["input_ln"], li), x,
@@ -1225,6 +1226,20 @@ def decoder_logits(cfg: DecoderConfig, params, hidden_states):
     elif "kernel" not in params["lm_head"]:   # quantized (int8/int4) head
         from .transformer import linear
 
+        # int4 heads use Pallas fused dequant-matmuls (transformer.linear)
+        # that don't partition under GSPMD — on a batch-axes-only mesh run
+        # the head per device over batch shards (kernels/shard.py), same
+        # treatment as the decode step.  int8 heads are a plain XLA
+        # mixed-dtype dot and need no wrap.
+        from ..kernels.shard import batch_shard_ctx, shard_map_over_batch
+
+        quant_head = any(k.startswith("kernel_q4")
+                         for k in params["lm_head"])
+        ctx = batch_shard_ctx(hidden_states.shape[0]) if quant_head else None
+        if ctx is not None:
+            return shard_map_over_batch(
+                lambda p_, h_: linear(p_, h_).astype(jnp.float32),
+                ctx, (params["lm_head"], hidden_states), (None, 0), 0)
         return linear(params["lm_head"], hidden_states).astype(jnp.float32)
     else:
         w = params["lm_head"]["kernel"]

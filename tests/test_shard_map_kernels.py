@@ -165,6 +165,30 @@ def test_verify_chunk_sharded_matches_single(monkeypatch):
                                       np.asarray(cache_ref[key]))
 
 
+def test_generate_int4_sharded_matches_single(monkeypatch):
+    """int4 (nibble-plane) decode under the mesh: the stacked Pallas
+    dequant-matmuls run inside the decode-step wrap and the quantized
+    lm_head takes decoder_logits' own batch shard_map."""
+    from prot2text_tpu.infer.generate import GenerationConfig, generate
+    from prot2text_tpu.models.quant import quantize_params
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    qparams = quantize_params(PARAMS, bits=4)
+    rng = np.random.default_rng(4)
+    Pp = 6
+    emb = jnp.asarray(rng.standard_normal((B, Pp, CFG.hidden_size)) * 0.1,
+                      jnp.bfloat16)
+    mask = jnp.ones((B, Pp), jnp.int32)
+    gen = GenerationConfig(max_new_tokens=3, eos_token_id=-1, pad_token_id=0)
+    want = np.asarray(generate(CFG, qparams, inputs_embeds=emb,
+                               attention_mask=mask, gen_cfg=gen))
+    mesh = _mesh84()
+    with jax.set_mesh(mesh):
+        got = np.asarray(generate(CFG, qparams, inputs_embeds=emb,
+                                  attention_mask=mask, gen_cfg=gen))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_masked_flash_sharded_matches_single(monkeypatch):
     """Prefill/training flash attention under a dp/fsdp mesh: the dispatch
     shard_maps the masked-flash kernel over batch (kernels/attention.py);
@@ -204,6 +228,64 @@ def test_masked_flash_sharded_matches_single(monkeypatch):
     for g_ref, g_got in zip(ref_grads, got_grads):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_serving_spec_kv8_sharded_matches_single(monkeypatch):
+    """Full serving engine (kv8 pool + prompt-lookup speculative, fused
+    Pallas chunk verify live via force-interpret) under the dp/fsdp mesh:
+    greedy streams must equal the no-mesh engine's (identical kernel
+    path on both sides — only the shard_map wrap differs)."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    rng = np.random.default_rng(5)
+    reqs = [(rng.standard_normal((4 + i % 3, CFG.hidden_size))
+             .astype(np.float32) * 0.1, 4 + (i % 2) * 2)
+            for i in range(10)]
+
+    def serve():
+        eng = ContinuousBatcher(
+            CFG, PARAMS, max_slots=8, max_len=96, prompt_pad=8,
+            eos_token_id=-1, kv_bits=8, prompt_lookup_tokens=2,
+            prompt_lookup_ngram=1, sync_every=4)
+        for i, (emb, bu) in enumerate(reqs):
+            eng.submit(i, emb, max_new_tokens=bu)
+        return dict(eng.run())
+
+    ref = serve()
+    with jax.set_mesh(_mesh84()):
+        got = serve()
+    assert got == ref
+
+
+@pytest.mark.slow
+def test_serving_prefix_dedup_sharded_matches_single(monkeypatch):
+    """Prefix-KV dedup + speculative engine under the mesh: the _prefix
+    kernel variants read the batch-broadcast shared operand (replicated
+    per shard inside the wrap) and must match the no-mesh engine."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    rng = np.random.default_rng(6)
+    prefix = rng.standard_normal((4, CFG.hidden_size)).astype(np.float32)
+    reqs = [(rng.standard_normal((3 + i % 3, CFG.hidden_size))
+             .astype(np.float32) * 0.1, 3 + (i % 2) * 2)
+            for i in range(10)]
+
+    def serve():
+        eng = ContinuousBatcher(
+            CFG, PARAMS, max_slots=8, max_len=96, prompt_pad=8,
+            eos_token_id=-1, kv_bits=8, prompt_lookup_tokens=2,
+            prompt_lookup_ngram=1, sync_every=4,
+            shared_prefix_embeds=prefix, prefix_dedup=True)
+        for i, (emb, bu) in enumerate(reqs):
+            eng.submit(i, emb, max_new_tokens=bu)
+        return dict(eng.run())
+
+    ref = serve()
+    with jax.set_mesh(_mesh84()):
+        got = serve()
+    assert got == ref
 
 
 def test_generate_sharded_pallas_matches_single(monkeypatch):
