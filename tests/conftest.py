@@ -24,3 +24,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # overrides JAX_PLATFORMS; pin CPU explicitly so tests run on the 8-device
 # virtual CPU mesh (TPU dispatch goes through a relay at ~0.4 s/op).
 jax.config.update("jax_platforms", "cpu")
+# Keep tests OFF the persistent .jax_cache: the CLI end-to-end tests
+# enable it process-wide (cli/common.py), after which every later test
+# reads/writes the SHARED cache dir — racing a concurrent TPU process
+# (bench/probes) segfaulted the suite twice (round 4) inside
+# compilation_cache.get_executable_and_time.  CPU test compiles are cheap;
+# hermetic tests beat a warm cache.
+jax.config.update("jax_enable_compilation_cache", False)
