@@ -531,7 +531,7 @@ def bench_contrastive_flagship():
 def _bench_serving_flagship(name, kv_bits=None, slots=8,
                             prompt_lookup_tokens=0, buckets=None,
                             shared_prefix=0, prefix_dedup=False,
-                            dedup_slots=None, n_req=24):
+                            dedup_slots=None, n_req=24, ab=True):
     """FLAGSHIP-scale continuous batching (VERDICT r2 #6): the 8B int8
     one-chip serving config under a PRODUCTION workload shape — ragged
     prompts up to the real ~1.6k-token chat context (SURVEY.md §5 input
@@ -618,7 +618,14 @@ def _bench_serving_flagship(name, kv_bits=None, slots=8,
         return steps, useful, time.perf_counter() - t0
 
     extras = {}
-    if shared_prefix and prefix_dedup:
+    if shared_prefix and prefix_dedup and not ab:
+        # dedup-only timing (no replicated A/B): the deep-queue metric
+        # reuses the 24-request A/B from bench_serving_flagship_prefix
+        steps, useful, dt = timed(use_prefix=True, dedup=True,
+                                  n_slots=dedup_slots or SLOTS)
+        extras["dedup_slots"] = dedup_slots or SLOTS
+        extras["shared_prefix_tokens"] = shared_prefix
+    elif shared_prefix and prefix_dedup:
         # same-workload A/B: replicated prefix at SLOTS vs DEDUP at
         # dedup_slots — the HBM freed by storing the prefix once (~0.5 GB
         # at 16 slots x 512 kv8) converted into pool capacity
@@ -698,6 +705,21 @@ def bench_serving_flagship_prefix():
         kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512,
         prefix_dedup=True, dedup_slots=24,
         buckets=(384, 512, 768, 1024, 1280))
+
+
+def bench_serving_flagship_deepq():
+    """Deep-queue serving (round-4 probe promoted to a metric): the
+    kv8 speculative prefix-dedup flagship with a 64-REQUEST queue at the
+    24-slot one-chip ceiling.  Measured (scripts/bench_serving_deep_queue
+    .py, r4): 539.8 useful tok/s — the deeper queue alone lifts the
+    24-slot config +10% over the 24-request workload (the shallow queue
+    spent ~1/3 of its span in ramp-down); 32/40 slots ResourceExhausted,
+    so 24 slots IS the ceiling at this context length."""
+    _bench_serving_flagship(
+        "serving_deepq_tokens_per_sec_int8_kv8_llama31_8b_24slots_64req",
+        kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512,
+        prefix_dedup=True, dedup_slots=24,
+        buckets=(384, 512, 768, 1024, 1280), n_req=64, ab=False)
 
 
 def bench_contrastive_step():
@@ -843,6 +865,7 @@ METRICS = (
     "bench_serving_flagship_kv8",
     "bench_serving_flagship_spec",
     "bench_serving_flagship_prefix",
+    "bench_serving_flagship_deepq",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----

@@ -86,7 +86,12 @@ def setup_platform(args) -> "jax.sharding.Mesh":
     if getattr(args, "compilation_cache", True):
         cache = os.path.join(os.getcwd(), ".jax_cache")
         try:
-            jax.config.update("jax_compilation_cache_dir", cache)
+            # respect an already-configured cache dir (tests pin a
+            # per-xdist-worker dir so suite compiles never race the TPU
+            # processes writing .jax_cache — a shared dir segfaulted the
+            # suite, round 4)
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:

@@ -750,7 +750,8 @@ class ContinuousBatcher:
                 T_cache - 64 >= pcols_pool + max_len
                 and supports_verify_chunk_step(
                     cfg, self.state, self.spec_gamma + 1,
-                    prefix_cols=self.prefix_cols if self.dedup else 0))
+                    prefix_cols=self.prefix_cols if self.dedup else 0,
+                    params=self.params))
         self.queue: deque[_Request] = deque()
         self._slot_req: list[Optional[_Request]] = [None] * max_slots
         self._slot_toks: list[list[int]] = [[] for _ in range(max_slots)]

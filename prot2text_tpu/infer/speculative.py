@@ -83,7 +83,8 @@ def _verify_accept(cfg, params, *, tokens, tgt_cache, kv_mask, finished,
     # caller that sizes its cache without the slack must leave this False
     # or the aliased kernel write would land past the cache end.
     if (fused_ok and isinstance(tgt_cache, dict) and "k_scale" in tgt_cache
-            and supports_verify_chunk_step(cfg, tgt_cache, G)):
+            and supports_verify_chunk_step(cfg, tgt_cache, G,
+                                           params=params)):
         h, tgt_cache = decoder_verify_chunk(
             cfg, params, token_embeds=chunk_emb, kv_mask01=kv_mask,
             positions=pos, kv_cache=tgt_cache,

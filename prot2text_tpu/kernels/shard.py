@@ -116,6 +116,37 @@ def batch_dim_spec(axes, dim: int) -> P:
     return P(*([None] * dim + [axes]))
 
 
+def tp_batch_shard_ctx(batch_size: int, num_kv_heads: int,
+                       num_heads: int):
+    """Returns (mesh, batch_axes, tp_axis) when the ambient mesh carries
+    devices on the tp axis (Megatron-style manual tensor parallelism for
+    the decode/verify steps: column-parallel qkv/gate/up, row-parallel
+    o/down with a psum per half-layer, KV cache sharded over heads) —
+    optionally combined with dp/fsdp batch axes.  Requirements: sp==1,
+    head counts and batch divisible by their axes.  Returns None when tp
+    carries no devices (use `batch_shard_ctx`) or any check fails."""
+    if os.environ.get("P2T_NO_SHARD_MAP_BATCH"):
+        return None
+    m = jax.sharding.get_abstract_mesh()
+    if m is None or getattr(m, "empty", False) or m.size <= 1:
+        return None
+    if any(t == "Manual" for t in _axis_types(m)):
+        return None
+    shape = dict(m.shape)
+    tp = shape.get("tp", 1)
+    if tp <= 1 or shape.get("sp", 1) > 1:
+        return None
+    if num_kv_heads % tp or num_heads % tp:
+        return None
+    axes = tuple(a for a in BATCH_AXES if shape.get(a, 1) > 1)
+    n = 1
+    for a in axes:
+        n *= shape[a]
+    if batch_size % n != 0:
+        return None
+    return m, axes, "tp"
+
+
 def shard_map_over_batch(fn, ctx, args, in_dims, out_dims):
     """shard_map `fn(*args)` over the batch axes of `ctx` (a
     `batch_shard_ctx` result).  `in_dims[i]` is the batch-dim index of

@@ -536,6 +536,56 @@ def _stacked_proj(layers, name, li, x_, on_tpu_q4, interpret=False):
     return linear(_fetch_layer(sub, li), x_)
 
 
+_TP_COL_PROJS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_TP_ROW_PROJS = ("o_proj", "down_proj")
+
+
+def _tp_layer_specs(layers, tp_axis):
+    """PartitionSpec tree mirroring `params["layers"]` for manual tensor
+    parallelism (Megatron layout over the stacked (L, K, N) buffers):
+    column-parallel q/k/v/gate/up shard the OUTPUT dim, row-parallel
+    o/down shard the INPUT dim (their partial sums are psum'd in the step
+    body), per-output int8 scales follow their kernel's output dim, norms
+    replicate.  Returns None when a leaf format is unsupported — int4
+    packed words (the packed K/8 dim does not slice per shard) or a
+    biased row projection (bias would be added once per shard) — and the
+    caller falls back to the GSPMD path."""
+    specs = {}
+    for name, sub in layers.items():
+        if name in _TP_COL_PROJS or name in _TP_ROW_PROJS:
+            col = name in _TP_COL_PROJS
+            s = {}
+            for k in sub:
+                if k in ("kernel", "kernel_q"):
+                    s[k] = (P(None, None, tp_axis) if col
+                            else P(None, tp_axis, None))
+                elif k == "scale":
+                    s[k] = P(None, None, tp_axis) if col else P()
+                elif k == "bias" and col:
+                    s[k] = P(None, tp_axis)
+                else:
+                    return None
+            specs[name] = s
+        else:
+            specs[name] = jax.tree_util.tree_map(lambda _: P(), sub)
+    return specs
+
+
+def _tp_param_specs(params, tp_axis):
+    lspecs = _tp_layer_specs(params["layers"], tp_axis)
+    if lspecs is None:
+        return None
+    return {k: (lspecs if k == "layers"
+                else jax.tree_util.tree_map(lambda _: P(), v))
+            for k, v in params.items()}
+
+
+def _tp_local_cfg(cfg: DecoderConfig, ntp: int) -> DecoderConfig:
+    return dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // ntp,
+        num_kv_heads=cfg.num_kv_heads // ntp)
+
+
 def decoder_decode_step(
     cfg: DecoderConfig,
     params,
@@ -556,34 +606,59 @@ def decoder_decode_step(
     so each device runs the single-chip program (Pallas kernels included)
     on its batch slice (kernels/shard.py; VERDICT r3 #2: the reference's
     cuDNN/NCCL kernels work under DDP, train_contrast.py:611-614)."""
-    from ..kernels.shard import batch_dim_spec, batch_shard_ctx
+    from ..kernels.shard import (
+        batch_dim_spec, batch_shard_ctx, tp_batch_shard_ctx,
+    )
 
+    layout = kv_cache_layout(cfg)
     ctx = batch_shard_ctx(token_embeds.shape[0])
+    tctx = param_specs = None
     if ctx is None:
+        tctx = tp_batch_shard_ctx(token_embeds.shape[0], cfg.num_kv_heads,
+                                  cfg.num_heads)
+        if tctx is not None:
+            param_specs = _tp_param_specs(params, tctx[2])
+    if ctx is None and param_specs is None:
         return _decoder_decode_step_impl(
             cfg, params, token_embeds=token_embeds, bias_old=bias_old,
             positions=positions, kv_cache=kv_cache, cache_index=cache_index,
             num_layers=num_layers, prefix_kv=prefix_kv,
             prefix_bias=prefix_bias)
-    mesh, axes = ctx
-    bspec = batch_dim_spec(axes, 0)
-    layout = kv_cache_layout(cfg)
-    # bktd cache leaves (L, B, Hkv, T[, D]) batch at dim 1 (scales too);
-    # tbkd leaves (L, T, B, Hkv, D) batch at dim 2
-    cache_spec = batch_dim_spec(axes, 1 if layout == "bktd" else 2)
+    if ctx is not None:
+        mesh, axes = ctx
+        tp_axis = None
+        pspec = P()
+        prefix_spec = P()
+        run_cfg = cfg
+        # bktd cache leaves (L, B, Hkv, T[, D]) batch at dim 1 (scales
+        # too); tbkd leaves (L, T, B, Hkv, D) batch at dim 2
+        cache_spec = batch_dim_spec(axes, 1 if layout == "bktd" else 2)
+    else:
+        # manual tensor parallelism (+ optional batch axes): column/row-
+        # parallel weights, KV cache sharded over heads, psums in the body
+        mesh, axes, tp_axis = tctx
+        pspec = param_specs
+        prefix_spec = (P(None, None, tp_axis) if prefix_kv is not None
+                       else P())
+        run_cfg = _tp_local_cfg(cfg, dict(mesh.shape)[tp_axis])
+        cache_spec = (P(None, axes or None, tp_axis) if layout == "bktd"
+                      else P(None, None, axes or None, tp_axis))
+    bspec = batch_dim_spec(axes, 0) if axes else P()
     idx_spec = bspec if getattr(cache_index, "ndim", 0) == 1 else P()
 
     def body(params_, token_embeds_, bias_old_, positions_, kv_cache_,
              cache_index_, prefix_kv_, prefix_bias_):
         return _decoder_decode_step_impl(
-            cfg, params_, token_embeds=token_embeds_, bias_old=bias_old_,
-            positions=positions_, kv_cache=kv_cache_,
+            run_cfg, params_, token_embeds=token_embeds_,
+            bias_old=bias_old_, positions=positions_, kv_cache=kv_cache_,
             cache_index=cache_index_, num_layers=num_layers,
-            prefix_kv=prefix_kv_, prefix_bias=prefix_bias_)
+            prefix_kv=prefix_kv_, prefix_bias=prefix_bias_,
+            tp_axis=tp_axis)
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), bspec, bspec, bspec, cache_spec, idx_spec, P(),
+        in_specs=(pspec, bspec, bspec, bspec, cache_spec, idx_spec,
+                  prefix_spec,
                   P() if prefix_bias is None else bspec),
         out_specs=(bspec, cache_spec),
         check_vma=False,  # pallas_call inside needs the checker off
@@ -613,6 +688,9 @@ def _decoder_decode_step_impl(
                          # replicated per slot); its Pc columns sit BEFORE
                          # the cache columns in the softmax
     prefix_bias=None,    # fp32 (B, 1, 1, Pc) additive over those columns
+    tp_axis=None,        # manual-TP: mesh axis name for the row-parallel
+                         # o_proj/down_proj partial-sum psums (cfg is then
+                         # the PER-SHARD head config; wrapper above)
 ):
     """Single-token decode step optimized from profiler evidence: the
     generic scan-over-(params, cache) path spends ~45% of decode time
@@ -731,11 +809,17 @@ def _decoder_decode_step_impl(
 
     def post_attn(x, a, li):
         a = a.reshape(B, 1, H * D)
-        x = x + proj("o_proj", li, a)
+        o = proj("o_proj", li, a)
+        if tp_axis:                     # row-parallel partial sums
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o
         xn = rms_norm(fetch(layers["post_attn_ln"], li), x, cfg.rms_norm_eps)
         gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
         up = proj("up_proj", li, xn).astype(jnp.float32)
-        return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+        d = proj("down_proj", li, (gate * up).astype(xn.dtype))
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        return x + d
 
     # -- int8 KV cache (infer/kvcache.init_kv_cache(kv_bits=8)) -------------
     # The cache stores int8 values + per-(head, token) fp32 scales; the
@@ -1030,37 +1114,52 @@ def _decoder_decode_step_impl(
 
 
 def supports_verify_chunk_step(cfg, kv_cache, G: int,
-                               prefix_cols: int = 0) -> bool:
+                               prefix_cols: int = 0, params=None) -> bool:
     """Eligibility for the fused chunk-verify path (decoder_verify_chunk):
     int8 bktd cache, per-device TPU dispatch (single device, inside a
-    shard_map, or batch-shardable over a dp/fsdp-only mesh — the step wraps
-    itself, kernels/shard.py), kernel working set in VMEM.  prefix_cols > 0
-    checks the shared-prefix (dedup) kernel variant."""
+    shard_map, batch-shardable over a dp/fsdp-only mesh, or manual-TP
+    shardable when `params` is provided for the format check — the step
+    wraps itself, kernels/shard.py), kernel working set in VMEM.
+    prefix_cols > 0 checks the shared-prefix (dedup) kernel variant."""
     import os
 
     from ..kernels.attention import pallas_single_device_ok
     from ..kernels.decode_attention import (
         supports_verify_chunk, supports_verify_chunk_prefix,
     )
-    from ..kernels.shard import batch_shard_ctx, kernel_backend_ok
+    from ..kernels.shard import (
+        batch_shard_ctx, kernel_backend_ok, tp_batch_shard_ctx,
+    )
 
     B = kv_cache["k"].shape[1]
-    ctx = None if pallas_single_device_ok() else batch_shard_ctx(B)
+    ctx = tctx = None
+    if not pallas_single_device_ok():
+        ctx = batch_shard_ctx(B)
+        if ctx is None:
+            tctx = tp_batch_shard_ctx(B, cfg.num_kv_heads, cfg.num_heads)
+            if tctx is not None and (
+                    params is None
+                    or _tp_param_specs(params, tctx[2]) is None):
+                tctx = None    # wrapper would fall back to plain impl
     if not (kernel_backend_ok()
-            and (pallas_single_device_ok() or ctx is not None)
+            and (pallas_single_device_ok() or ctx is not None
+                 or tctx is not None)
             and not os.environ.get("P2T_NO_PALLAS_DECODE_ATTN")
             and kv_cache_layout(cfg) == "bktd"
             and "k_scale" in kv_cache):
         return False
-    if ctx is not None:
-        # the VMEM checks below must see the PER-SHARD batch slice
-        mesh, axes = ctx
+    if ctx is not None or tctx is not None:
+        # the VMEM checks below must see the PER-SHARD slice
+        mesh, axes = (ctx if ctx is not None else tctx[:2])
+        shape = dict(mesh.shape)
         n = 1
         for a in axes:
-            n *= dict(mesh.shape)[a]
+            n *= shape[a]
+        ntp = shape.get("tp", 1) if tctx is not None else 1
         shp = kv_cache["k"].shape
         kv_cache = {"k": jax.ShapeDtypeStruct(
-            (shp[0], shp[1] // n) + shp[2:], kv_cache["k"].dtype)}
+            (shp[0], shp[1] // n, shp[2] // ntp) + shp[3:],
+            kv_cache["k"].dtype)}
     if prefix_cols:
         return supports_verify_chunk_prefix(cfg, kv_cache["k"].shape, G,
                                             prefix_cols)
@@ -1083,29 +1182,47 @@ def decoder_verify_chunk(
     On a >1-device batch-axes-only ambient mesh the body is shard_map'd
     over (dp, fsdp) exactly like `decoder_decode_step`, so the fused
     verify kernel keeps running per device (kernels/shard.py)."""
-    from ..kernels.shard import batch_dim_spec, batch_shard_ctx
+    from ..kernels.shard import (
+        batch_dim_spec, batch_shard_ctx, tp_batch_shard_ctx,
+    )
 
     ctx = batch_shard_ctx(token_embeds.shape[0])
+    tctx = param_specs = None
     if ctx is None:
+        tctx = tp_batch_shard_ctx(token_embeds.shape[0], cfg.num_kv_heads,
+                                  cfg.num_heads)
+        if tctx is not None:
+            param_specs = _tp_param_specs(params, tctx[2])
+    if ctx is None and param_specs is None:
         return _decoder_verify_chunk_impl(
             cfg, params, token_embeds=token_embeds, kv_mask01=kv_mask01,
             positions=positions, kv_cache=kv_cache, cache_index=cache_index,
             prefix_kv=prefix_kv, prefix_bias=prefix_bias)
-    mesh, axes = ctx
-    bspec = batch_dim_spec(axes, 0)
-    cache_spec = batch_dim_spec(axes, 1)      # int8 bktd only (gated)
+    if ctx is not None:
+        mesh, axes = ctx
+        tp_axis, pspec, prefix_spec, run_cfg = None, P(), P(), cfg
+        cache_spec = batch_dim_spec(axes, 1)  # int8 bktd only (gated)
+    else:
+        mesh, axes, tp_axis = tctx
+        pspec = param_specs
+        prefix_spec = (P(None, None, tp_axis) if prefix_kv is not None
+                       else P())
+        run_cfg = _tp_local_cfg(cfg, dict(mesh.shape)[tp_axis])
+        cache_spec = P(None, axes or None, tp_axis)
+    bspec = batch_dim_spec(axes, 0) if axes else P()
 
     def body(params_, token_embeds_, kv_mask01_, positions_, kv_cache_,
              cache_index_, prefix_kv_, prefix_bias_):
         return _decoder_verify_chunk_impl(
-            cfg, params_, token_embeds=token_embeds_, kv_mask01=kv_mask01_,
-            positions=positions_, kv_cache=kv_cache_,
+            run_cfg, params_, token_embeds=token_embeds_,
+            kv_mask01=kv_mask01_, positions=positions_, kv_cache=kv_cache_,
             cache_index=cache_index_, prefix_kv=prefix_kv_,
-            prefix_bias=prefix_bias_)
+            prefix_bias=prefix_bias_, tp_axis=tp_axis)
 
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), bspec, bspec, bspec, cache_spec, bspec, P(),
+        in_specs=(pspec, bspec, bspec, bspec, cache_spec, bspec,
+                  prefix_spec,
                   P() if prefix_bias is None else bspec),
         out_specs=(bspec, cache_spec),
         check_vma=False,  # pallas_call inside needs the checker off
@@ -1125,6 +1242,7 @@ def _decoder_verify_chunk_impl(
     prefix_kv=None,      # optional batch-broadcast shared-prefix int8 KV
                          # (L, 1, Hkv, Pc, D) + scales (serving dedup)
     prefix_bias=None,    # fp32 (B, 1, 1, Pc) additive over prefix columns
+    tp_axis=None,        # manual-TP psum axis (see decoder_decode_step)
 ):
     """Fused G-token chunk-verify step for speculative serving
     (infer/serving._spec_rounds): the chunk generalization of
@@ -1181,12 +1299,18 @@ def _decoder_verify_chunk_impl(
         # (B, Hkv, G·rep, D) → (B, G, H·D)
         a = a.reshape(B, Hkv, G, rep, D).transpose(0, 2, 1, 3, 4)
         a = a.reshape(B, G, H * D)
-        x = x + proj("o_proj", li, a)
+        o = proj("o_proj", li, a)
+        if tp_axis:                     # row-parallel partial sums
+            o = jax.lax.psum(o, tp_axis)
+        x = x + o
         xn = rms_norm(_fetch_layer(layers["post_attn_ln"], li), x,
                       cfg.rms_norm_eps)
         gate = jax.nn.silu(proj("gate_proj", li, xn).astype(jnp.float32))
         up = proj("up_proj", li, xn).astype(jnp.float32)
-        return x + proj("down_proj", li, (gate * up).astype(xn.dtype))
+        d = proj("down_proj", li, (gate * up).astype(xn.dtype))
+        if tp_axis:
+            d = jax.lax.psum(d, tp_axis)
+        return x + d
 
     if prefix_kv is not None:
         pmask01 = (prefix_bias[:, 0, 0, :] >= -1e30

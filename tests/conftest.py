@@ -24,10 +24,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # overrides JAX_PLATFORMS; pin CPU explicitly so tests run on the 8-device
 # virtual CPU mesh (TPU dispatch goes through a relay at ~0.4 s/op).
 jax.config.update("jax_platforms", "cpu")
-# Keep tests OFF the persistent .jax_cache: the CLI end-to-end tests
+# Keep tests OFF the shared .jax_cache: the CLI end-to-end tests used to
 # enable it process-wide (cli/common.py), after which every later test
-# reads/writes the SHARED cache dir — racing a concurrent TPU process
-# (bench/probes) segfaulted the suite twice (round 4) inside
-# compilation_cache.get_executable_and_time.  CPU test compiles are cheap;
-# hermetic tests beat a warm cache.
-jax.config.update("jax_enable_compilation_cache", False)
+# read/wrote the SAME dir as concurrent TPU processes (bench/probes) —
+# which segfaulted the suite inside compilation_cache reads (round 4).
+# Instead each xdist worker gets its OWN persistent cache dir: no
+# concurrent access ever, and repeat runs stay warm (disabling the cache
+# outright doubled suite wall time).  cli/common.setup_platform respects
+# this pre-configured dir.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "solo")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests",
+                 _worker))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

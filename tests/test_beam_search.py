@@ -152,6 +152,7 @@ def test_generation_config_kwarg_accepted(hf_llama):
     assert flat.eos_token_id == 11 and flat.pad_token_id == 22
 
 
+@pytest.mark.slow
 def test_beam_sample_mechanics():
     """Beam-SAMPLE (transformers >=4.45 unified _beam_search semantics:
     warpers per beam row BEFORE the beam scores are added, 2K drawn

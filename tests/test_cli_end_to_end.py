@@ -24,6 +24,7 @@ def csv_path(tmp_path_factory):
     return str(p)
 
 
+@pytest.mark.slow
 def test_train_contrast_cli(csv_path, tmp_path):
     from prot2text_tpu.cli.train_contrast import main
 
@@ -34,6 +35,7 @@ def test_train_contrast_cli(csv_path, tmp_path):
     assert glob.glob(str(tmp_path / "checkpoints_*" / "step_*"))
 
 
+@pytest.mark.slow
 def test_sft_generate_benchmark_cli(csv_path, tmp_path):
     from prot2text_tpu.cli.benchmark import main as bench_main
     from prot2text_tpu.cli.generate_instruct_light import main as gen_main
@@ -104,6 +106,7 @@ def test_instruct_dataset_records(instruct_root, csv_path):
     assert rec["description_input_ids"][-1] == tok.eos_token_id
 
 
+@pytest.mark.slow
 def test_train_legacy_and_generate_cli(instruct_root, csv_path, tmp_path):
     from prot2text_tpu.cli.generate_legacy import main as gen_main
     from prot2text_tpu.cli.train_legacy import main as train_main
@@ -124,6 +127,7 @@ def test_train_legacy_and_generate_cli(instruct_root, csv_path, tmp_path):
     assert out and len(json.load(open(out[0]))) == 4
 
 
+@pytest.mark.slow
 def test_generate_instruct_cli_with_graph(instruct_root, csv_path, tmp_path):
     from prot2text_tpu.cli.generate_instruct import main as gen_main
 
@@ -159,6 +163,7 @@ def test_generate_instruct_cli_prompt_lookup_matches_plain(
         assert plain[k]["pred"] == pld[k]["pred"]
 
 
+@pytest.mark.slow
 def test_train_rgcn_instruct_cli(instruct_root, csv_path, tmp_path):
     from prot2text_tpu.cli.train_rgcn_instruct import main
 
@@ -189,6 +194,7 @@ def test_cli_help(mod):
     assert e.value.code == 0
 
 
+@pytest.mark.slow
 def test_train_contrast_resume(csv_path, tmp_path):
     from prot2text_tpu.cli.train_contrast import main
 
@@ -258,6 +264,7 @@ def test_generate_light_prompt_lookup_cli(csv_path, tmp_path):
     assert all("pred" in v for v in data.values())
 
 
+@pytest.mark.slow
 def test_serve_cli_continuous(csv_path, tmp_path):
     """The continuous-batching serving CLI produces the reference output
     format; predictions must match the lockstep generator CLI's for the
@@ -290,6 +297,7 @@ def test_serve_cli_continuous(csv_path, tmp_path):
         assert data[name]["pred"] == ref[name]["pred"], name
 
 
+@pytest.mark.slow
 def test_train_draft_and_serve_medusa_cli(csv_path, tmp_path):
     """train_draft trains Medusa heads on the CSV descriptions and saves
     an npz; serve --medusa_path decodes with the learned-draft engine and

@@ -64,6 +64,7 @@ def _run_contrast(csv_path, tmp_path, capsys, monkeypatch, fsdp, tp, tag):
     return _epoch_loss(capsys), seen
 
 
+@pytest.mark.slow
 def test_train_contrast_cli_sharding_real_and_loss_invariant(
         csv_path, tmp_path, capsys, monkeypatch):
     assert len(jax.devices()) == 8
@@ -95,6 +96,7 @@ def test_train_contrast_cli_sharding_real_and_loss_invariant(
     assert abs(loss_dp - loss_3d) < 5e-4, (loss_dp, loss_3d)
 
 
+@pytest.mark.slow
 def test_train_instruct_cli_sharding_real(csv_path, tmp_path, capsys,
                                           monkeypatch):
     import prot2text_tpu.cli.train_instruct as ti
@@ -121,6 +123,7 @@ def test_train_instruct_cli_sharding_real(csv_path, tmp_path, capsys,
                for l in leaves)
 
 
+@pytest.mark.slow
 def test_train_legacy_cli_shards_trainable_params(tmp_path, capsys,
                                                   monkeypatch, csv_path):
     """Full-finetune path: the MODEL params themselves shard over fsdp/tp."""

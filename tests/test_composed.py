@@ -61,6 +61,7 @@ def _chat_batch(lengths=(8, 5), S=14, vocab=128):
     return jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(labels)
 
 
+@pytest.mark.slow
 def test_instruct_forward_and_generate():
     cfg = Esm2LlamaInstructConfig(
         esm_config=_tiny_esm(),

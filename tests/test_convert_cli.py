@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_convert_llama_and_adapter(tmp_path):
     import torch
     from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM

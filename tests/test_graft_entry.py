@@ -7,6 +7,7 @@ virtual CPU mesh via subprocess re-exec whenever the parent is short on
 devices.  These tests reproduce the short-on-devices parent condition.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -34,6 +35,7 @@ def _run_with_device_count(parent_devices: int, n: int):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_self_hosts_when_parent_short_on_devices():
     # Parent sees 1 device (the driver condition); dryrun must re-exec onto
     # a self-hosted 8-device CPU mesh and succeed.
@@ -43,6 +45,7 @@ def test_dryrun_self_hosts_when_parent_short_on_devices():
     assert "'dp': 2" in proc.stdout and "'fsdp': 2" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_direct_when_devices_sufficient():
     import jax
 

@@ -65,6 +65,7 @@ def _rand_cache(key, L, B, Hkv, T, D, filled):
     return (kq.astype(jnp.int8), vq.astype(jnp.int8), ksc, vsc, mask)
 
 
+@pytest.mark.slow
 def test_fused_write_q_kernel_interpret():
     """Interpret-mode fused kernel == oracle with identical casts; the
     written slot holds the quantized current-token values + scales."""
@@ -139,6 +140,7 @@ def test_fused_write_q_kernel_interpret():
     np.testing.assert_array_equal(sv2[0], np.asarray(sv[0]))
 
 
+@pytest.mark.slow
 def test_decode_step_quantized_close_to_bf16():
     """Quantized decode step ≈ bf16 decode step (the ~0.4% logit error the
     int8 cache trades for half the read bytes), and the quantized slot is
@@ -182,6 +184,7 @@ def test_decode_step_quantized_close_to_bf16():
         np.asarray(cache_q["k_scale"])[:, :, :, P + 1:], 1.0)
 
 
+@pytest.mark.slow
 def test_generate_kv8_vs_manual_consistency():
     """generate(kv_bits=8) is internally consistent: identical tokens on
     repeat runs, correct shape/dtype, and the cache-width rounding to 32
@@ -210,6 +213,7 @@ def test_generate_kv8_vs_manual_consistency():
                                   np.asarray(t_fp)[:, :3])
 
 
+@pytest.mark.slow
 def test_serving_kv8_matches_generate_kv8():
     """Continuous batching on an int8 KV pool is token-identical to
     generate(kv_bits=8) for the same requests (greedy)."""
@@ -243,6 +247,7 @@ def test_serving_kv8_matches_generate_kv8():
 
 
 @pytest.mark.parametrize("dedup", [False, True])
+@pytest.mark.slow
 def test_serving_kv8_shared_prefix_matches_generate_kv8(dedup):
     """Prefix-shared serving on the int8 KV pool (bktd layout): the prefix
     KV is QUANTIZED once at engine construction — quantize_kv is

@@ -1,5 +1,6 @@
 """Int8 weight-only quantization: numerics + end-to-end decode."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -105,6 +106,7 @@ def test_int4_quantization():
     assert rel < 0.3, rel
 
 
+@pytest.mark.slow
 def test_qlora_sft_step_on_int8_base():
     """QLoRA-style: LoRA side paths train over an int8 weight-only frozen
     base (kernel_q leaves are valid LoRA targets; gradients flow through

@@ -45,6 +45,7 @@ def _assert_sharded(hf_dir):
     assert "config.json" in names
 
 
+@pytest.mark.slow
 def test_sharded_llama_dir_convert_and_greedy_parity(tmp_path):
     import torch
     from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM

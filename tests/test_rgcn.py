@@ -5,6 +5,7 @@ The reference's RgcnConvLayer subclasses RGCNConv
   out_i = x_i @ W_root + bias + Σ_r mean_{j∈N_r(i)} x_j @ W_r
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -138,6 +139,7 @@ def test_rgcn_conv_block_diagonal_matches_oracle():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_rgcn_adapter_decomposition_configs():
     """Adapter init + forward under num_bases / num_blocks configs."""
     rng = np.random.default_rng(4)

@@ -86,6 +86,7 @@ def test_ring_default_full_validity():
 
 
 @pytest.mark.parametrize("remat", [True, False])
+@pytest.mark.slow
 def test_ring_gradients_match(remat):
     q, k, v = _qkv(2)
     kv_start = jnp.asarray([0, 2], jnp.int32)

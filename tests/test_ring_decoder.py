@@ -106,6 +106,7 @@ def test_decoder_ring_with_cache_falls_back():
     assert new_cache is not None
 
 
+@pytest.mark.slow
 def test_sft_step_ring_matches_xla_loss():
     """The full jitted SFT train step under --attn_impl ring --sp 4
     (text sequence S=16 rides a 4-device ring; the bidirectional ESMC

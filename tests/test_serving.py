@@ -237,6 +237,7 @@ def test_engine_device_submit_wide_prompt_cropped():
     assert out["w"] == _ref_tokens(params, emb, 4)
 
 
+@pytest.mark.slow
 def test_engine_prompt_lookup_matches_plain():
     """Speculative serving (_spec_rounds, per-row acceptance) is
     greedy-exact: token streams identical to the plain engine and to
@@ -268,6 +269,7 @@ def test_engine_prompt_lookup_matches_plain():
         assert plain[rid] == _ref_tokens(params, emb, n), rid
 
 
+@pytest.mark.slow
 def test_engine_prompt_lookup_eos_and_acceleration():
     """eos inside an accepted chunk stops the request at the eos token;
     on a repetitive stream the engine emits MORE tokens than it runs
@@ -371,6 +373,7 @@ def _ref_tokens_prefixed(params, suffix_unpadded, max_new, eos=-1):
 
 
 @pytest.mark.parametrize("dedup", [False, True])
+@pytest.mark.slow
 def test_engine_shared_prefix_exact(dedup):
     """Shared-prefix KV serving (prefix computed once; prefill covers only
     the suffix) is token-identical to generate() on the full prefix+suffix
@@ -423,6 +426,7 @@ def test_engine_shared_prefix_mixed_with_full_prompts(dedup):
 
 
 @pytest.mark.parametrize("dedup", [False, True])
+@pytest.mark.slow
 def test_engine_shared_prefix_speculative_exact(dedup):
     """Prefix-shared pool + prompt-lookup speculative rounds stay
     greedy-exact (per-row acceptance over [shared ‖ private] kv_mask)."""
@@ -442,6 +446,7 @@ def test_engine_shared_prefix_speculative_exact(dedup):
         assert out[rid] == _ref_tokens_prefixed(params, s, n), rid
 
 
+@pytest.mark.slow
 def test_engine_chunked_installs_match_generate():
     """max_prefill_rows caps rows per prefill dispatch (the transient
     prefill cache is R x width per row — a full-pool install at flagship

@@ -6,6 +6,7 @@ placeholder merge) and feeding each request's valid embedding run into the
 slot pool; tokens must equal the model's own batch generate().
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -52,6 +53,7 @@ def _batch(lengths=(8, 5, 7), S=14, P=8):
             jnp.asarray(mask))
 
 
+@pytest.mark.slow
 def test_composed_model_serves_continuously():
     model = _model()
     pids, pmask, ids, mask = _batch()

@@ -124,6 +124,79 @@ def test_decode_step_sharded_matches_single(monkeypatch, kv_bits, per_row):
         np.testing.assert_array_equal(cache_s[key], cache_ref[key])
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_step_tensor_parallel_matches_single(monkeypatch, quant):
+    """Manual tensor parallelism (dp=4 × tp=2): column/row-parallel
+    weights, head-sharded KV cache, per-half-layer psums — the decode
+    step must match the single-device step exactly, with the Pallas
+    decode kernel live on each shard (local Hkv = 1)."""
+    from prot2text_tpu.models.quant import quantize_params
+    import prot2text_tpu.kernels.decode_attention as da
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    params = quantize_params(PARAMS, bits=8) if quant else PARAMS
+    emb, bias, positions, cache, idx = _decode_inputs(None, True)
+
+    def step(c):
+        return jax.jit(lambda cc: decoder_decode_step(
+            CFG, params, token_embeds=emb, bias_old=bias,
+            positions=positions, kv_cache=cc, cache_index=idx))(c)
+
+    h_ref, cache_ref = step(cache)
+    calls = {"n": 0}
+    orig = da.decode_attention_stacked_write
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(da, "decode_attention_stacked_write", counting)
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2), jax.devices())
+    with jax.set_mesh(mesh):
+        from prot2text_tpu.kernels.shard import tp_batch_shard_ctx
+
+        assert tp_batch_shard_ctx(B, CFG.num_kv_heads,
+                                  CFG.num_heads) is not None
+        h_s, cache_s = step(cache)
+    assert calls["n"] > 0, "Pallas kernel not dispatched under tp mesh"
+    np.testing.assert_allclose(np.asarray(h_s, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    # cache writes: layer 0's k/v are bit-exact (their reduction never
+    # crosses a psum); later layers inherit the psum accumulation-order
+    # difference in x, so compare with tolerance
+    for key in cache_ref:
+        np.testing.assert_array_equal(np.asarray(cache_s[key][0]),
+                                      np.asarray(cache_ref[key][0]))
+        np.testing.assert_allclose(np.asarray(cache_s[key], np.float32),
+                                   np.asarray(cache_ref[key], np.float32),
+                                   atol=3e-2, rtol=0)
+
+
+def test_decode_step_tp_int4_falls_back(monkeypatch):
+    """int4 packed weights can't row/column-slice per shard — the tp ctx
+    must bail to the GSPMD path (still correct, no crash)."""
+    from prot2text_tpu.models.quant import quantize_params
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    qparams = quantize_params(PARAMS, bits=4)
+    emb, bias, positions, cache, idx = _decode_inputs(None, True)
+
+    def step(c):
+        return jax.jit(lambda cc: decoder_decode_step(
+            CFG, qparams, token_embeds=emb, bias_old=bias,
+            positions=positions, kv_cache=cc, cache_index=idx))(c)
+
+    h_ref, _ = step(cache)
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2), jax.devices())
+    with jax.set_mesh(mesh):
+        h_s, _ = step(cache)
+    np.testing.assert_allclose(np.asarray(h_s, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.slow
 def test_verify_chunk_sharded_matches_single(monkeypatch):
     monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
     G = 3
@@ -165,6 +238,7 @@ def test_verify_chunk_sharded_matches_single(monkeypatch):
                                       np.asarray(cache_ref[key]))
 
 
+@pytest.mark.slow
 def test_generate_int4_sharded_matches_single(monkeypatch):
     """int4 (nibble-plane) decode under the mesh: the stacked Pallas
     dequant-matmuls run inside the decode-step wrap and the quantized
@@ -230,6 +304,7 @@ def test_masked_flash_sharded_matches_single(monkeypatch):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_serving_spec_kv8_sharded_matches_single(monkeypatch):
     """Full serving engine (kv8 pool + prompt-lookup speculative, fused
     Pallas chunk verify live via force-interpret) under the dp/fsdp mesh:
@@ -256,6 +331,36 @@ def test_serving_spec_kv8_sharded_matches_single(monkeypatch):
     with jax.set_mesh(_mesh84()):
         got = serve()
     assert got == ref
+
+
+@pytest.mark.slow
+def test_serving_spec_kv8_tensor_parallel_runs_fused(monkeypatch):
+    """Speculative kv8 engine on a dp=4 × tp=2 mesh: the fused verify
+    gate must approve the manual-TP path (params format check) and the
+    engine must serve every request to its budget.  Token equality with
+    the single-device engine is NOT asserted — the tp psums reorder the
+    accumulations, and bf16 near-ties may flip (CLAUDE.md)."""
+    from prot2text_tpu.infer.serving import ContinuousBatcher
+    from prot2text_tpu.models.quant import quantize_params
+
+    monkeypatch.setenv("P2T_PALLAS_FORCE_INTERPRET", "1")
+    qparams = quantize_params(PARAMS, bits=8)
+    rng = np.random.default_rng(7)
+    reqs = [(rng.standard_normal((4 + i % 2, CFG.hidden_size))
+             .astype(np.float32) * 0.1, 3 + (i % 2)) for i in range(6)]
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2), jax.devices())
+    with jax.set_mesh(mesh):
+        eng = ContinuousBatcher(
+            CFG, qparams, max_slots=8, max_len=96, prompt_pad=8,
+            eos_token_id=-1, kv_bits=8, prompt_lookup_tokens=2,
+            prompt_lookup_ngram=1, sync_every=4)
+        assert eng._spec_fused, "fused verify should pass the tp gate"
+        for i, (emb, bu) in enumerate(reqs):
+            eng.submit(i, emb, max_new_tokens=bu)
+        out = dict(eng.run())
+    assert sorted(out) == list(range(6))
+    for i, (_, bu) in enumerate(reqs):
+        assert len(out[i]) == bu, (i, len(out[i]), bu)
 
 
 @pytest.mark.slow

@@ -164,6 +164,7 @@ def test_partition_rules_fallback_to_replication():
     assert tuple(spec) == (None, "fsdp", None)
 
 
+@pytest.mark.slow
 def test_serving_engine_under_mesh():
     """ContinuousBatcher produces identical greedy streams on 1 device and
     on an 8-device dp×fsdp×tp mesh with rule-sharded params — the

@@ -1,6 +1,7 @@
 """Train-step tests: contrastive + SFT + legacy converge/execute, LoRA
 semantics, multi-chip dry run on the 8-virtual-device CPU mesh."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -166,6 +167,7 @@ def test_lora_zero_init_is_identity_and_merge_changes():
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_sft_step_runs_and_updates_lora_only():
     from __graft_entry__ import _batch, _tiny_setup
 
@@ -221,6 +223,7 @@ def test_legacy_step_runs():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
