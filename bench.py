@@ -979,9 +979,7 @@ def main():
             rec = json.loads(line)
         except Exception:
             return
-        if rec.get("bench_fn") == HEADLINE or (
-                headline_line is None and rec.get("metric", "").startswith(
-                    "decode_tokens_per_sec_int8_kv8_llama31_8b_b256")):
+        if rec.get("bench_fn") == HEADLINE:
             headline_line = line
         out = line
         if headline_line is not None and line != headline_line:
@@ -995,7 +993,7 @@ def main():
     done = set()
     if remaining() > 360:
         done = _run_group(crit, timeout_s=min(remaining() - 240, 700),
-                          inactivity_s=300, on_line=emit_line)
+                          inactivity_s=360, on_line=emit_line)
     todo = [n for n in crit if n not in done]
     if todo:
         print(f"[bench] critical stragglers: {todo}", file=sys.stderr)
@@ -1022,7 +1020,9 @@ def main():
                 r = subprocess.run(
                     [sys.executable, "-u", __file__, "--only", name],
                     capture_output=True, text=True,
-                    timeout=min(180.0, rem - 20))
+                    # critical stragglers get room for a cold compile;
+                    # secondary metrics stay fail-fast
+                    timeout=min(240.0 if critical else 180.0, rem - 20))
                 out = [ln for ln in r.stdout.splitlines()
                        if ln.startswith("{")]
                 if out:

@@ -994,6 +994,19 @@ class ContinuousBatcher:
     def run(self) -> Iterator[tuple]:
         """Drives the loop until the queue and all slots drain, yielding
         (request_id, [tokens...]) as each request finishes."""
+        # the fused-verify gate was decided against the CONSTRUCTION-time
+        # ambient mesh; a different mesh active now (e.g. the engine was
+        # built outside `jax.set_mesh`) could route the kernel-only
+        # verify impl under an unsupported GSPMD mesh — re-check here and
+        # downgrade to the plain (mesh-safe) path if needed
+        if self._spec_fused:
+            from ..models.decoder import supports_verify_chunk_step
+
+            if not supports_verify_chunk_step(
+                    self.cfg, self.state, self.spec_gamma + 1,
+                    prefix_cols=self.prefix_cols if self.dedup else 0,
+                    params=self.params):
+                self._spec_fused = False
         while True:
             yield from self._fill_free_slots()
             if not any(r is not None for r in self._slot_req):

@@ -28,7 +28,7 @@ import os
 import jax
 from jax.sharding import PartitionSpec as P
 
-from ..core.mesh import AXIS_DP, AXIS_FSDP
+from ..core.mesh import AXIS_DP, AXIS_FSDP, AXIS_SP, AXIS_TP
 
 BATCH_AXES = (AXIS_DP, AXIS_FSDP)
 
@@ -40,14 +40,6 @@ def _axis_types(mesh):
         return tuple(str(t).split(".")[-1] for t in mesh.axis_types)
     except Exception:
         return ()
-
-
-def all_axes_manual(mesh) -> bool:
-    """True when tracing INSIDE a shard_map over every mesh axis — the
-    program at this point is a per-device (single-core) program, so plain
-    pallas_calls are safe again."""
-    types = _axis_types(mesh)
-    return bool(types) and all(t == "Manual" for t in types)
 
 
 def non_manual_size(mesh) -> int:
@@ -89,6 +81,13 @@ def batch_shard_ctx(batch_size: int):
       * tp/sp carry devices (kernels don't partition heads/sequence);
       * batch not divisible by the populated batch-axis product;
       * P2T_NO_SHARD_MAP_BATCH=1 (the escape hatch).
+
+    NOTE the wrap declares params REPLICATED: on a dp×fsdp mesh whose
+    weights are fsdp-sharded for memory, each wrapped step would
+    all-gather the full parameter set — decode/serving configs replicate
+    params (weights fit one chip), and the fsdp axis in serving carries
+    batch per core/mesh.batch_spec.  An fsdp-sharded-weights decode
+    deployment should set P2T_NO_SHARD_MAP_BATCH=1.
     """
     if os.environ.get("P2T_NO_SHARD_MAP_BATCH"):
         return None
@@ -133,8 +132,8 @@ def tp_batch_shard_ctx(batch_size: int, num_kv_heads: int,
     if any(t == "Manual" for t in _axis_types(m)):
         return None
     shape = dict(m.shape)
-    tp = shape.get("tp", 1)
-    if tp <= 1 or shape.get("sp", 1) > 1:
+    tp = shape.get(AXIS_TP, 1)
+    if tp <= 1 or shape.get(AXIS_SP, 1) > 1:
         return None
     if num_kv_heads % tp or num_heads % tp:
         return None
@@ -144,7 +143,7 @@ def tp_batch_shard_ctx(batch_size: int, num_kv_heads: int,
         n *= shape[a]
     if batch_size % n != 0:
         return None
-    return m, axes, "tp"
+    return m, axes, AXIS_TP
 
 
 def shard_map_over_batch(fn, ctx, args, in_dims, out_dims):

@@ -638,8 +638,11 @@ def decoder_decode_step(
         # parallel weights, KV cache sharded over heads, psums in the body
         mesh, axes, tp_axis = tctx
         pspec = param_specs
-        prefix_spec = (P(None, None, tp_axis) if prefix_kv is not None
-                       else P())
+        # prefix leaves carry Hkv at dim 2 (bktd: (L, 1, Hkv, Pc[, D]))
+        # or dim 3 (tbkd: (L, Pc, 1, Hkv, D))
+        prefix_spec = (P() if prefix_kv is None
+                       else P(None, None, tp_axis) if layout == "bktd"
+                       else P(None, None, None, tp_axis))
         run_cfg = _tp_local_cfg(cfg, dict(mesh.shape)[tp_axis])
         cache_spec = (P(None, axes or None, tp_axis) if layout == "bktd"
                       else P(None, None, axes or None, tp_axis))
@@ -1194,6 +1197,18 @@ def decoder_verify_chunk(
         if tctx is not None:
             param_specs = _tp_param_specs(params, tctx[2])
     if ctx is None and param_specs is None:
+        from ..kernels.attention import pallas_single_device_ok
+
+        if not pallas_single_device_ok():
+            # the impl is kernel-only (no XLA fallback): dispatching its
+            # plain pallas_calls under a >1-device GSPMD mesh would be
+            # wrong.  Callers must gate with supports_verify_chunk_step
+            # under the SAME ambient mesh (the serving engine re-checks
+            # at run()).
+            raise RuntimeError(
+                "decoder_verify_chunk: ambient multi-device mesh is "
+                "neither batch- nor tp-shardable for this config; gate "
+                "with supports_verify_chunk_step under the same mesh")
         return _decoder_verify_chunk_impl(
             cfg, params, token_embeds=token_embeds, kv_mask01=kv_mask01,
             positions=positions, kv_cache=kv_cache, cache_index=cache_index,

@@ -173,6 +173,53 @@ def test_decode_step_tensor_parallel_matches_single(monkeypatch, quant):
                                    atol=3e-2, rtol=0)
 
 
+def test_decode_step_tp_tbkd_prefix(monkeypatch):
+    """Regression (round-4 review): the manual-TP wrapper's prefix spec
+    must follow the layout — tbkd (D=64) prefix leaves carry Hkv at dim
+    3, not dim 2; the old P(None, None, tp) crashed shard_map at trace
+    ('maps array axis 2 (of size 1) to mesh axis tp')."""
+    cfg64 = DecoderConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=512, head_dim=64, rope_theta=1e4)
+    params64 = init_decoder_params(cfg64, jax.random.PRNGKey(1),
+                                   jnp.bfloat16)
+    rng = np.random.default_rng(8)
+    L, Hkv, D, Pc, Tt = 2, 2, 64, 4, 32
+    emb = jnp.asarray(rng.standard_normal((B, 1, 256)) * 0.1, jnp.bfloat16)
+    filled = 8
+    mask = np.zeros((B, Tt), np.float32)
+    mask[:, :filled] = 1.0
+    bias = jnp.asarray(
+        np.where(mask, 0.0, np.finfo(np.float32).min)[:, None, None, :])
+    positions = jnp.full((B, 1), filled + Pc, jnp.int32)
+    cache = {  # tbkd: (L, T, B, Hkv, D)
+        "k": jnp.asarray(rng.standard_normal((L, Tt, B, Hkv, D)) * 0.3,
+                         jnp.bfloat16),
+        "v": jnp.asarray(rng.standard_normal((L, Tt, B, Hkv, D)) * 0.3,
+                         jnp.bfloat16)}
+    prefix = {  # tbkd prefix: (L, Pc, 1, Hkv, D)
+        "k": jnp.asarray(rng.standard_normal((L, Pc, 1, Hkv, D)) * 0.3,
+                         jnp.bfloat16),
+        "v": jnp.asarray(rng.standard_normal((L, Pc, 1, Hkv, D)) * 0.3,
+                         jnp.bfloat16)}
+    pbias = jnp.zeros((B, 1, 1, Pc), jnp.float32)
+    idx = jnp.asarray(filled, jnp.int32)
+
+    def step(c):
+        return jax.jit(lambda cc: decoder_decode_step(
+            cfg64, params64, token_embeds=emb, bias_old=bias,
+            positions=positions, kv_cache=cc, cache_index=idx,
+            prefix_kv=prefix, prefix_bias=pbias))(c)
+
+    h_ref, _ = step(cache)
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2), jax.devices())
+    with jax.set_mesh(mesh):
+        h_s, _ = step(cache)
+    np.testing.assert_allclose(np.asarray(h_s, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               atol=3e-2, rtol=0)
+
+
 def test_decode_step_tp_int4_falls_back(monkeypatch):
     """int4 packed weights can't row/column-slice per shard — the tp ctx
     must bail to the GSPMD path (still correct, no crash)."""
