@@ -28,8 +28,29 @@ def shard_model_params(mesh, params):
     DEFAULT_RULES.  This is what makes `--fsdp/--tp` real in the entry
     points: the frozen 14B+600M towers live sharded on the mesh instead of
     replicated per chip (reference FSDP capability, train_legacy.py:314-318).
-    Also correct for optax states whose mu/nu mirror the param tree paths."""
-    return shard_params(params, mesh, DEFAULT_RULES)
+    Also correct for optax states whose mu/nu mirror the param tree paths.
+
+    When this actually shards weights over fsdp on a batch-axes-only mesh
+    (tp=sp=1), the Pallas batch shard_map wrap (kernels/shard.batch_shard_ctx)
+    is auto-disabled via P2T_NO_SHARD_MAP_BATCH: that wrap declares params
+    replicated, so a wrapped decode step would all-gather the FULL weight set
+    per device per step — exactly the memory the fsdp sharding exists to
+    save (advisor r4, shard.py:92)."""
+    out = shard_params(params, mesh, DEFAULT_RULES)
+    shape = dict(mesh.shape)
+    if (shape.get("fsdp", 1) > 1 and shape.get("tp", 1) <= 1
+            and shape.get("sp", 1) <= 1
+            and not os.environ.get("P2T_NO_SHARD_MAP_BATCH")):
+        def _sharded(leaf):
+            spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+            return spec is not None and any(a is not None for a in spec)
+
+        if any(_sharded(l) for l in jax.tree_util.tree_leaves(out)):
+            os.environ["P2T_NO_SHARD_MAP_BATCH"] = "1"
+            print("NOTE: weights are fsdp-sharded; disabling the Pallas "
+                  "batch shard_map wrap (P2T_NO_SHARD_MAP_BATCH=1) to avoid "
+                  "per-step full-weight all-gathers", file=sys.stderr)
+    return out
 
 
 def replicate_tree(mesh, tree):

@@ -1158,7 +1158,9 @@ def supports_verify_chunk_step(cfg, kv_cache, G: int,
         n = 1
         for a in axes:
             n *= shape[a]
-        ntp = shape.get("tp", 1) if tctx is not None else 1
+        # tp axis size via the name carried in tctx (advisor r4 — do not
+        # hardcode the axis string)
+        ntp = shape.get(tctx[2], 1) if tctx is not None else 1
         shp = kv_cache["k"].shape
         kv_cache = {"k": jax.ShapeDtypeStruct(
             (shp[0], shp[1] // n, shp[2] // ntp) + shp[3:],
