@@ -472,6 +472,82 @@ def bench_sft_flagship():
           batch=B, grad_accum=GA, seq_len=S, lora_r=32)
 
 
+def bench_sft_flagship_14b(bits: int = 4):
+    """REFERENCE-SCALE stage-2 SFT (VERDICT r4 #1): QLoRA over the frozen
+    ESMC arc at the reference's actual scale — esmc_600m (bf16) +
+    **Qwen3-14B** (reference train_instruct.py:87-94), LoRA r=32, batch 1,
+    S=1024 (grad-accum shortened 32→4 for the bench budget; time is linear
+    in accum).  The frozen base is int4 nibble-plane packed (7.4 GB — the
+    packing that fits beside ESMC + activations on a 16 GB chip; an int8
+    base is ~13.9 GB of weights alone and OOMs with the fp32 logits +
+    remat residuals, recorded in TODO.md)."""
+    from prot2text_tpu.models.adapters import (
+        ModalityAdapterConfig, init_modality_adapter_params)
+    from prot2text_tpu.models.esmc import ESMCConfig, init_esmc_params
+    from prot2text_tpu.models.lora import LoraConfig, init_lora_params
+    from prot2text_tpu.models.qwen3 import Qwen3Config
+    from prot2text_tpu.train.optim import TrainState, adamw_constant
+    from prot2text_tpu.train.sft import SFTConfig, make_sft_train_step
+
+    enc_cfg = ESMCConfig.esmc_600m()
+    dec_cfg = Qwen3Config.qwen3_14b().core()
+    PLACEHOLDER = 151669
+    ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, dec_cfg.hidden_size)
+    frozen = {
+        "esm_encoder": init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
+                                        jnp.bfloat16),
+        "llm_decoder": _init_quantized_random(dec_cfg, bits=bits),
+        "adapter": init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(1),
+                                                jnp.bfloat16),
+    }
+    lora_cfg = LoraConfig(r=32, alpha=64)
+    trainable = {
+        "lora_esm": init_lora_params(lora_cfg, frozen["esm_encoder"],
+                                     jax.random.PRNGKey(2), jnp.bfloat16),
+        "lora_llm": init_lora_params(lora_cfg, frozen["llm_decoder"],
+                                     jax.random.PRNGKey(3), jnp.bfloat16),
+        "adapter": frozen["adapter"],
+    }
+    tx = adamw_constant(2e-4)
+    state = TrainState.create(trainable, tx)
+    step = jax.jit(make_sft_train_step(
+        esm_config=enc_cfg, adapter_config=ad_cfg, decoder_core=dec_cfg,
+        cfg=SFTConfig(lora=lora_cfg, placeholder_id=PLACEHOLDER, remat=True),
+        tx=tx, grad_accum=4), donate_argnums=(0,))
+
+    B, GA, PROT, S = 1, 4, 510, 1024
+    rng = np.random.default_rng(0)
+    ids = np.full((GA, B, S), 11, np.int64)
+    labels = np.full((GA, B, S), -100, np.int64)
+    ids[:, :, 448:448 + PROT + 2] = PLACEHOLDER
+    desc = rng.integers(0, 151000, (GA, B, S - (448 + PROT + 2)))
+    ids[:, :, 448 + PROT + 2:] = desc
+    labels[:, :, 448 + PROT + 2:] = desc
+    batch = {
+        "protein_input_ids": jnp.asarray(
+            rng.integers(4, 24, (GA, B, PROT + 2)), jnp.int32),
+        "protein_attention_mask": jnp.ones((GA, B, PROT + 2), jnp.int32),
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "attention_mask": jnp.ones((GA, B, S), jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+    }
+
+    def run():
+        nonlocal state
+        state, loss = step(state, frozen, batch, jax.random.PRNGKey(0))
+        return float(loss)
+
+    dt = _time(run)
+    n_params = _param_count(frozen["llm_decoder"])
+    tokens = B * GA * S
+    # frozen-base LoRA: ~2P fwd + 2P dx-bwd + 2P remat-replay per token
+    mfu = 6.0 * n_params * tokens / dt / V5E_BF16_PEAK_FLOPS
+    _emit(f"sft_train_tokens_per_sec_qlora_esmc600m_qwen3_14b_int{bits}",
+          tokens / dt, "tokens/s", mfu=round(mfu, 4),
+          step_ms=round(dt * 1e3, 1), params_m=round(n_params / 1e6, 1),
+          batch=B, grad_accum=GA, seq_len=S, lora_r=32)
+
+
 def bench_contrastive_flagship():
     """FLAGSHIP-scale stage-1 contrastive (VERDICT r2 #5b): the reference's
     actual config — esmc_600m + Qwen3-14B text tower truncated at layer 16
@@ -861,6 +937,7 @@ METRICS = (
     "bench_decode_14b_int4_pairs",
     "bench_contrastive_step",         # 300m/1b continuity config
     "bench_sft_flagship",
+    "bench_sft_flagship_14b",          # reference stage-2 scale (r5)
     "bench_serving_flagship",
     "bench_serving_flagship_kv8",
     "bench_serving_flagship_spec",

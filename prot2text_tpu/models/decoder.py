@@ -258,11 +258,11 @@ def decoder_forward(
         def proj(name, x_):
             lo = None
             if ll is not None:
-                sub = ll.get(name)
-                if isinstance(sub, dict):
-                    # {"A","B"} at the kernel leaf (kernel_q for an int8
-                    # weight-only frozen base — QLoRA-style side path)
-                    lo = sub.get("kernel") or sub.get("kernel_q")
+                # {"A","B"} at the kernel leaf (kernel_q / kernel_q4* for
+                # quantized frozen bases — QLoRA-style side path)
+                from .lora import lora_at
+
+                lo = lora_at(ll.get(name))
             return linear_lora(lp[name], lo, x_, lora_scale)
 
         xn = rms_norm(lp["input_ln"], x, cfg.rms_norm_eps)

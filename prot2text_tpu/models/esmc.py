@@ -135,9 +135,9 @@ def esmc_encode(
         def proj(name, x_):
             lo = None
             if ll is not None:
-                sub = ll.get(name)
-                if isinstance(sub, dict):
-                    lo = sub.get("kernel") or sub.get("kernel_q")
+                from .lora import lora_at
+
+                lo = lora_at(ll.get(name))
             return linear_lora(lp[name], lo, x_, lora_scale)
 
         xn = layer_norm(lp["attn_ln"], x, cfg.layer_norm_eps)

@@ -28,15 +28,19 @@ import jax.numpy as jnp
 class LoraConfig:
     r: int = 32
     alpha: int = 64           # reference: lora_alpha = 2 * r
-    # regexes over tree paths (joined with '/').  kernel_q (int8
-    # weight-only) is a valid LoRA base — the side path trains in bf16 over
-    # the frozen quantized matmul (QLoRA-style); kernel_q4 is deliberately
-    # NOT matched (its leading dim is nibble-packed K/2, and training-shape
-    # calls take the XLA unpack path anyway — quantize int8 for QLoRA).
+    # regexes over tree paths (joined with '/').  Quantized kernels are
+    # valid LoRA bases — the side path trains in bf16 over the frozen
+    # quantized matmul (QLoRA-style): kernel_q (int8), kernel_q4p/q4w
+    # (int4 i32-word packings, K = shape[-2]*8) and kernel_q4 (split-half
+    # nibble bytes, K = shape[-2]*2).  The packed leading dims only matter
+    # for A's init shape (unpacked K); apply-time needs nothing special
+    # since linear_lora adds the side path AFTER the quantized matmul.
+    # A 14B int4 frozen base (7.4 GB) is what fits QLoRA on one 16 GB chip
+    # (reference stage-2 scale, train_instruct.py:87-94).
     target_patterns: Sequence[str] = (
         r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)"
-        r"/kernel(_q)?$",
-        r"(qkv|out_proj|ffn_in|ffn_out)/kernel(_q)?$",
+        r"/kernel(_q|_q4|_q4p|_q4w)?$",
+        r"(qkv|out_proj|ffn_in|ffn_out)/kernel(_q|_q4|_q4p|_q4w)?$",
     )
 
     @property
@@ -60,6 +64,37 @@ def _is_target(cfg: LoraConfig, path: str) -> bool:
     return any(re.search(p, path) for p in cfg.target_patterns)
 
 
+# kernel-leaf keys a lora subtree may mirror, most-specific first (plain
+# dict.get chains would mis-resolve "kernel_q4" before "kernel_q4p")
+_KERNEL_KEYS = ("kernel", "kernel_q", "kernel_q4p", "kernel_q4w",
+                "kernel_q4")
+
+
+def lora_at(sub) -> Any:
+    """The {"A","B"} dict at a (possibly quantized) linear's kernel leaf of
+    a LoRA subtree, or None.  `sub` mirrors the param dict structure, e.g.
+    {"kernel_q4p": {"A":..., "B":...}, "scale": None}."""
+    if not isinstance(sub, dict):
+        return None
+    for k in _KERNEL_KEYS:
+        v = sub.get(k)
+        if v is not None:
+            return v
+    return None
+
+
+def _unpacked_in_dim(path: str, shape) -> int:
+    """True contraction dim K of a possibly-packed kernel leaf (models/
+    quant.py packings: q4p/q4w i32 words hold 8 k-planes, q4 bytes hold 2
+    nibbles)."""
+    k = shape[-2]
+    if path.endswith("kernel_q4p") or path.endswith("kernel_q4w"):
+        return k * 8
+    if path.endswith("kernel_q4"):
+        return k * 2
+    return k
+
+
 def init_lora_params(cfg: LoraConfig, base_params: Any, key,
                      dtype=jnp.float32):
     """Returns a tree with the SAME structure as base_params but containing
@@ -69,7 +104,8 @@ def init_lora_params(cfg: LoraConfig, base_params: Any, key,
     for i, (path, leaf) in enumerate(flat):
         p = _path_str(path)
         if _is_target(cfg, p) and leaf.ndim >= 2:
-            *lead, din, dout = leaf.shape
+            *lead, _, dout = leaf.shape
+            din = _unpacked_in_dim(p, leaf.shape)
             ka = jax.random.fold_in(key, i)
             A = jax.random.normal(ka, (*lead, din, cfg.r), dtype) * 0.01
             B = jnp.zeros((*lead, cfg.r, dout), dtype)
@@ -86,6 +122,15 @@ def merge_lora(cfg: LoraConfig, base_params: Any, lora_params: Any):
     def merge(base, lora):
         if lora is None:
             return base
+        if jnp.issubdtype(base.dtype, jnp.integer):
+            # quantized bases train fine (side path), but merging would
+            # round the bf16 delta into the int grid (int8) or add to
+            # packed words (int4) — keep the LoRA unmerged for quantized
+            # serving, or dequantize before merge-and-unload
+            raise ValueError(
+                "merge_lora into a quantized base is unsupported; merge "
+                "into the bf16 weights before quantize_params, or serve "
+                "with the LoRA side path unmerged")
         A, B = lora["A"], lora["B"]
         delta = jnp.einsum(
             "...ir,...ro->...io", A, B,

@@ -199,6 +199,52 @@ def test_sft_step_runs_and_updates_lora_only():
         float(jnp.abs(x - y).max()) > 0 for x, y in zip(b_before, b_after))
 
 
+def test_sft_step_int4_frozen_base():
+    """QLoRA over an int4-PACKED frozen decoder — the recipe that fits the
+    reference's stage-2 scale (Qwen3-14B, train_instruct.py:87-94) on one
+    16 GB chip (int4 base ≈ 7.4 GB vs ~14 GB int8).  LoRA A must take the
+    UNPACKED contraction dim (kernel_q4p stores K/8 i32 words) and the
+    step must differentiate through the XLA dequant matmuls (round 5)."""
+    from __graft_entry__ import _batch, _tiny_setup
+    from prot2text_tpu.models.quant import quantize_params
+
+    cfg, params = _tiny_setup()
+    qdec = quantize_params(params["llm_decoder"], bits=4)
+    # packed format landed (hidden 64 % 8 == 0 → planes)
+    q_attn = qdec["layers"]["q_proj"]
+    assert "kernel_q4p" in q_attn
+
+    lcfg = LoraConfig(r=2, alpha=4)
+    lora_llm = init_lora_params(lcfg, qdec, jax.random.PRNGKey(2))
+    # A gets the unpacked K (64), not the packed word dim (8)
+    A = lora_llm["layers"]["q_proj"]["kernel_q4p"]["A"]
+    assert A.shape[-2] == 64
+
+    frozen = {"esm_encoder": params["esm_encoder"], "llm_decoder": qdec,
+              "adapter": params["adapter"]}
+    trainable = {
+        "lora_esm": init_lora_params(lcfg, params["esm_encoder"],
+                                     jax.random.PRNGKey(1)),
+        "lora_llm": lora_llm,
+        "adapter": params["adapter"],
+    }
+    tx = adamw_constant(1e-3)
+    state = TrainState.create(trainable, tx)
+    step = jax.jit(make_sft_train_step(
+        esm_config=cfg.esm_config, adapter_config=cfg.adapter_config,
+        decoder_core=cfg.llm_config.core(),
+        cfg=SFTConfig(lora=lcfg, placeholder_id=99, remat=False), tx=tx))
+    state2, loss = step(state, frozen, _batch(B=4), jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    b_before = jax.tree_util.tree_leaves(state.params["lora_llm"])
+    b_after = jax.tree_util.tree_leaves(state2.params["lora_llm"])
+    assert any(
+        float(jnp.abs(x - y).max()) > 0 for x, y in zip(b_before, b_after))
+    # merging into a quantized base is refused, not silently rounded
+    with pytest.raises(ValueError, match="quantized base"):
+        merge_lora(lcfg, qdec, lora_llm)
+
+
 def test_legacy_step_runs():
     cfg = Esm2LlamaConfig(
         esm_config=ESM2Config(hidden_size=32, num_layers=2, num_heads=4,
