@@ -167,6 +167,46 @@ def _init_quantized_random(cfg, bits=8, int4_format="planes"):
     return out
 
 
+def _init_bf16_random_decoder(cfg, drop_lm_head=False):
+    """Random bf16 decoder weights at full stacked shape with SMALL
+    transients: init_decoder_params peaks at ~2x (per-layer leaves live
+    through the jnp.stack) and random.normal materializes f32 — a 16-layer
+    5120-wide tower (10.6 GB bf16) OOMs one chip during init that way.
+    Here each stacked leaf is generated directly via uint8 random bits
+    (1.5 bytes/elem transient); values are iid in ±0.25 — independent
+    across layers so XLA cannot shrink the HBM weight streams."""
+    from prot2text_tpu.models.decoder import init_decoder_params
+
+    tiny = type(cfg)(**{**cfg.__dict__, "num_layers": 1})
+    one = init_decoder_params(tiny, jax.random.PRNGKey(0), jnp.bfloat16)
+    if drop_lm_head:
+        one.pop("lm_head", None)
+    L = cfg.num_layers
+    key = jax.random.PRNGKey(11)
+
+    def rand_bf16(shape, scale):
+        nonlocal key
+        key, kk = jax.random.split(key)
+        return jax.jit(lambda k_: (
+            jax.random.bits(k_, shape, jnp.uint8).astype(jnp.bfloat16)
+            - 127.5) * scale)(kk)
+
+    def grow(a):
+        shape = (L,) + a.shape[1:]
+        if a.ndim >= 3:          # kernels: random, ±~0.25
+            return rand_bf16(shape, 1.0 / 512.0)
+        return jnp.ones(shape, jnp.bfloat16)     # ln scales
+
+    out = dict(one)
+    out["layers"] = jax.tree_util.tree_map(grow, one["layers"])
+    out["embed_tokens"] = rand_bf16((cfg.vocab_size, cfg.hidden_size),
+                                    1.0 / 512.0)
+    if "lm_head" in out:
+        out["lm_head"] = {"kernel": rand_bf16(
+            (cfg.hidden_size, cfg.vocab_size), 1.0 / 512.0)}
+    return out
+
+
 def _bench_decode(cfg, name, B=16, P=128, NEW=128, quant_bits=None,
                   quant_direct=False, kv_bits=None, int4_format="planes"):
     """Two-point measurement (scripts/bench_decode_gap.py evidence): one
@@ -548,7 +588,7 @@ def bench_sft_flagship_14b(bits: int = 4):
           batch=B, grad_accum=GA, seq_len=S, lora_r=32)
 
 
-def bench_contrastive_flagship():
+def bench_contrastive_flagship(tower_dtype: str = "bf16"):
     """FLAGSHIP-scale stage-1 contrastive (VERDICT r2 #5b): the reference's
     actual config — esmc_600m + Qwen3-14B text tower truncated at layer 16
     (train_contrast.py:117-195, :288).  Only the 16 scanned layers exist on
@@ -568,10 +608,18 @@ def bench_contrastive_flagship():
     full = Qwen3Config.qwen3_14b()
     tower = type(full.core())(**{**full.core().__dict__, "num_layers": 16})
     ad_cfg = ModalityAdapterConfig(enc_cfg.d_model, 2048, tower.hidden_size)
+    if tower_dtype == "bf16":
+        # reference-exact numerics (train_contrast.py:92 runs the Qwen
+        # tower bf16): 16 bf16 layers + embeddings; the lm_head is dropped
+        # — contrastive reads hidden states at layer 16, never logits —
+        # which is what makes the bf16 tower fit one chip at all
+        tower_params = _init_bf16_random_decoder(tower, drop_lm_head=True)
+    else:
+        tower_params = _init_quantized_random(tower, bits=8)
     frozen = {
         "esm_encoder": init_esmc_params(enc_cfg, jax.random.PRNGKey(0),
                                         jnp.bfloat16),
-        "llm_decoder": _init_quantized_random(tower, bits=8),
+        "llm_decoder": tower_params,
     }
     adapter = init_modality_adapter_params(ad_cfg, jax.random.PRNGKey(2),
                                            jnp.bfloat16)
@@ -599,7 +647,7 @@ def bench_contrastive_flagship():
         return float(loss)
 
     dt = _time(run)
-    _emit("contrastive_pairs_per_sec_esmc600m_qwen3_14b_l16_int8",
+    _emit(f"contrastive_pairs_per_sec_esmc600m_qwen3_14b_l16_{tower_dtype}",
           B * GA / dt, "pairs/s", step_ms=round(dt * 1e3, 1), batch=B,
           grad_accum=GA, protein_len=PROT, desc_len=DESC, tower_layers=16)
 
