@@ -838,7 +838,9 @@ def bench_serving_flagship_deepq():
     .py, r4): 539.8 useful tok/s — the deeper queue alone lifts the
     24-slot config +10% over the 24-request workload (the shallow queue
     spent ~1/3 of its span in ramp-down); 32/40 slots ResourceExhausted,
-    so 24 slots IS the ceiling at this context length."""
+    so 24 slots IS the ceiling at this context length.  r5: 553.1 on a
+    warm cache (122 s wall including compile) — promoted into the
+    critical group (VERDICT r4 #4) as the serving representative."""
     _bench_serving_flagship(
         "serving_deepq_tokens_per_sec_int8_kv8_llama31_8b_24slots_64req",
         kv_bits=8, slots=16, prompt_lookup_tokens=4, shared_prefix=512,
@@ -973,11 +975,16 @@ def bench_descriptions_per_hour():
 # replaces the 300m/1b continuity number in the critical set.
 HEADLINE = "bench_decode_8b_int8_kv8_b256"
 METRICS = (
-    # -- critical: headline + the three BASELINE.md named metrics ---------
+    # -- critical five: headline + the three BASELINE.md named metrics
+    # -- + the serving-engine representative ------------------------------
     "bench_decode_8b_int8_kv8_b256",  # headline: best one-chip serving
     "bench_descriptions_per_hour",    # BASELINE: north-star proxy
     "bench_contrastive_flagship",     # BASELINE: stage-1 flagship pairs/s
     "bench_decode_8b_int8",           # BASELINE: decode tokens/s
+    "bench_serving_flagship_deepq",   # serving engine representative (r5:
+                                      # subsumes kv8+spec+prefix-dedup;
+                                      # streams 5th in the group phase, so
+                                      # the original four never wait on it)
     # -- flagship-scale secondary metrics ---------------------------------
     "bench_decode_8b_int8_b128",      # round-3 headline continuity
     "bench_decode_8b_int8_kv8_b128",
@@ -990,7 +997,6 @@ METRICS = (
     "bench_serving_flagship_kv8",
     "bench_serving_flagship_spec",
     "bench_serving_flagship_prefix",
-    "bench_serving_flagship_deepq",
     "bench_serving_continuous",
     "bench_sft_step",
     # -- small-model continuity metrics (skipped first under pressure) ----
@@ -998,7 +1004,7 @@ METRICS = (
     "bench_decode_flagship",
     "bench_decode_toy",
 )
-N_CRITICAL = 4
+N_CRITICAL = 5
 
 
 def _run_group(names, timeout_s, inactivity_s, on_line):
