@@ -132,6 +132,16 @@ def main(argv=None):
                          llm_config=llm_cfg, placeholder_id=placeholder_id)
     params = {"esm_encoder": frozen["esm_encoder"],
               "llm_decoder": frozen["llm_decoder"], "adapter": adapter}
+    ntp = dict(mesh.shape).get("tp", 1)
+    if ntp > 1:
+        # int4 under manual TP: segment-repack row-parallel packed
+        # kernels so the packed K dim slices per shard and the stacked
+        # Pallas decode/verify kernels stay live (models/quant.py;
+        # no-op for bf16/int8 trees)
+        from ..models.quant import repack_int4_for_tp
+
+        params["llm_decoder"] = repack_int4_for_tp(
+            params["llm_decoder"], ntp)
     params = shard_model_params(mesh, params)
 
     eos_id = getattr(tok, "eos_token_id", llm_cfg.eos_token_id)

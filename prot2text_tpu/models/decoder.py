@@ -540,16 +540,24 @@ _TP_COL_PROJS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
 _TP_ROW_PROJS = ("o_proj", "down_proj")
 
 
-def _tp_layer_specs(layers, tp_axis):
+_Q4_KEYS = ("kernel_q4p", "kernel_q4w", "kernel_q4")
+
+
+def _tp_layer_specs(layers, tp_axis, ntp):
     """PartitionSpec tree mirroring `params["layers"]` for manual tensor
     parallelism (Megatron layout over the stacked (L, K, N) buffers):
     column-parallel q/k/v/gate/up shard the OUTPUT dim, row-parallel
     o/down shard the INPUT dim (their partial sums are psum'd in the step
     body), per-output int8 scales follow their kernel's output dim, norms
-    replicate.  Returns None when a leaf format is unsupported — int4
-    packed words (the packed K/8 dim does not slice per shard) or a
+    replicate.  int4 packed words: the OUTPUT dim slices through every
+    packing, so column-parallel leaves shard directly; row-parallel
+    leaves require the SEGMENT-repacked kernel_q4*_tp{ntp} form
+    (models/quant.repack_int4_for_tp — the interleaved plane packing does
+    not slice on K).  Returns None when a leaf format is unsupported —
+    un-repacked row-parallel int4, a repack for a different ntp, or a
     biased row projection (bias would be added once per shard) — and the
     caller falls back to the GSPMD path."""
+    row_q4 = tuple(f"{k}_tp{ntp}" for k in _Q4_KEYS)
     specs = {}
     for name, sub in layers.items():
         if name in _TP_COL_PROJS or name in _TP_ROW_PROJS:
@@ -559,6 +567,10 @@ def _tp_layer_specs(layers, tp_axis):
                 if k in ("kernel", "kernel_q"):
                     s[k] = (P(None, None, tp_axis) if col
                             else P(None, tp_axis, None))
+                elif col and k in _Q4_KEYS:
+                    s[k] = P(None, None, tp_axis)
+                elif not col and k in row_q4:
+                    s[k] = P(None, tp_axis, None)
                 elif k == "scale":
                     s[k] = P(None, None, tp_axis) if col else P()
                 elif k == "bias" and col:
@@ -571,13 +583,33 @@ def _tp_layer_specs(layers, tp_axis):
     return specs
 
 
-def _tp_param_specs(params, tp_axis):
-    lspecs = _tp_layer_specs(params["layers"], tp_axis)
+def _tp_param_specs(params, tp_axis, ntp):
+    lspecs = _tp_layer_specs(params["layers"], tp_axis, ntp)
     if lspecs is None:
         return None
     return {k: (lspecs if k == "layers"
                 else jax.tree_util.tree_map(lambda _: P(), v))
             for k, v in params.items()}
+
+
+def _tp_ntp(tctx) -> int:
+    """tp axis size of a tp_batch_shard_ctx result."""
+    return dict(tctx[0].shape)[tctx[2]]
+
+
+def _strip_tp_keys(params, ntp):
+    """Inside the manual-TP shard_map body each shard's slice of a
+    repacked kernel_q4*_tp{ntp} leaf IS a normally-packed local buffer —
+    restore the plain key so the stacked Pallas dispatch recognizes it."""
+    suffix = f"_tp{ntp}"
+    if not any(isinstance(sub, dict) and any(k.endswith(suffix) for k in sub)
+               for sub in params["layers"].values()):
+        return params
+    layers = {
+        name: ({k[:-len(suffix)] if k.endswith(suffix) else k: v
+                for k, v in sub.items()} if isinstance(sub, dict) else sub)
+        for name, sub in params["layers"].items()}
+    return {**params, "layers": layers}
 
 
 def _tp_local_cfg(cfg: DecoderConfig, ntp: int) -> DecoderConfig:
@@ -617,7 +649,7 @@ def decoder_decode_step(
         tctx = tp_batch_shard_ctx(token_embeds.shape[0], cfg.num_kv_heads,
                                   cfg.num_heads)
         if tctx is not None:
-            param_specs = _tp_param_specs(params, tctx[2])
+            param_specs = _tp_param_specs(params, tctx[2], _tp_ntp(tctx))
     if ctx is None and param_specs is None:
         return _decoder_decode_step_impl(
             cfg, params, token_embeds=token_embeds, bias_old=bias_old,
@@ -651,6 +683,8 @@ def decoder_decode_step(
 
     def body(params_, token_embeds_, bias_old_, positions_, kv_cache_,
              cache_index_, prefix_kv_, prefix_bias_):
+        if tp_axis is not None:
+            params_ = _strip_tp_keys(params_, _tp_ntp(tctx))
         return _decoder_decode_step_impl(
             run_cfg, params_, token_embeds=token_embeds_,
             bias_old=bias_old_, positions=positions_, kv_cache=kv_cache_,
@@ -1142,7 +1176,8 @@ def supports_verify_chunk_step(cfg, kv_cache, G: int,
             tctx = tp_batch_shard_ctx(B, cfg.num_kv_heads, cfg.num_heads)
             if tctx is not None and (
                     params is None
-                    or _tp_param_specs(params, tctx[2]) is None):
+                    or _tp_param_specs(params, tctx[2],
+                                       _tp_ntp(tctx)) is None):
                 tctx = None    # wrapper would fall back to plain impl
     if not (kernel_backend_ok()
             and (pallas_single_device_ok() or ctx is not None
@@ -1197,7 +1232,7 @@ def decoder_verify_chunk(
         tctx = tp_batch_shard_ctx(token_embeds.shape[0], cfg.num_kv_heads,
                                   cfg.num_heads)
         if tctx is not None:
-            param_specs = _tp_param_specs(params, tctx[2])
+            param_specs = _tp_param_specs(params, tctx[2], _tp_ntp(tctx))
     if ctx is None and param_specs is None:
         from ..kernels.attention import pallas_single_device_ok
 
@@ -1230,6 +1265,8 @@ def decoder_verify_chunk(
 
     def body(params_, token_embeds_, kv_mask01_, positions_, kv_cache_,
              cache_index_, prefix_kv_, prefix_bias_):
+        if tp_axis is not None:
+            params_ = _strip_tp_keys(params_, _tp_ntp(tctx))
         return _decoder_verify_chunk_impl(
             run_cfg, params_, token_embeds=token_embeds_,
             kv_mask01=kv_mask01_, positions=positions_, kv_cache=kv_cache_,

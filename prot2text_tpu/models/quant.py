@@ -140,6 +140,81 @@ def dequantize_leaf(q, scale, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
+# row-parallel projections of the decoder stacks (Megatron manual-TP:
+# these shard the INPUT dim; models/decoder._TP_ROW_PROJS mirrors this)
+_ROW_PARALLEL = ("o_proj", "down_proj")
+
+
+def repack_int4_for_tp(params: Any, ntp: int,
+                       row_parallel: Sequence[str] = _ROW_PARALLEL,
+                       layer_chunk: int = 8) -> Any:
+    """Segment-repack ROW-PARALLEL int4 kernels for an ntp-way manual-TP
+    mesh (VERDICT r4 #3).
+
+    The int4 word packings interleave nibble planes across the WHOLE
+    contraction dim (kernels/quant_matmul.pack_int4_planes: nibble j of
+    word k8 holds row k8 + j*K/8; pack_int4: split halves), so slicing the
+    packed K/8 (or K/2) dim per tp shard does NOT yield that shard's
+    weights — which is why int4 previously fell back to GSPMD under tp
+    meshes.  Repacking each contiguous K/ntp segment independently makes
+    the packed dim sliceable: shard s's packed rows
+    [s*(K/8)/ntp, (s+1)*(K/8)/ntp) are exactly its locally-packed local
+    weights, and inside the shard the unchanged stacked Pallas kernels
+    consume them as a normal (L, K_local/8, N) buffer.
+
+    The repacked leaf is RENAMED kernel_q4p → kernel_q4p_tp{ntp} (same for
+    q4w/q4): globally the array is segment-packed and is NOT a valid
+    operand for the single-device/GSPMD paths — the renamed key makes any
+    such use fail loudly instead of silently dequantizing garbage.
+    models/decoder strips the suffix inside the manual-TP shard_map body.
+    Column-parallel projections slice the OUTPUT dim, which commutes with
+    every packing — untouched.  Segment boundaries coincide with the
+    head/ffn shard boundaries because head outputs are laid out
+    contiguously along K."""
+    from ..kernels.quant_matmul import (
+        pack_int4, pack_int4_pairs, pack_int4_planes, unpack_int4,
+        unpack_int4_pairs, unpack_int4_planes,
+    )
+
+    fmts = {
+        "kernel_q4p": (unpack_int4_planes, pack_int4_planes, 8),
+        "kernel_q4w": (unpack_int4_pairs, pack_int4_pairs, 8),
+        "kernel_q4": (unpack_int4, pack_int4, 2),
+    }
+    layers = dict(params["layers"])
+    for name in row_parallel:
+        sub = layers.get(name)
+        if not isinstance(sub, dict):
+            continue
+        key = next((k for k in fmts if k in sub), None)
+        if key is None:
+            continue
+        unpack, pack, group = fmts[key]
+        wp = sub[key]                                   # (L, K/g, N)
+        K = wp.shape[-2] * group
+        if K % (ntp * 8):
+            raise ValueError(
+                f"repack_int4_for_tp: {name} K={K} not divisible by "
+                f"ntp*8={ntp * 8}")
+        Kn = K // ntp
+
+        @jax.jit
+        def reseg(w):
+            q = unpack(w)                               # (c, K, N) int8
+            q = q.reshape(q.shape[0], ntp, Kn, q.shape[-1])
+            return pack(q).reshape(w.shape)
+
+        # chunk over layers to bound the int8 unpack transient (~2 bytes/
+        # weight per chunk instead of the whole stack)
+        new = jnp.concatenate(
+            [reseg(wp[i:i + layer_chunk])
+             for i in range(0, wp.shape[0], layer_chunk)], axis=0)
+        layers[name] = {
+            (f"{key}_tp{ntp}" if k == key else k): (new if k == key else v)
+            for k, v in sub.items()}
+    return {**params, "layers": layers}
+
+
 def quantized_bytes(params: Any) -> int:
     return sum(
         x.size * x.dtype.itemsize

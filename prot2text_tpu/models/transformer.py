@@ -21,7 +21,51 @@ from ..kernels.attention import dot_product_attention
 # basic layers
 
 
+def _tp_segmented_key(p):
+    """kernel_q4*_tp{n} leaf (models/quant.repack_int4_for_tp): each of the
+    n contiguous K segments is packed independently so the packed dim
+    slices per manual-TP shard.  Returns (key, fmt, ntp) or None."""
+    for k in p:
+        if k.startswith("kernel_q4") and "_tp" in k:
+            fmt, _, n = k.partition("_tp")
+            return k, fmt, int(n)
+    return None
+
+
 def linear(p, x, precision=None):
+    seg = _tp_segmented_key(p)
+    if seg is not None and x.ndim > 2:
+        lead = x.shape[:-1]
+        y = linear(p, x.reshape(-1, x.shape[-1]), precision=precision)
+        return y.reshape(*lead, y.shape[-1])
+    if seg is not None:
+        # GSPMD / prefill path for a segment-repacked int4 leaf: unpack
+        # per segment (the reshape splits exactly on the shard boundary,
+        # so GSPMD keeps the unpack local to each tp shard) and run the
+        # mixed-precision dot.  Prefill shapes are MXU-bound — the unpack
+        # materialization is amortized over the activation rows, same as
+        # the plain int4 XLA fallback.  The decode/verify hot paths never
+        # come here (models/decoder strips the suffix inside shard_map
+        # and dispatches the stacked Pallas kernels).
+        from ..kernels.quant_matmul import (
+            unpack_int4, unpack_int4_pairs, unpack_int4_planes,
+        )
+
+        key, fmt, ntp = seg
+        unpack = {"kernel_q4p": unpack_int4_planes,
+                  "kernel_q4w": unpack_int4_pairs,
+                  "kernel_q4": unpack_int4}[fmt]
+        wp = p[key]                                    # (..., K/g, N)
+        wl, N = wp.shape[:-2], wp.shape[-1]
+        w = unpack(wp.reshape(*wl, ntp, wp.shape[-2] // ntp, N))
+        w = w.reshape(*wl, -1, N)                      # (..., K, N) int8
+        y = jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = (y * p["scale"][..., 0, :]).astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)
+        return y
     if x.ndim > 2 and ("kernel_q" in p or "kernel_q4" in p
                        or "kernel_q4p" in p or "kernel_q4w" in p):
         # Flatten leading dims for the quantized paths: XLA's mixed-dtype
