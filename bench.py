@@ -1005,6 +1005,10 @@ METRICS = (
     "bench_decode_toy",
 )
 N_CRITICAL = 5
+# per-metric timeout overrides for the individual-attempt phase: metrics
+# whose INIT alone exceeds the fail-fast window even warm (the 14B SFT
+# builds 7.4 GB of random packed weights through the tunnel: 206 s warm)
+SLOW_SECONDARIES = {"bench_sft_flagship_14b": 280.0}
 
 
 def _run_group(names, timeout_s, inactivity_s, on_line):
@@ -1166,7 +1170,8 @@ def main():
             if name == HEADLINE and attempt == 1:
                 att_timeout = max(240.0, min(450.0, rem - 60))
             else:
-                att_timeout = 240.0 if critical else 180.0
+                att_timeout = SLOW_SECONDARIES.get(
+                    name, 240.0 if critical else 180.0)
             try:
                 r = subprocess.run(
                     [sys.executable, "-u", __file__, "--only", name],

@@ -69,3 +69,15 @@ def pytest_sessionfinish(session, exitstatus):
     print(f"\n[conftest] worker={_worker} backend_compiles="
           f"{_compile_count[0]} (XLA:CPU segfault wall ~240/process)",
           file=sys.stderr)
+    # xdist swallows worker stderr — persist per-worker counts where the
+    # controller/operator can read them (one line per session)
+    try:
+        import time
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            ".jax_cache_tests", "compile_counts.txt")
+        with open(path, "a") as f:
+            f.write(f"{time.strftime('%F %T')} worker={_worker} "
+                    f"compiles={_compile_count[0]}\n")
+    except Exception:
+        pass
