@@ -24,6 +24,14 @@ def _run_with_device_count(parent_devices: int, n: int):
     flags.append(f"--xla_force_host_platform_device_count={parent_devices}")
     env["XLA_FLAGS"] = " ".join(flags)
     env.pop("_P2T_DRYRUN_SUBPROC", None)
+    # fresh subprocess = conftest's cache config doesn't apply; without a
+    # persistent cache every dryrun compile is cold EVERY suite run (this
+    # test measured 479 s of the round-5 suite's 17 min).  Only this test
+    # writes this dir — no concurrent-access risk (round-4 segfault was a
+    # shared dir raced by TPU processes).
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        REPO, ".jax_cache_tests", "dryrun_subproc")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         f"assert len(jax.devices()) == {parent_devices}, len(jax.devices()); "
@@ -45,11 +53,7 @@ def test_dryrun_self_hosts_when_parent_short_on_devices():
     assert "'dp': 2" in proc.stdout and "'fsdp': 2" in proc.stdout
 
 
-@pytest.mark.slow
-def test_dryrun_direct_when_devices_sufficient():
-    import jax
-
-    from __graft_entry__ import dryrun_multichip
-
-    assert len(jax.devices()) >= 8
-    dryrun_multichip(8)  # runs inline, raises on failure
+# NOTE: the direct (devices-sufficient) path is covered by
+# tests/test_train_steps.py::test_dryrun_multichip_8 — a second inline
+# dryrun here duplicated ~2 min of suite time for zero extra coverage
+# (removed round 5, VERDICT r4 #6).
