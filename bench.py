@@ -1201,7 +1201,11 @@ def main():
             metric, value = landed[name]
             summary[metric] = value
     print(json.dumps({
-        "metric": "bench_summary", "value": len(summary), "unit": "metrics",
+        # value=None when NOTHING landed (an all-skip wedge run): the
+        # driver's last-line parse must see an explicit null, not a zero
+        # that reads like a measured throughput of 0
+        "metric": "bench_summary",
+        "value": (len(summary) if summary else None), "unit": "metrics",
         "vs_baseline": None, "bench_fn": "summary",
         "critical_landed": [n for n in METRICS[:N_CRITICAL] if n in landed],
         "landed": summary,
