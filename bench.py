@@ -1145,6 +1145,25 @@ def main():
     todo = [n for n in crit if n not in done]
     if todo:
         print(f"[bench] critical stragglers: {todo}", file=sys.stderr)
+    if not done and remaining() > 300:
+        # The group emitted NOTHING: the tunnel almost certainly wedged
+        # AFTER the pre-flight probe passed (observed flapping windows,
+        # round 5).  Straggler attempts would each burn their timeout
+        # against a dead chip — wait the wedge out again with cheap
+        # probes (up to half of what remains) before spending them.
+        waited_t0 = time.monotonic()
+        while (time.monotonic() - waited_t0) < 0.5 * remaining():
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-u", __file__, "--probe"],
+                    capture_output=True, text=True, timeout=75)
+                if r.returncode == 0 and "probe ok" in r.stdout:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"[bench] mid-run probe failed; waiting out the wedge "
+                  f"({remaining():.0f}s left)", file=sys.stderr)
+            time.sleep(20)
 
     # Phase 2: individual subprocesses — critical stragglers first, then
     # the secondary metrics.  Short attempts on the warm .jax_cache; a
