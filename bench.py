@@ -1179,6 +1179,7 @@ def main():
                  "reason": "global deadline"}))
             continue
         attempts = 3 if critical else 2
+        emitted = False
         for attempt in range(1, attempts + 1):
             rem = remaining()
             if rem < 80:
@@ -1200,6 +1201,7 @@ def main():
                        if ln.startswith("{")]
                 if out:
                     emit_line(out[-1])
+                    emitted = True
                     break
                 print(f"[bench] {name} attempt {attempt}: no output "
                       f"(rc={r.returncode})", file=sys.stderr)
@@ -1208,6 +1210,14 @@ def main():
                       file=sys.stderr)
             # wedge windows pass; retry on a fresh process
             time.sleep(min(20, max(0.0, remaining() - 40)))
+        if not emitted:
+            # exhausted attempts without a result: leave an explicit
+            # marker so the artifact accounts for EVERY metric (an
+            # attempts-burned metric used to vanish without trace)
+            emit_line(json.dumps(
+                {"metric": name, "value": None, "unit": "skipped",
+                 "vs_baseline": None, "skipped": True, "bench_fn": name,
+                 "reason": "attempts exhausted"}))
 
     # Self-certification tail (VERDICT r4 #2): ONE compact penultimate
     # summary line with every landed metric's value — critical four first,
