@@ -165,3 +165,31 @@ def test_train_legacy_cli_shards_trainable_params(tmp_path, capsys,
     assert any(l.ndim >= 2 and not l.sharding.is_fully_replicated
                for l in leaves)
     assert glob.glob(str(tmp_path / "ck" / "checkpoints_*" / "step_*"))
+
+
+def test_shard_model_params_auto_disables_batch_wrap(monkeypatch):
+    """Advisor r4 (medium): on a batch-axes-only mesh whose weights are
+    ACTUALLY fsdp-sharded, the Pallas batch shard_map wrap must
+    auto-disable (P2T_NO_SHARD_MAP_BATCH) — a wrapped step would declare
+    params replicated and all-gather the full weight set per device per
+    step.  A replicated tree must NOT set the flag."""
+    import jax.numpy as jnp
+
+    from prot2text_tpu.cli.common import shard_model_params
+    from prot2text_tpu.core.mesh import MeshConfig, make_mesh
+
+    monkeypatch.delenv("P2T_NO_SHARD_MAP_BATCH", raising=False)
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=2), jax.devices())
+
+    # tiny leaves: no rule shards them -> fully replicated -> no flag
+    small = {"layers": {"norm": {"scale": jnp.ones((8,))}}}
+    shard_model_params(mesh, small)
+    assert "P2T_NO_SHARD_MAP_BATCH" not in __import__("os").environ
+
+    # an embed-named (vocab, hidden) leaf shards over fsdp -> flag set
+    big = {"embed_tokens": jnp.ones((64, 16))}
+    out = shard_model_params(mesh, big)
+    spec = out["embed_tokens"].sharding.spec
+    assert any(a is not None for a in spec), spec
+    assert __import__("os").environ.get("P2T_NO_SHARD_MAP_BATCH") == "1"
+    monkeypatch.delenv("P2T_NO_SHARD_MAP_BATCH", raising=False)
